@@ -1,0 +1,292 @@
+"""§2.3 joins (SURVEY.md).
+
+Join strategy at scale (the 100 TB design point):
+
+- Dimension tables (region 5 … part 20k rows) sit far under
+  ``spark.sql.autoBroadcastJoinThreshold`` — Catalyst broadcasts them, and
+  ``join_multiway`` additionally hints ``broadcast()`` so the star join
+  never shuffles the fact table for a dimension.
+- Fact⋈fact equi joins (lineitem⋈orders) shuffle on the key — correct and
+  AQE-coalesced; at 1000 executors this is the bucketing candidate.
+- The theta join runs on pre-aggregated per-key cardinalities (50 rows),
+  never on raw rows — a BroadcastNestedLoop over raw 100 TB would be a
+  non-starter.
+- The range join equi-joins on user_id first, so the quadratic part is
+  bounded per key; skewed keys would be salted (documented, not needed at
+  fixture scale).
+- The as-of join uses the union + last(ignorenulls) window formulation —
+  one shuffle by key, no per-row probe — which scales linearly, unlike a
+  broadcast + max_by probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_point_sum_sql
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderstatus, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi inner join (shuffle exchange on the key; AQE picks
+    the physical strategy)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null extension for customers lacking big orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (null-extended order side)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT rich.c_custkey AS rich_key, rich.c_acctbal, pend.o_custkey AS pending_key,
+           pend.n_pending
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000) rich
+    FULL JOIN (SELECT o_custkey, count(*) AS n_pending FROM orders
+               WHERE o_orderstatus = 'P' GROUP BY o_custkey) pend
+      ON rich.c_custkey = pend.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — null extension on both sides."""
+    rich = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select(F.col("c_custkey"), F.col("c_acctbal"))
+    )
+    pend = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_pending"))
+    )
+    return rich.join(pend, rich.c_custkey == pend.o_custkey, "full").select(
+        F.col("c_custkey").alias("rich_key"),
+        "c_acctbal",
+        F.col("o_custkey").alias("pending_key"),
+        "n_pending",
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one big order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dimensions (5 × 25)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta",
+    oracle="""
+    WITH sizes AS (SELECT p_size, count(*) AS n_parts FROM part GROUP BY p_size)
+    SELECT a.p_size, CAST(SUM(b.n_parts) AS BIGINT) AS n_larger
+    FROM sizes a JOIN sizes b ON a.p_size < b.p_size
+    GROUP BY a.p_size
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (inequality) join. Runs on the 50-row per-size aggregate, not
+    raw part rows — the only sane shape for a nested-loop join at scale."""
+    sizes = load(spark, sf_dir, "part").groupBy("p_size").agg(F.count("*").alias("n_parts"))
+    a = sizes.alias("a")
+    b = sizes.alias("b")
+    return (
+        a.join(b, F.col("a.p_size") < F.col("b.p_size"))
+        .groupBy(F.col("a.p_size").alias("p_size"))
+        .agg(F.sum("b.n_parts").alias("n_larger"))
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/band self-join: ordered event pairs within one hour, equi on
+    user_id so the range condition only runs within a key partition. A hot
+    user key would be salted; AQE skew-join handles moderate skew."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user at or
+    before its timestamp.
+
+    Spark has no native as-of join; the scalable formulation is
+    union-both-sides + ``last(click_id, ignorenulls=True)`` over a window
+    ordered by (ts, side) per user — a single shuffle on user_id, linear in
+    events, no per-row probe. ``side`` orders clicks before purchases at
+    identical timestamps so the match is inclusive (>=), mirroring DuckDB's
+    ASOF semantics. Event timestamps are µs-unique per user (verified), so
+    the window order is total.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("side")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("side")
+    )
+    unioned = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(F.col("purchase_id"), "user_id", "last_click_id")
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name, r.r_name,
+           {fixed_point_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    aliases=("join_agg_revenue_by_nation",),
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema 5-way join + aggregate (the BASELINE.md
+    join_agg_revenue_by_nation headline). customer/nation/region are
+    broadcast (hinted explicitly); only lineitem⋈orders shuffles. Revenue
+    uses the fixed-point sum so the result is order-insensitive and
+    bit-identical to the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            fixed_point_sum(revenue, 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -1,0 +1,250 @@
+"""§2.5 window functions + batch sessionization (SURVEY.md).
+
+Window determinism rules applied throughout (the oracle hash-compares):
+- ORDER BY keys form a total order within each partition — events.ts is
+  µs-unique per user (verified), orders adds o_orderkey as tiebreaker.
+- Ranking ints are cast to BIGINT (DuckDB window functions return BIGINT;
+  Spark returns INT).
+- Windowed sums run in integer fixed-point units: Spark accumulates frames
+  sequentially while DuckDB uses segment trees, so double sums would
+  differ in accumulation order; integer sums are exact under any order.
+
+Scale: a window is one shuffle on the partition key + per-partition sort.
+Skewed partitions (one giant user) are the hazard at 100 TB — the
+sessionize operator's key carries the skew; salting by time-bucket is the
+documented mitigation for pathological keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS prk,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-function family over one window spec."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value, 1, -1.0) OVER w AS prev_value,
+           lead(event_type, 1, 'none') OVER w AS next_type,
+           value - lag(value, 1, 0.0) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults; delta is per-row double subtraction (exact)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+        (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS running_spend,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_last3
+    FROM orders
+    """,
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running cumulative spend + sliding 3-row count per
+    customer in order-date order (fixed-point cents keep the running sum
+    exact under both engines' frame evaluation strategies)."""
+    o = load(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_slide = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(w_run).cast("double") / 100.0).alias("running_spend"),
+        F.count("*").over(w_slide).cast("bigint").alias("n_last3"),
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0
+             AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a value axis: trailing-24h per-user count and sum,
+    ordered by epoch microseconds (both engines see identical integers)."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-86400000000, 0)
+    )
+    micros = F.round(F.col("value") * 1000000.0, 0).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_24h"),
+        (F.sum(micros).over(w).cast("double") / 1000000.0).alias("sum_24h"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_value_seen,
+           last_value(value) OVER w AS last_value_seen,
+           first_value(nullif(event_type, 'error') IGNORE NULLS) OVER w AS first_ok_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over the whole partition, incl. IGNORE NULLS on a
+    manufactured-null column (no stored nulls in fixtures)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w).alias("last_value_seen"),
+        F.first(F.nullif(F.col("event_type"), F.lit("error")), ignorenulls=True)
+        .over(w)
+        .alias("first_ok_type"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (row_number + filter) — the BASELINE.md
+    win_topk_group headline. Spark 3.5+ rewrites this to a WindowGroupLimit
+    (per-partition top-k heap) before the full window sort."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-minute inactivity gap): lag →
+    gap flag → running sum = session id → per-session rollup. One shuffle
+    on user_id; the same sessions must fall out of the streaming
+    session_window operator (§2.8 batch-equivalence)."""
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch, 1).over(w_order)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap > 1800000000, 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,77 @@
+"""SparkSession factory and the engine config profile (SURVEY.md §4).
+
+The profile pins the behaviors every operator depends on:
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is
+  nanosecond-precision parquet (FIXTURES.md); PySpark 4.x refuses the
+  read otherwise (PARQUET_TYPE_ILLEGAL). The repair to a real timestamp
+  happens in :mod:`.io`.
+- UTC session timezone — fixture timestamps are naive; the DuckDB
+  correctness oracle compares naive microsecond values.
+- AQE on — runtime shuffle-partition coalescing and skew-join splitting;
+  free at test scale, load-bearing at the 100 TB design point.
+- Arrow on — vectorized JVM↔Python boundary for every pandas UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that is safe (and necessary) to (re)apply at runtime on a session we
+# did not create — e.g. the driver-owned session passed to entry()/queries().
+_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine profile to an existing session.
+
+    Idempotent and cheap; every registered query runs through this so the
+    engine behaves identically on driver-owned sessions.
+    """
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Config not settable on this build — leave the session as-is;
+            # the dependent operator will surface a clear error if it matters.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "dicebox-sensorybatchprocessor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the full engine profile.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when the env var is
+    set, else ``local[*]``. ``shuffle_partitions`` defaults to 32 — sized to
+    local core count; a real cluster deployment sets it to ~2-3× total
+    cores (or relies on AQE coalescing from a high initial value).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+    )
+    for key, value in _RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    return ensure_engine_conf(builder.getOrCreate())

@@ -1,0 +1,105 @@
+"""§2.1 scans, sources, sinks (SURVEY.md).
+
+Reference parity: the reference's persist path is a category-partitioned
+dataset directory (SURVEY.md §1.1 "Training dataset on disk", R5) — here
+``sink_parquet_part``. CSV/JSON ingest covers the config-declared
+fixed-schema decode path (R2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan with column projection (pruned at the reader)."""
+    return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_parquet_ns",
+    oracle="""
+    SELECT event_id, ts, user_id FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scan_parquet_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nanosecond-timestamp parquet scan + repair (§1.2 [V]).
+
+    Spark reads ts as LONG nanos (nanosAsLong) and the loader rebuilds
+    microsecond TIMESTAMP_NTZ; DuckDB truncates ns→µs natively on read, so
+    both sides agree to the microsecond.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+
+
+@register(
+    "scan_csv_json",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-applied CSV + JSON ingest (reference R2 fixed-schema decode).
+
+    Round-trips ``nation`` through CSV and ``region`` through JSON lines,
+    re-reads both with explicit schemas, and joins — so the oracle can
+    verify the ingest against the original fixture tables.
+    """
+    tmp = tempfile.mkdtemp(prefix="sbp_csvjson_")
+    csv_dir = os.path.join(tmp, "nation_csv")
+    json_dir = os.path.join(tmp, "region_json")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", "true").csv(csv_dir)
+    load(spark, sf_dir, "region").write.mode("overwrite").json(json_dir)
+
+    nation = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true")
+        .csv(csv_dir)
+    )
+    region = spark.read.schema("r_regionkey INT, r_name STRING").json(json_dir)
+    return nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "sink_parquet_part",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back (reference R5 category routing).
+
+    Writes events partitioned by ``event_type`` — the same layout the
+    reference uses for its category-partitioned training dataset — then
+    re-reads and aggregates per partition, which the oracle checks against
+    the source table. Partition pruning applies on the read-back path.
+    """
+    tmp = tempfile.mkdtemp(prefix="sbp_sink_")
+    out = os.path.join(tmp, "events_by_type")
+    load(spark, sf_dir, "events").write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    factor = F.lit(1000000.0)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.round(F.col("value") * factor, 0).cast("decimal(38,0)")).cast("double") / factor).alias(
+            "sum_value"
+        ),
+    )
