@@ -1,1 +1,243 @@
-"""§2.9 dedup operators — implemented in a later milestone."""
+"""§2.9 deduplication operators (SURVEY.md north star): exact, n-gram
+Jaccard, SimHash, MinHash-LSH, embedding-cosine near-dup.
+
+Scale notes (the part that matters at 100 TB):
+- dedup_exact is a single hash-aggregate on a 256-bit content key — the
+  generalization of the reference's content-addressed idempotent writes
+  (R7). One shuffle, map-side combined.
+- dedup_ngram_jaccard is the *exact* pairwise verifier. Its shingle
+  self-join explodes quadratically per shared shingle, so at scale it runs
+  AFTER a candidate generator (simhash bands / MinHashLSH below), never on
+  the full corpus. At fixture scale it runs directly.
+- dedup_simhash produces one 60-bit fingerprint per doc in a single
+  aggregation (no joins), then bands it for O(near-dup) candidate pairs —
+  the linear-cost path.
+- dedup_minhash_lsh uses MLlib's MinHashLSH (seeded) — banded hash join,
+  linear in corpus size; approximate ⇒ rows-only oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+_MAX_LEN = 600  # documents.text ≤ 553 chars (FIXTURES.md)
+
+_SHINGLES_SQL = f"""
+      SELECT DISTINCT doc_id, substr(text, g.i, 8) AS s
+      FROM documents, generate_series(1, {_MAX_LEN}) g(i)
+      WHERE g.i <= length(text) - 7
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 8-char shingles per document (shared by the dedup family)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
+        ).alias("s"),
+    ).distinct()
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_key, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keeper = min doc_id so the survivor is
+    deterministic (dropDuplicates keeps an arbitrary row). Fixtures have no
+    exact dups (FIXTURES.md) ⇒ n_copies is 1 everywhere and the check is
+    on key construction + cardinality."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_key")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-char-shingle Jaccard near-dup pairs (threshold 0.6 — the
+    fixture corpus contains real ~0.99 near-dups). Shingle-join + group
+    count; at scale this is the verifier stage behind an LSH candidate
+    filter, not a full-corpus join."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jaccard >= 0.6)
+        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+_N_BITS = 60  # md5-prefix hash gives a portable 60-bit token hash
+_N_BANDS = 4
+_BAND_BITS = 15
+
+
+def _simhash_oracle() -> str:
+    tok_hash = "('0x' || substr(md5(t.token), 1, 15))::BIGINT"
+    bit_sums = ",\n           ".join(
+        f"CASE WHEN CAST(SUM(CASE WHEN ({tok_hash} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) > 0"
+        f" THEN {1 << b} ELSE 0 END AS bit{b}"
+        for b in range(_N_BITS)
+    )
+    bit_total = " + ".join(f"bit{b}" for b in range(_N_BITS))
+    bands = ",\n       ".join(
+        f"(simhash >> {i * _BAND_BITS}) & {(1 << _BAND_BITS) - 1} AS band{i}"
+        for i in range(_N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), bits AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM toks t GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({bit_total} AS BIGINT) AS simhash FROM bits
+    )
+    SELECT doc_id, simhash,
+       {bands}
+    FROM fp
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per-token 60-bit hash (md5 prefix —
+    engine-portable; swap for xxhash64 in production), ±1 vote per bit
+    weighted by token multiplicity, sign → fingerprint bit; plus 4×15-bit
+    LSH bands (near-dups collide on ≥1 band ⟺ small Hamming distance).
+    One explode + one aggregation — linear, join-free."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b).cast("bigint"),
+        )
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(_N_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*bit_cols)
+    simhash = sum([F.col(f"bit{b}") for b in range(_N_BITS)], F.lit(0)).cast("bigint")
+    fp = bits.select("doc_id", simhash.alias("simhash"))
+    return fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            (F.shiftright(F.col("simhash"), i * _BAND_BITS).bitwiseAND((1 << _BAND_BITS) - 1))
+            .cast("bigint")
+            .alias(f"band{i}")
+            for i in range(_N_BANDS)
+        ],
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs via MLlib (seeded, deterministic
+    given the seed; approximate ⇒ rows-only oracle). Pipeline: shingles →
+    HashingTF sparse binary vectors → MinHashLSH.approxSimilarityJoin at
+    Jaccard distance ≤ 0.4. This is the linear-scale candidate generator
+    whose output feeds dedup_ngram_jaccard's exact verifier."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _shingles(spark, sf_dir).groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs with
+    cosine ≥ 0.35 (fixture max pair similarity is ~0.51). Brute-force here;
+    the scale path is sim_ann_lsh's bucketed candidates first."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cosine = dot / (norm(F.col("a.emb")) * norm(F.col("b.emb")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )

@@ -1,1 +1,134 @@
-"""§2.9 multimodal/binary columns — implemented in a later milestone."""
+"""§2.9 multimodal / binary-column operators (SURVEY.md north star; the
+reference's R3 base64→bytes decode path generalized).
+
+Media are opaque BinaryType columns + typed metadata; decode/feature
+steps are Arrow-batched mapInPandas over bytes. The real codec libraries
+(PIL/ffmpeg/…) are absent from this container, so the decode kernels are
+deterministic stand-ins derived from the content hash — clearly marked —
+while the Spark-side plumbing (schemas, binary columns, UDF signatures,
+1→N frame expansion, batch iteration) is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+
+def decode_image(data: bytes) -> tuple[int, int, float]:
+    """STUB image decode — deterministic fake derived from md5(data).
+
+    A production build replaces this body with a real decoder (PIL etc.);
+    the Spark plumbing around it is unchanged. Returns (width, height,
+    mean_luma)."""
+    h = hashlib.md5(data).digest()
+    width = 1 + h[0] % 64
+    height = 1 + h[1] % 64
+    mean_luma = round(h[2] / 255.0, 6)
+    return width, height, mean_luma
+
+
+@register(
+    "mm_binary",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text)) AS b64,
+           CAST(octet_length(from_base64(base64(encode(text)))) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column ingest (reference R3): text → bytes → base64 →
+    bytes round-trip, byte length, content hash. The same wire path a
+    sensory message's image payload takes (SURVEY.md §1.1)."""
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    # Spark's base64 is MIME-flavored (CRLF every 76 chars); strip to the
+    # canonical unwrapped form DuckDB produces.
+    b64 = F.regexp_replace(F.base64(bin_col), "[\\r\\n]", "")
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.length(F.unbase64(b64)).cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+@register(
+    "mm_image_meta",
+    oracle="""
+    SELECT doc_id,
+           1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS width,
+           1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS height,
+           (1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64)
+           * (1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64) AS n_pixels,
+           round(('0x' || substr(md5(text), 5, 2))::BIGINT / 255.0, 6) AS mean_luma
+    FROM documents
+    """,
+)
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature-extract plumbing: binary column → mapInPandas
+    decode kernel → typed metadata. The kernel is the decode_image STUB
+    (hash-derived), which makes the whole pipeline — including the Python
+    side — oracle-checkable in SQL."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            meta = [decode_image(b) for b in batch["img"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_pixels": [m[0] * m[1] for m in meta],
+                    "mean_luma": [m[2] for m in meta],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    imgs = d.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return imgs.mapInPandas(
+        decode, "doc_id long, width long, height long, n_pixels long, mean_luma double"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, g.i AS frame_no,
+           md5(text || '-' || CAST(g.i AS VARCHAR)) AS frame_key
+    FROM documents, generate_series(1, 3) g(i)
+    WHERE g.i <= 1 + n_chars % 3
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one binary blob → N frame rows
+    (1→N mapInPandas expansion, frame count data-dependent). Frame bytes
+    are stand-in keys (hash of blob + frame index); a real build extracts
+    actual frames at this exact seam."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_id, out_no, out_key = [], [], []
+            for doc_id, text, n_chars in zip(
+                batch["doc_id"], batch["text"], batch["n_chars"]
+            ):
+                for i in range(1, 2 + int(n_chars) % 3):
+                    out_id.append(doc_id)
+                    out_no.append(i)
+                    out_key.append(hashlib.md5(f"{text}-{i}".encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": out_id, "frame_no": out_no, "frame_key": out_key})
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "text", "n_chars").mapInPandas(
+        frames, "doc_id long, frame_no long, frame_key string"
+    )

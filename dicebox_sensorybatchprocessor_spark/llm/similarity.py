@@ -1,1 +1,180 @@
-"""§2.9 similarity search — implemented in a later milestone."""
+"""§2.9 similarity search over the embedding column (SURVEY.md north star).
+
+Three tiers, by scale:
+- sim_cosine_topk — brute-force all-pairs top-k. The index side is
+  broadcast as a dense numpy matrix and each partition runs one BLAS
+  matmul against it (Arrow-batched mapInPandas — no per-row Python).
+  Valid while one side fits in executor memory (same regime as a
+  broadcast join); beyond that, sim_ann_lsh.
+- sim_knn_query — single-query k-NN: the query vector is a literal
+  broadcast into a JVM-side higher-order-function expression; linear scan,
+  no Python at all.
+- sim_ann_lsh — MLlib BucketedRandomProjectionLSH: hash-bucketed
+  candidates, linear cost, approximate ⇒ rows-only oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+_TOPK = 10
+# Per-row candidate margin: global top-k by *rounded* similarity needs ties
+# at the cut to survive per-row pruning; 3× margin makes a dropped
+# rounded-tie candidate require ~30 raw-closer pairs inside one row —
+# probability ~0 for continuous similarities.
+_ROW_K = 30
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a ASC, id_b ASC
+    LIMIT {_TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pairwise cosine top-10 (the BASELINE.md sim_cosine_topk
+    headline). Plan: normalize → broadcast dense matrix → per-partition
+    BLAS matmul emitting each row's top candidates → global
+    TakeOrderedAndProject on (rounded cosine, ids)."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def topk_per_row(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            rows = batch.sort_values("vec_id")
+            q = np.stack(rows["embedding"].to_numpy()).astype("float64")
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mat.T
+            out_a, out_b, out_s = [], [], []
+            for i, vid in enumerate(rows["vec_id"].to_numpy()):
+                mask = b_ids > vid
+                cand_sims = sims[i][mask]
+                cand_ids = b_ids[mask]
+                if cand_ids.size == 0:
+                    continue
+                k = min(_ROW_K, cand_ids.size)
+                top = np.argpartition(-cand_sims, k - 1)[:k]
+                out_a.extend([vid] * k)
+                out_b.extend(cand_ids[top])
+                out_s.extend(cand_sims[top])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_raw": out_s})
+
+    cand = e.mapInPandas(topk_per_row, "id_a long, id_b long, cos_raw double")
+    return (
+        cand.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(_TOPK)
+    )
+
+
+@register(
+    "sim_knn_query",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+)
+def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN for one query vector (the min-vec_id embedding): the query is a
+    64-element literal array folded JVM-side (zip_with + aggregate) — a
+    pure linear scan with a top-k, the shape that streams over 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(embd, qarr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = F.sqrt(F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        e.filter(F.col("vec_id") != qrow["vec_id"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register("sim_ann_lsh", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN at scale: BucketedRandomProjectionLSH (seeded).
+    Euclidean-bucketed candidate pairs within distance 8.0 — the linear
+    path that replaces sim_cosine_topk's O(n²) beyond broadcast scale.
+    Approximate ⇒ rows-only oracle."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, 8.0, distCol="euclid_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("euclid_dist", 6).alias("euclid_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "vec_norm",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+             AS l2_norm,
+           round(embedding[1]::DOUBLE /
+                 sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+             AS first_component_normalized
+    FROM embeddings
+    """,
+)
+def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization / vector arithmetic with higher-order
+    functions (JVM-side, no UDF): L2 norm and the first normalized
+    component."""
+    e = load(spark, sf_dir, "embeddings")
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(embd, 1) / norm, 6).alias("first_component_normalized"),
+    )
