@@ -179,7 +179,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None)
+@register("dedup_minhash_lsh", oracle=None, aliases=("dedup_near",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs via MLlib (seeded, deterministic
     given the seed; approximate ⇒ rows-only oracle). Pipeline: shingles →

@@ -61,7 +61,7 @@ def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_.intersectAll(fin)
 
 
-@register("except_distinct", oracle=f"{_OPEN} EXCEPT {_FINISHED}")
+@register("except_distinct", oracle=f"{_OPEN} EXCEPT {_FINISHED}", aliases=("except",))
 def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference: customers with open but no finished orders."""
     o = load(spark, sf_dir, "orders")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum
 
 # With spark.sql.legacy.parquet.nanosAsLong=true the ns-precision ts column
 # arrives as LONG nanos; streaming file sources need the schema up front.
@@ -106,7 +107,8 @@ def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "source_stream_replay",
+    cache_plan=False,
+    name="source_stream_replay",
     oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
 )
 def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +121,8 @@ def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sink_foreach_batch",
+    cache_plan=False,
+    name="sink_foreach_batch",
     oracle="""
     SELECT event_id % 3 AS batch_id, count(*) AS n_rows
     FROM events GROUP BY event_id % 3
@@ -152,7 +155,8 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_tumbling",
+    cache_plan=False,
+    name="stream_tumbling",
     oracle=f"""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n_events,
@@ -165,11 +169,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window × event_type aggregation over the stream;
     must equal the batch events_tumbling exactly (batch-equivalence)."""
     stream = _events_stream(spark, _events_dir(sf_dir))
-    factor = F.lit(1000000.0)
     agg = stream.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
         F.count("*").alias("n_events"),
-        (F.sum(F.round(F.col("value") * factor, 0).cast("decimal(38,0)")).cast("double") / factor
-         ).alias("sum_value"),
+        fixed_point_sum(F.col("value"), 6).alias("sum_value"),
     )
     out = _run_to_table(spark, agg, "tumbling", "complete")
     return out.select(
@@ -178,7 +180,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_sliding",
+    cache_plan=False,
+    name="stream_sliding",
     oracle="""
     SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS win_start,
            count(*) AS n_events
@@ -198,7 +201,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_session",
+    cache_plan=False,
+    name="stream_session",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
@@ -238,7 +242,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_watermark",
+    cache_plan=False,
+    name="stream_watermark",
     oracle="""
     WITH agg AS (
       SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events
@@ -302,7 +307,8 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_dedup",
+    cache_plan=False,
+    name="stream_dedup",
     oracle="""
     SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
     """,
@@ -324,7 +330,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_stateful",
+    cache_plan=False,
+    name="stream_stateful",
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
@@ -396,7 +403,8 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_static_join",
+    cache_plan=False,
+    name="stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_events,
            CAST(SUM(CAST(round(e.value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE) / 1000000.0
@@ -410,19 +418,18 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to every task once; stateless) followed by a streaming aggregate."""
     stream = _events_stream(spark, _events_dir(sf_dir))
     dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
-    factor = F.lit(1000000.0)
     joined = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        (F.sum(F.round(F.col("value") * factor, 0).cast("decimal(38,0)")).cast("double") / factor
-         ).alias("sum_value"),
+        fixed_point_sum(F.col("value"), 6).alias("sum_value"),
     )
     out = _run_to_table(spark, agg, "static_join", "complete")
     return out
 
 
 @register(
-    "stream_stream_join",
+    cache_plan=False,
+    name="stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
