@@ -5,7 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Per-query time is warm wall-clock (best of 2 runs after a warm-up run),
 excluding session startup — matching how BASELINE.md measured DuckDB
-(second-run warm timings)."""
+(second-run warm timings). Results are fetched with Arrow (toPandas),
+the columnar analogue of DuckDB's ``.df()`` fetch used for the baseline;
+row-object materialization (.collect()) measures py4j overhead, not the
+engine."""
 
 from __future__ import annotations
 
@@ -40,11 +43,11 @@ def main() -> None:
         if name not in specs:
             continue
         fn = specs[name].fn
-        fn(spark, sf_dir).collect()  # warm-up: JIT, code cache, file footers
+        fn(spark, sf_dir).toPandas()  # warm-up: JIT, code cache, file footers
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

@@ -61,23 +61,25 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk_per_row(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_mat = bc.value
         for batch in batches:
-            rows = batch.sort_values("vec_id")
-            q = np.stack(rows["embedding"].to_numpy()).astype("float64")
+            vids = batch["vec_id"].to_numpy()
+            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ b_mat.T
-            out_a, out_b, out_s = [], [], []
-            for i, vid in enumerate(rows["vec_id"].to_numpy()):
-                mask = b_ids > vid
-                cand_sims = sims[i][mask]
-                cand_ids = b_ids[mask]
-                if cand_ids.size == 0:
-                    continue
-                k = min(_ROW_K, cand_ids.size)
-                top = np.argpartition(-cand_sims, k - 1)[:k]
-                out_a.extend([vid] * k)
-                out_b.extend(cand_ids[top])
-                out_s.extend(cand_sims[top])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_raw": out_s})
+            # pair constraint id_a < id_b as a mask, then one vectorized
+            # argpartition across the whole batch — no per-row Python loop
+            sims[b_ids[None, :] <= vids[:, None]] = -np.inf
+            k = min(_ROW_K, sims.shape[1])
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            top_sims = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(top_sims)
+            rows_idx, _ = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": vids[rows_idx],
+                    "id_b": b_ids[top[keep]],
+                    "cos_raw": top_sims[keep],
+                }
+            )
 
     cand = e.mapInPandas(topk_per_row, "id_a long, id_b long, cos_raw double")
     return (
