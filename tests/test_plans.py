@@ -1,0 +1,142 @@
+"""Physical-plan shape assertions (SURVEY.md §4) — the properties that make
+an operator survive a 100× scale-up are plan-level, not result-level:
+filters reaching the parquet scan, dimension joins broadcasting instead of
+shuffling, top-k avoiding a global sort, window top-k using the group-limit
+rewrite, and hot paths staying inside whole-stage codegen. Correctness
+tests can't catch a regression from BroadcastHashJoin to SortMergeJoin;
+these do."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dicebox_sensorybatchprocessor_spark import all_queries
+from tests.conftest import SF_ORACLE
+
+_SPECS = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    """Formatted explain of the physical plan — executed first so
+    AdaptiveSparkPlan has re-planned and codegen ids are assigned. The full
+    text includes the node-detail section (codegen ids, PushedFilters,
+    ReadSchema); node-detail annotations only exist for executed final-plan
+    nodes, so presence checks are AQE-safe."""
+    df = _SPECS[name].fn(spark, SF_ORACLE)
+    df.collect()
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _final_tree(plan: str) -> str:
+    """The final-plan operator tree only (for node *counts*, which would
+    double under AQE's Initial Plan rendering)."""
+    if "== Final Plan ==" in plan:
+        return plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    return plan.split("\n\n")[0]
+
+
+def test_limit_topk_avoids_global_sort(spark):
+    """ORDER BY + LIMIT k must be a per-partition heap + driver merge
+    (TakeOrderedAndProject), never a full global sort — the difference
+    between O(n log k) per partition and a whole-table shuffle at 100 TB."""
+    plan = _plan(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_win_topk_group_uses_group_limit(spark):
+    """row_number per group + rn<=k filter must hit Spark's WindowGroupLimit
+    rewrite (partial per-partition top-k heap before the shuffle), so only
+    ~k rows per group per partition shuffle instead of the full table."""
+    plan = _plan(spark, "win_topk_group")
+    assert "WindowGroupLimit" in plan
+    # partial (pre-shuffle) + final (post-shuffle) instances
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+@pytest.mark.parametrize("name", ["join_inner", "join_left", "join_semi", "join_anti"])
+def test_dim_joins_broadcast(spark, name):
+    """Fact⋈dim equi-joins must broadcast the small side — no shuffle of the
+    fact table for a dimension lookup."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_star_join_broadcasts_all_dims(spark):
+    """The 4-dim star join must broadcast every dimension; the lineitem fact
+    table must never be the build side or shuffle for the join itself."""
+    plan = _plan(spark, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "pushed"),
+    [
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("filter_between", "l_shipdate"),
+        ("filter_in", "In(o_orderpriority"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, pushed):
+    """Predicates must appear in the scan's PushedFilters so parquet
+    row-group/page statistics can skip IO — the first-order term at scale."""
+    plan = _plan(spark, name)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and pushed in m.group(1), f"filter not pushed in {name}: {m}"
+
+
+def test_q1_scan_prunes_columns(spark):
+    """Q1 touches 7 of lineitem's 11 columns; the scan must read only
+    those (ReadSchema pruning)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_dedup_exact_scan_prunes_columns(spark):
+    """Content-hash dedup needs only (doc_id, text); reading lang/source/
+    n_chars at 100 TB would be pure waste."""
+    plan = _plan(spark, "dedup_exact")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "agg_hash", "join_multiway"])
+def test_hot_paths_whole_stage_codegen(spark, name):
+    """Aggregation and join hot paths must run inside whole-stage codegen
+    (operators tagged with a codegen id in the physical plan)."""
+    plan = _plan(spark, name)
+    assert "codegen id" in plan, f"no codegen stage in {name}"
+
+
+def test_q1_single_shuffle(spark):
+    """Q1 is partial-agg → one shuffle on the group keys → final agg;
+    any second exchange is a planning regression."""
+    tree = _final_tree(_plan(spark, "q1_pricing_summary"))
+    assert len(re.findall(r"Exchange \(\d+\)", tree)) == 1
+
+
+def test_sim_cosine_is_arrow_batched(spark):
+    """The cosine top-k candidate generator must be an Arrow-batched
+    mapInPandas (one BLAS matmul per batch), not a row-at-a-time UDF."""
+    plan = _plan(spark, "sim_cosine_topk")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time python UDF marker
