@@ -33,13 +33,24 @@ TABLES = (
 )
 
 
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; repairs ``events.ts`` to TIMESTAMP_NTZ(µs)."""
-    ensure_engine_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _repair_events(df)
-    return df
+    """Load one fixture table; repairs ``events.ts`` to TIMESTAMP_NTZ(µs).
+
+    Memoized per (session, path): ``spark.read.parquet`` builds a fresh
+    file index + footer schema read each call (~70 ms); the returned
+    DataFrame is an immutable plan, so reuse is free and data is still
+    re-scanned at execution."""
+    key = (id(spark), sf_dir, name)
+    if key not in _LOAD_CACHE:
+        ensure_engine_conf(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _repair_events(df)
+        _LOAD_CACHE[key] = df
+    return _LOAD_CACHE[key]
 
 
 def _repair_events(df: DataFrame) -> DataFrame:

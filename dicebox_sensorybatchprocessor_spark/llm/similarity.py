@@ -155,6 +155,63 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_ivf", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other scale path SURVEY.md §2.9 names): a seeded
+    KMeans coarse quantizer assigns every vector to a cell; a query probes
+    only the nprobe nearest cells and brute-forces within them. At 100 TB
+    the cell assignment is computed once at ingest and stored as a
+    partition column, so a query touches nprobe/k of the data — here the
+    whole pipeline (fit → assign → probe → exact rerank) runs in one job.
+    Approximate (recall depends on the quantizer) ⇒ rows-only oracle;
+    tests assert the probed subset's exact top matches brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe, topk = 16, 4, 5
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell").fit(e)
+    assigned = model.transform(e)
+
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    centers = model.clusterCenters()
+
+    def _dist2(c) -> float:
+        return sum((float(a) - b) ** 2 for a, b in zip(c, qvec))
+
+    probe_cells = sorted(range(k), key=lambda i: _dist2(centers[i]))[:nprobe]
+
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qarr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != qrow["vec_id"])
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(topk)
+    )
+
+
 @register(
     "vec_norm",
     oracle="""

@@ -134,6 +134,25 @@ def test_q1_single_shuffle(spark):
     assert len(re.findall(r"Exchange \(\d+\)", tree)) == 1
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key ⇒ the sort-merge join AND the
+    following per-key aggregate reuse the bucket partitioning — the plan
+    must contain zero shuffles. This is the ingest-once/join-many pattern
+    that avoids re-shuffling 100 TB per join."""
+    plan = _plan(spark, "join_bucketed")
+    tree = _final_tree(plan)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in tree, tree
+
+
+def test_salted_join_spreads_key(spark):
+    """The salted join must execute as a shuffle join on (key, salt) —
+    a broadcast would bypass the salting being demonstrated."""
+    plan = _plan(spark, "join_skew_salted")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "salt" in plan
+
+
 def test_sim_cosine_is_arrow_batched(spark):
     """The cosine top-k candidate generator must be an Arrow-batched
     mapInPandas (one BLAS matmul per batch), not a row-at-a-time UDF."""
