@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.llm.similarity",
     "dicebox_sensorybatchprocessor_spark.llm.text",
     "dicebox_sensorybatchprocessor_spark.llm.multimodal",
+    "dicebox_sensorybatchprocessor_spark.llm.pipelines",
     "dicebox_sensorybatchprocessor_spark.streaming.streams",
 )
 
