@@ -33,7 +33,7 @@ TABLES = (
 )
 
 
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,7 +43,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file index + footer schema read each call (~70 ms); the returned
     DataFrame is an immutable plan, so reuse is free and data is still
     re-scanned at execution."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _LOAD_CACHE:
         ensure_engine_conf(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

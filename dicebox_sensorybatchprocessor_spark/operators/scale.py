@@ -29,7 +29,7 @@ from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_poi
 _N_BUCKETS = 8
 _SALT = 8
 
-_BUCKETED_READY: set[tuple[int, str]] = set()
+_BUCKETED_READY: set[tuple[str, str]] = set()
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -38,7 +38,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cost that every subsequent co-located join amortizes."""
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     li_name, o_name = f"sbp_li_b{tag}", f"sbp_o_b{tag}"
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED_READY:
         root = tempfile.mkdtemp(prefix="sbp_bucketed_")
         (

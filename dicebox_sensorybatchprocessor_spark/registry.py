@@ -54,14 +54,14 @@ def register(
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        plans: dict[tuple[int, str], DataFrame] = {}
+        plans: dict[tuple[str, str], DataFrame] = {}
 
         @wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_engine_conf(spark)
             if not cache_plan:
                 return fn(spark, sf_dir)
-            key = (id(spark), sf_dir)
+            key = (spark.sparkContext.applicationId, sf_dir)
             if key not in plans:
                 plans[key] = fn(spark, sf_dir)
             return plans[key]

@@ -1,0 +1,124 @@
+"""Metamorphic invariants (SURVEY.md §5.2 item 4) — oracle-free checks
+that hold by construction and catch a different failure class than the
+DuckDB differential tests: partition-sensitivity (does a result change
+when the same rows arrive split differently?), idempotence, and
+containment relations between operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark import all_queries, load
+from tests.conftest import SF_ORACLE
+
+_SPECS = all_queries()
+
+
+def _rows(df):
+    return sorted(map(tuple, ((str(v) for v in r) for r in df.collect())))
+
+
+def test_union_split_invariance(spark):
+    """q(lineitem) == q(half1 ∪ half2): the flagship aggregate must not
+    depend on how its input is partitioned — the property that makes the
+    fixed-point sums safe under any cluster partitioning."""
+    from dicebox_sensorybatchprocessor_spark.operators.aggregates import q1_pricing_summary
+    from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, ts_ntz
+
+    li = load(spark, SF_ORACLE, "lineitem")
+    lo = li.filter(F.col("l_orderkey") % 2 == 0)
+    hi = li.filter(F.col("l_orderkey") % 2 == 1)
+    rebuilt = lo.unionByName(hi).repartition(13)
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def q1_of(df):
+        return (
+            df.filter(F.col("l_shipdate") <= ts_ntz("1998-09-02 00:00:00"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                fixed_point_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+                fixed_point_sum(disc_price, 4).alias("sum_disc_price"),
+                fixed_point_sum(charge, 6).alias("sum_charge"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    assert _rows(q1_of(li)) == _rows(q1_of(rebuilt))
+
+
+def test_dedup_idempotence(spark):
+    """dedup(dedup(x)) == dedup(x): the exact-dedup keeper choice is
+    deterministic, so re-running it is a no-op."""
+    d = load(spark, SF_ORACLE, "documents")
+    once = d.groupBy(F.sha2("text", 256).alias("h")).agg(F.min("doc_id").alias("keeper"))
+    twice = once.groupBy("h").agg(F.min("keeper").alias("keeper"))
+    assert _rows(once) == _rows(twice)
+
+
+def test_topk_is_prefix_of_full_sort(spark):
+    """ORDER BY + LIMIT k must equal the first k rows of the full sort
+    (TakeOrderedAndProject's heap merge vs a global sort)."""
+    o = load(spark, SF_ORACLE, "orders")
+    cols = ["o_orderkey", "o_totalprice"]
+    topk = o.select(*cols).orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20)
+    full = o.select(*cols).orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    assert [tuple(r) for r in topk.collect()] == [tuple(r) for r in full.take(20)]
+
+
+def test_filter_commutes_with_projection_pushdown(spark):
+    """filter∘project == project∘filter for independent columns — Catalyst
+    reorders them freely; results must agree."""
+    li = load(spark, SF_ORACLE, "lineitem")
+    a = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
+    b = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert _rows(a) == _rows(b)
+
+
+def test_semi_join_is_inner_join_projection(spark):
+    """left-semi(c, o) == distinct keys of inner(c, o) projected to the
+    left side — the containment that defines semi-join."""
+    c = load(spark, SF_ORACLE, "customer").select("c_custkey")
+    o = load(spark, SF_ORACLE, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    via_inner = c.join(o, c.c_custkey == o.o_custkey, "inner").select("c_custkey").distinct()
+    assert _rows(semi) == _rows(via_inner)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """The salted skew join must be result-identical to the plain join —
+    salting is a physical rewrite, not a semantic one."""
+    salted = _SPECS["join_skew_salted"].fn(spark, SF_ORACLE)
+    e = load(spark, SF_ORACLE, "events")
+    c = load(spark, SF_ORACLE, "customer").select("c_custkey", "c_mktsegment")
+    from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum
+
+    plain = (
+        e.join(c, e.user_id == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            fixed_point_sum(F.col("value"), 6).alias("sum_value"),
+        )
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_bucketed_join_equals_shuffle_join(spark):
+    """The zero-Exchange bucketed join must be result-identical to the
+    ordinary shuffle join over the raw parquet."""
+    bucketed = _SPECS["join_bucketed"].fn(spark, SF_ORACLE)
+    from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum
+
+    li = load(spark, SF_ORACLE, "lineitem")
+    o = load(spark, SF_ORACLE, "orders")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            fixed_point_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    assert _rows(bucketed) == _rows(plain)
