@@ -315,3 +315,32 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("price").alias("s_price"),
         nested.getField("a").getField("b").alias("nested_status"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 15 AS bor,
+           xor(o_orderkey, 21845) AS bxor,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, popcount — the primitives
+    simhash banding and bucket assignment build on (llm/dedup.py)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("bor"),
+        k.bitwiseXOR(F.lit(21845)).alias("bxor"),
+        F.shiftleft(k.cast("int"), 2).cast("bigint").alias("shl"),
+        F.shiftright(k.cast("int"), 3).cast("bigint").alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

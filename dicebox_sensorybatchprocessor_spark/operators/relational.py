@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import ts_ntz
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, ts_ntz
 
 
 @register(
@@ -234,3 +234,43 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row deduplication (hash-aggregate under the hood)."""
     ev = load(spark, sf_dir, "events")
     return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "project_unpivot",
+    oracle="""
+    SELECT measure, count(*) AS n,
+           CAST(SUM(CAST(round(val * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0 AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+    ) GROUP BY measure
+    """,
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (DataFrame.unpivot, Spark 3.4+): three measure
+    columns become (measure, val) rows in a single scan — no UNION ALL
+    re-reads — then a compact per-measure rollup. At 100 TB the single
+    scan matters: the UNION ALL formulation reads the table three times."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.element_at(
+            F.create_map(
+                F.lit("l_quantity"), F.lit("quantity"),
+                F.lit("l_extendedprice"), F.lit("price"),
+                F.lit("l_discount"), F.lit("discount"),
+            ),
+            F.col("measure"),
+        ),
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        fixed_point_sum(F.col("val"), 2).alias("total"),
+    )
