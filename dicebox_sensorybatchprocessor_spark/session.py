@@ -64,6 +64,8 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    import tempfile
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -71,6 +73,8 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+        # keep catalog metadata (bucketed-table entries) out of the repo cwd
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="sbp_warehouse_"))
     )
     for key, value in _RUNTIME_CONF.items():
         builder = builder.config(key, value)

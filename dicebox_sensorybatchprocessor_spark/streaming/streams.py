@@ -472,3 +472,119 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id")
     return _run_to_table(spark, joined, "ss_join", "append")
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf-based state server;
+    register the operator only where google.protobuf is importable (it is
+    absent in some minimal containers — the applyInPandasWithState twin
+    stream_stateful covers the semantics there)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register(
+    cache_plan=False,
+    name="stream_stateful_tws",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE) / 1000000.0
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+) if _tws_available() else (lambda fn: fn)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (the successor API to
+    applyInPandasWithState used by stream_stateful): a StatefulProcessor
+    with typed ValueState carries per-user running (count, fixed-point
+    value sum) across two staged micro-batches; the final emission per
+    user must equal the batch aggregate. Requires the RocksDB state store
+    provider — which is also the 100 TB production choice (state spills
+    to disk instead of executor heap)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    raw = _events_raw(spark, sf_dir)
+    parts = [raw.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    staged = _stage_files(spark, parts, "tws")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("batch_no", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("units", LongType()),
+                        StructField("batch_no", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, units, batch_no = (
+                self._state.get() if self._state.exists() else (0, 0, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                units += int((pdf["value"] * 1000000.0).round().astype("int64").sum())
+            batch_no += 1
+            self._state.update((n, units, batch_no))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "batch_no": [batch_no],
+                    "n_events": [n],
+                    "total_value": [units / 1000000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _events_stream(spark, staged, max_files=1)
+        tracked = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+        out = _run_to_table(spark, tracked, "tws", "append")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("batch_no").desc())
+    )
+    return (
+        out.withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
