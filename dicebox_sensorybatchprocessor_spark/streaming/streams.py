@@ -588,3 +588,80 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@register(
+    cache_plan=False,
+    name="stream_quarantine",
+    oracle="""
+    WITH stamped AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS d_type,
+             CASE WHEN event_id % 11 = 0 THEN -abs(value) - 1.0 ELSE value END AS d_value
+      FROM events
+    )
+    SELECT CASE WHEN d_type IS NULL OR d_value < 0 THEN 'quarantine' ELSE 'dataset' END
+             AS sink,
+           coalesce(d_type, '_invalid') AS category,
+           count(*) AS n_rows
+    FROM stamped GROUP BY 1, 2
+    """,
+)
+def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 poison-message handling: a replay where some messages are
+    malformed (null category ≈ missing label, negative value ≈ failed
+    decode). Each micro-batch routes valid rows to the category dataset
+    sink and malformed rows to a dead-letter quarantine sink — both
+    parquet appends inside one foreachBatch, the idiomatic Spark form of
+    the reference's nack/dead-letter loop. Read back and count per
+    (sink, category); the oracle recomputes the same routing in SQL."""
+    raw = _events_raw(spark, sf_dir)
+    damaged = raw.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("event_type")),
+    ).withColumn(
+        "value",
+        F.when(F.col("event_id") % 11 == 0, -F.abs(F.col("value")) - 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    parts = [damaged.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    staged = _stage_files(spark, parts, "quar")
+    dataset_dir = tempfile.mkdtemp(prefix="sbp_quar_ok_")
+    quarantine_dir = tempfile.mkdtemp(prefix="sbp_quar_dlq_")
+
+    invalid = F.col("event_type").isNull() | (F.col("value") < 0)
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter(~invalid).write.mode("append").parquet(dataset_dir)
+            (
+                batch_df.filter(invalid)
+                .withColumn("event_type", F.coalesce("event_type", F.lit("_invalid")))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    stream = _events_stream(spark, staged, max_files=1)
+    ck = tempfile.mkdtemp(prefix="sbp_ck_quar_")
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ok = spark.read.parquet(dataset_dir).select("event_type").withColumn(
+        "sink", F.lit("dataset")
+    )
+    dlq = spark.read.parquet(quarantine_dir).select("event_type").withColumn(
+        "sink", F.lit("quarantine")
+    )
+    return (
+        ok.unionByName(dlq)
+        .groupBy("sink", F.col("event_type").alias("category"))
+        .agg(F.count("*").alias("n_rows"))
+    )
