@@ -27,6 +27,15 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming stateful operators run one state store per shuffle
+    # partition and AQE cannot coalesce them; the vanilla default of 200
+    # costs ~6× wall-clock on the §2.8 ops at local scale (measured:
+    # stream_stream_join 43 s → 7 s). Batch shuffles are AQE-coalesced
+    # regardless. A cluster deployment overrides via SPARK_GRAFT_SHUFFLE_
+    # PARTITIONS / --conf to ~2-3× total cores.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 
