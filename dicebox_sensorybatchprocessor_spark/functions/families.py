@@ -77,9 +77,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('month', o_orderdate) AS month_start,
            o_orderdate + INTERVAL 30 DAY AS due_date,
            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start,
-           last_day(o_orderdate) AS month_end,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
            epoch_us(o_orderdate) // 1000000 AS unix_sec,
-           CAST(o_orderdate AS DATE) AS order_date
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date
     FROM orders
     """,
 )
@@ -99,9 +99,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(dt, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
             "days_since_epoch_start"
         ),
-        F.last_day(dt).alias("month_end"),
+        # DATE results are cast back to TIMESTAMP_NTZ for output: the
+        # driver hash-compares values, and a datetime.date stringifies
+        # differently from DuckDB's midnight timestamp.
+        F.last_day(dt).cast("timestamp_ntz").alias("month_end"),
         F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias("unix_sec"),
-        dt.cast("date").alias("order_date"),
+        dt.cast("date").cast("timestamp_ntz").alias("order_date"),
     )
 
 
