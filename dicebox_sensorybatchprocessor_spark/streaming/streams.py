@@ -665,3 +665,49 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sink", F.col("event_type").alias("category"))
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@register(
+    cache_plan=False,
+    name="stream_dedup_wm",
+    oracle="""
+    SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 production form: dropDuplicatesWithinWatermark — dedup state is
+    evicted once the watermark passes an id's event time + delay, so
+    state size is bounded by the redelivery horizon instead of growing
+    forever (the 100 TB requirement stream_dedup's plain dropDuplicates
+    cannot meet). Replay: every 10th event redelivered in a second
+    micro-batch; within one availableNow run the watermark holds (see
+    stream_watermark), so the redelivery is in-horizon and dropped — the
+    per-type counts must equal the clean source."""
+    raw = _events_raw(spark, sf_dir)
+    dups = raw.filter(F.col("event_id") % 10 == 0)
+    staged = _stage_files(spark, [raw, dups], "dedupwm")
+
+    ck = tempfile.mkdtemp(prefix="sbp_ck_dedupwm_")
+    out_dir = tempfile.mkdtemp(prefix="sbp_dedupwm_out_")
+
+    def run_once() -> None:
+        stream = _events_stream(spark, staged, max_files=1)
+        deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+        def persist(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            deduped.writeStream.foreachBatch(persist)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
