@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.windows",
     "dicebox_sensorybatchprocessor_spark.operators.setops",
     "dicebox_sensorybatchprocessor_spark.operators.scale",
+    "dicebox_sensorybatchprocessor_spark.operators.sqlapi",
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",

@@ -1,0 +1,145 @@
+"""SQL-surface operators — the same engine driven through ``spark.sql``
+instead of the DataFrame API. The DataFrame API *is* the primary query
+language (SURVEY.md §7 "what NOT to build": no parser of our own), but
+Spark ships one, and these TPC-H-shaped queries prove the engine's fixture
+views + config profile work for SQL-first users too. Fixed-point sum
+discipline is identical (the SQL mirrors utils.fixed_point_sum_sql's
+HUGEINT form via bigint hi/lo, see utils.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+_VIEWS_READY: set[tuple[str, str]] = set()
+
+
+def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register fixture temp views once per session × scale factor."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VIEWS_READY:
+        for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+            load(spark, sf_dir, name).createOrReplaceTempView(f"sbp_{name}")
+        _VIEWS_READY.add(key)
+
+
+# Spark-side exact revenue sum: same hi/lo long decomposition as
+# utils.fixed_point_sum (4 decimals for extendedprice*(1-discount)).
+_REV_SPARK = """
+CAST(
+  CAST(SUM(CAST((CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT)
+                 - pmod(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT), 1048576))
+                / CAST(1048576 AS DOUBLE) AS BIGINT)) AS DECIMAL(38,0)) * 1048576
+  + CAST(SUM(pmod(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS BIGINT), 1048576))
+        AS DECIMAL(38,0))
+  AS DOUBLE) / 10000.0
+"""
+
+_REV_DUCK = (
+    "CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS HUGEINT)) "
+    "AS DOUBLE) / 10000.0"
+)
+
+
+@register(
+    "sql_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, {_REV_DUCK} AS revenue, o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via spark.sql: 3-way join, filters on both fact and
+    dims, grouped exact revenue, top-10. Catalyst broadcasts nothing here
+    blindly — customer filters first, and the l_orderkey tiebreaker makes
+    the LIMIT cut deterministic on both engines."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT l.l_orderkey, {_REV_SPARK} AS revenue, o.o_orderdate, o.o_orderpriority
+        FROM sbp_customer c JOIN sbp_orders o ON c.c_custkey = o.o_custkey
+                            JOIN sbp_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP_NTZ '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """)
+
+
+@register(
+    "sql_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, {_REV_DUCK} AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape via spark.sql: 6-way star join (two facts + four
+    dims; region/nation/supplier broadcast) with the customer-nation =
+    supplier-nation co-location condition."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n.n_name, {_REV_SPARK} AS revenue
+        FROM sbp_customer c
+          JOIN sbp_orders o ON c.c_custkey = o.o_custkey
+          JOIN sbp_lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN sbp_supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+          JOIN sbp_nation n ON s.s_nationkey = n.n_nationkey
+          JOIN sbp_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1995-01-01 00:00:00'
+        GROUP BY n.n_name
+    """)
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS HUGEINT))
+                AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape via spark.sql: the pure scan-predicate aggregate —
+    every filter pushes to parquet, no shuffle at all (global agg)."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(
+                 CAST(SUM(CAST((CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)
+                                - pmod(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT), 1048576))
+                               / CAST(1048576 AS DOUBLE) AS BIGINT)) AS DECIMAL(38,0)) * 1048576
+                 + CAST(SUM(pmod(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT), 1048576))
+                       AS DECIMAL(38,0))
+                 AS DOUBLE) / 10000.0 AS revenue,
+               count(*) AS n_lines
+        FROM sbp_lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
