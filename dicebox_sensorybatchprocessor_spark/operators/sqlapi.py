@@ -86,8 +86,8 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
     """,
 )
@@ -105,8 +105,8 @@ def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN sbp_nation n ON s.s_nationkey = n.n_nationkey
           JOIN sbp_region r ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'
-          AND o.o_orderdate < TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          AND o.o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
         GROUP BY n.n_name
     """)
 
@@ -118,8 +118,8 @@ def sql_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -138,8 +138,8 @@ def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS DOUBLE) / 10000.0 AS revenue,
                count(*) AS n_lines
         FROM sbp_lineitem
-        WHERE l_shipdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP_NTZ '1995-01-01 00:00:00'
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """)

@@ -153,6 +153,33 @@ def test_salted_join_spreads_key(spark):
     assert "salt" in plan
 
 
+def test_sql_q3_topk_and_broadcasts(spark):
+    """The SQL-surface Q3 must plan exactly like its DataFrame siblings:
+    broadcast joins for the filtered dims, top-10 via
+    TakeOrderedAndProject, filters pushed on all three scans."""
+    plan = _plan(spark, "sql_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("PushedFilters: [") >= 3
+
+
+def test_sql_q5_six_way_broadcast_star(spark):
+    """Q5's 6-way join must broadcast every dimension side."""
+    plan = _plan(spark, "sql_q5_local_supplier_volume")
+    assert _final_tree(plan).count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_sql_q6_is_pure_scan_aggregate(spark):
+    """Q6 is the canonical pushdown query: no joins at all, every
+    predicate at the scan."""
+    plan = _plan(spark, "sql_q6_forecast_revenue")
+    assert "Join" not in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1)
+
+
 def test_sim_cosine_is_arrow_batched(spark):
     """The cosine top-k candidate generator must be an Arrow-batched
     mapInPandas (one BLAS matmul per batch), not a row-at-a-time UDF."""
