@@ -61,7 +61,10 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit(" "), lang, F.lit(" "))).alias("lang_trim"),
         F.initcap(F.col("source")).alias("source_cap"),
         F.substring(text, 1, 5).alias("head5"),
-        text.substr(F.length(text) - 4, F.lit(5)).alias("tail5"),
+        # greatest(..., 1) keeps the start positive for <5-char strings —
+        # a negative start would count from the end (diverging from the
+        # oracle's right(text, 5), which just returns the whole string).
+        text.substr(F.greatest(F.length(text) - 4, F.lit(1)), F.lit(5)).alias("tail5"),
         F.repeat(lang, 2).alias("lang2"),
     )
 

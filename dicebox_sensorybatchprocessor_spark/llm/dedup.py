@@ -38,8 +38,16 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
+        # Spark's sequence auto-steps DOWNWARD when stop < start (even
+        # sequence(1, 0) = [1, 0]), which would emit bogus shingles for
+        # <8-char texts where the oracle's generate_series emits none —
+        # so short texts take the empty-array branch explicitly.
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
+            F.expr(
+                "CASE WHEN length(text) >= 8 THEN"
+                " transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"
+                " ELSE array() END"
+            )
         ).alias("s"),
     ).distinct()
 

@@ -109,11 +109,12 @@ def pipeline_sensory_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("user_id").isNotNull()
             & (F.col("value") >= 0)
         )
+        # try_cast applies the same parse rule as the oracle's TRY_CAST
+        # (signs, >9-digit overflow, non-integer forms all NULL on both
+        # sides); try_to_number's format mask would diverge on those.
         .withColumn(
             "prop_k",
-            F.try_to_number(
-                F.get_json_object("props", "$.k"), F.lit("999999999")
-            ).cast("int"),
+            F.get_json_object("props", "$.k").try_cast("int"),
         )
     )
     w = Window.partitionBy("event_id").orderBy("ts")

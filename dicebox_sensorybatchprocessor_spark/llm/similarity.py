@@ -31,6 +31,54 @@ _TOPK = 10
 # rounded-tie candidate require ~30 raw-closer pairs inside one row —
 # probability ~0 for continuous similarities.
 _ROW_K = 30
+# The dense broadcast index is collected to the driver and shipped to every
+# task — the same regime as a broadcast join, and with the same failure
+# mode (driver/executor memory) beyond it. Route to the LSH-bucketed path
+# once the index would exceed this budget (float64 matrix bytes).
+_INDEX_BYTE_BUDGET = 256 << 20
+
+
+def _cosine_topk_lsh(e: DataFrame) -> DataFrame:
+    """Scale path for sim_cosine_topk: normalize → BucketedRandomProjection
+    LSH candidate pairs within a radius → *exact* cosine rerank → top-k.
+    For unit vectors ||a−b||² = 2·(1−cos), so radius 1.1 keeps every
+    pair with cosine ≥ 0.395 — candidates are generated bucket-local
+    (linear, shuffle on hash buckets) instead of all-pairs. Top-k is exact
+    over the candidate set; recall of the global top-k is governed by the
+    radius/table parameters, the tunable any deployed ANN carries (the
+    fixture's random 64-dim embeddings have a null cosine std of ~1/8, so
+    0.395 is a >3σ tail and the candidate set stays near-linear)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = e.select(
+        "vec_id",
+        F.transform(embd, lambda x: x / norm).alias("unit"),
+    ).withColumn("features", array_to_vector(F.col("unit")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=6, seed=42
+    )
+    model = lsh.fit(unit)
+    pairs = model.approxSimilarityJoin(unit, unit, 1.1, distCol="dist")
+    cos = F.aggregate(
+        F.zip_with(
+            F.col("datasetA.unit"), F.col("datasetB.unit"), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(_TOPK)
+    )
 
 
 @register(
@@ -48,10 +96,19 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force pairwise cosine top-10 (the BASELINE.md sim_cosine_topk
     headline). Plan: normalize → broadcast dense matrix → per-partition
     BLAS matmul emitting each row's top candidates → global
-    TakeOrderedAndProject on (rounded cosine, ids)."""
+    TakeOrderedAndProject on (rounded cosine, ids).
+
+    The dense-index collect is explicitly guarded: beyond the broadcast
+    byte budget the operator routes to the LSH-bucketed candidate + exact
+    rerank path instead of attempting a driver-side materialization that
+    would fail at 100× scale."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = e.count()
+    dim = len(e.select("embedding").first()["embedding"])
+    if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
+        return _cosine_topk_lsh(e)
     pdf = e.toPandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")

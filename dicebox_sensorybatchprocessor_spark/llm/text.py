@@ -192,8 +192,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     shingled = d.select(
         "doc_id",
+        # Explicit empty-array branch for <8-char texts: Spark's sequence
+        # auto-steps downward when stop < start (sequence(1,0) = [1,0]),
+        # which would fabricate shingles the oracle's generate_series
+        # never emits.
         F.explode(
-            F.expr(f"transform(sequence(1, least(length(text) - 7, {_MAX_LEN})), i -> substring(text, i, 8))")
+            F.expr(
+                "CASE WHEN length(text) >= 8 THEN"
+                f" transform(sequence(1, least(length(text) - 7, {_MAX_LEN})),"
+                " i -> substring(text, i, 8))"
+                " ELSE array() END"
+            )
         ).alias("s"),
     )
     return shingled.groupBy("doc_id").agg(

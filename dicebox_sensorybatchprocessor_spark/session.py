@@ -15,9 +15,22 @@ The profile pins the behaviors every operator depends on:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+_log = logging.getLogger(__name__)
+
+# Conf keys where a failed runtime set is acceptable (perf-only, or not
+# runtime-settable on some builds). Anything else failing to apply is
+# correctness-bearing (nanosAsLong, timeZone) and must be loud.
+_OPTIONAL_CONF_KEYS = {
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.shuffle.partitions",
+}
 
 # Conf that is safe (and necessary) to (re)apply at runtime on a session we
 # did not create — e.g. the driver-owned session passed to entry()/queries().
@@ -48,10 +61,17 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     for key, value in _RUNTIME_CONF.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            # Config not settable on this build — leave the session as-is;
-            # the dependent operator will surface a clear error if it matters.
-            pass
+        except Exception as exc:
+            if key in _OPTIONAL_CONF_KEYS:
+                continue  # perf-only knob; session behavior stays correct
+            # Correctness-bearing key (nanosAsLong, UTC timeZone): a silent
+            # miss would mean silently divergent results, so say so.
+            _log.warning(
+                "engine conf %s=%s could not be applied to this session: %s",
+                key,
+                value,
+                exc,
+            )
     return spark
 
 
@@ -67,6 +87,16 @@ def get_session(
     local core count; a real cluster deployment sets it to ~2-3× total
     cores (or relies on AQE coalescing from a high initial value).
     """
+    # getOrCreate() on an already-running session silently ignores builder
+    # configs — don't mkdtemp a warehouse dir (leaked, unused) or pretend
+    # the profile applied; just re-assert the runtime-settable conf.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_engine_conf(active)
+        if shuffle_partitions is not None:  # runtime-settable: honor the ask
+            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        return active
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"

@@ -122,3 +122,35 @@ def test_bucketed_join_equals_shuffle_join(spark):
         )
     )
     assert _rows(bucketed) == _rows(plain)
+
+
+def test_cosine_lsh_route_equals_broadcast_route(spark):
+    """sim_cosine_topk's beyond-broadcast-budget route (LSH candidates +
+    exact rerank) must return the same top-k as the dense broadcast-matmul
+    path at fixture scale — the physical route is a scale decision, not a
+    semantic one (radius 1.1 keeps every pair with cosine >= 0.395, well
+    below the fixture's observed top-10 floor of ~0.45)."""
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as S
+
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    brute = _rows(_SPECS["sim_cosine_topk"].fn(spark, SF_ORACLE))
+    lsh = _rows(S._cosine_topk_lsh(e))
+    assert brute == lsh
+
+
+def test_cosine_guard_routes_to_lsh_beyond_budget(spark, monkeypatch):
+    """Force the index byte budget below the fixture size and assert the
+    operator actually takes the LSH route (no driver-side toPandas of the
+    full table)."""
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as S
+
+    monkeypatch.setattr(S, "_INDEX_BYTE_BUDGET", 0)
+
+    def _boom(*a, **k):
+        raise AssertionError("dense-index collect ran despite guard")
+
+    monkeypatch.setattr(
+        "pyspark.sql.DataFrame.toPandas", _boom, raising=True
+    )
+    out = S.sim_cosine_topk.__wrapped__(spark, SF_ORACLE)
+    assert out.count() == 10
