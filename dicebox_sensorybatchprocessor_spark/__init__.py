@@ -50,8 +50,10 @@ _OPERATOR_MODULES = (
 # ANN) plus the trivially-thin set-op wrappers; the round-1-proven core
 # follows in its original registration order.
 _ROUND2_PRIORITY = (
-    # -- 50 oracle-backed, driver-unverified as of CORRECTNESS_r01 --
-    "intersect",
+    # -- 50 oracle-backed queries without a green driver check as of
+    # CORRECTNESS_r01 (agg_approx_distinct was rows-only in r01; it now
+    # carries the tolerance-claim oracle and re-enters the window) --
+    "agg_approx_distinct",
     "join_bucketed",
     "join_skew_salted",
     "sql_q3_shipping_priority",
@@ -101,7 +103,8 @@ _ROUND2_PRIORITY = (
     "stream_stream_join",
     "stream_quarantine",
     "stream_dedup_wm",
-    # -- 51-60: unverified but weak-signal (rows-only) or thin wrappers --
+    # -- 51+: unverified but weak-signal (rows-only) or thin wrappers --
+    "intersect",
     "union_distinct",
     "intersect_all",
     "except_distinct",

@@ -108,16 +108,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           count(*) AS n_rows,
+           TRUE AS approx_within_3rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate count-distinct (rows-only: sketch estimates are
-    engine-specific by construction — SURVEY.md §2.4). At 100 TB this is
-    the only affordable distinct-count; the exact variant is in
-    agg_distinct."""
+    """HLL++ approximate count-distinct. Sketch estimates are
+    engine-specific, so the raw estimate can never hash-match an oracle —
+    instead the *tolerance claim* is the checked output: Spark emits
+    |estimate − exact| ≤ 3·rsd·exact per group (deterministic for a given
+    dataset — HLL++ is not randomized), the oracle emits literal TRUE, and
+    the driver's value-hash becomes a real accuracy check instead of a
+    rows-only count. At 100 TB the sketch is the only affordable
+    distinct-count; the exact variant is in agg_distinct."""
+    rsd = 0.02
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).cast("bigint").alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users_exact"),
         F.count("*").alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd).cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= 3 * rsd * F.countDistinct("user_id").cast("double")
+        ).alias("approx_within_3rsd"),
     )
 
 
