@@ -49,6 +49,15 @@ _RUNTIME_CONF = {
     "spark.sql.shuffle.partitions": os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
+    # AQE's parallelism-first coalescing only keeps post-shuffle
+    # parallelism down to this floor; the 1 MB default collapses small
+    # shuffles (a 1.4 MB window/agg result) onto ONE task while 31 cores
+    # idle — measured 185 ms → 81 ms on win_topk_group at sf0.1. At the
+    # 100 TB design point target sizes are governed by
+    # advisoryPartitionSizeInBytes (64 MB), so a 64 KB floor only affects
+    # shuffles that are tiny relative to the cluster — where keeping
+    # parallelism is equally right.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64KB",
 }
 
 
