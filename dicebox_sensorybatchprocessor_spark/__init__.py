@@ -20,6 +20,7 @@ from dicebox_sensorybatchprocessor_spark.session import ensure_engine_conf, get_
 
 _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.sources.scans",
+    "dicebox_sensorybatchprocessor_spark.sources.nested",
     "dicebox_sensorybatchprocessor_spark.operators.relational",
     "dicebox_sensorybatchprocessor_spark.operators.joins",
     "dicebox_sensorybatchprocessor_spark.operators.aggregates",
@@ -62,7 +63,6 @@ _ROUND2_PRIORITY = (
     "fn_string",
     "fn_date",
     "fn_math",
-    "fn_array",
     "fn_array_explode",
     "fn_map",
     "fn_json",
@@ -80,13 +80,11 @@ _ROUND2_PRIORITY = (
     "sim_cosine_topk",
     "sim_knn_query",
     "vec_norm",
-    "text_tokenize",
     "text_token_stats",
     "text_quality",
     "text_lang_stats",
     "text_langid",
     "text_fingerprint",
-    "mm_binary",
     "mm_image_meta",
     "mm_frame_sample",
     "pipeline_corpus_preprocess",
@@ -103,7 +101,19 @@ _ROUND2_PRIORITY = (
     "stream_stream_join",
     "stream_quarantine",
     "stream_dedup_wm",
-    # -- 51+: unverified but weak-signal (rows-only) or thin wrappers --
+    # -- stored nested/null parquet coverage (VERDICT r1 gap #4) --
+    "nested_struct_stored",
+    "nested_map_stored",
+    "nested_null_stored",
+    # -- 51+: unverified-but-weaker signal. Displaced to keep the window
+    # at 50: fn_array / text_tokenize / mm_binary (each has an in-window
+    # sibling covering the same family: fn_array_explode,
+    # text_token_stats, mm_image_meta+mm_frame_sample), rows-only
+    # approx/LSH/ANN ops, and the thin set-op wrappers. These rotate into
+    # round 3's window with the proven relational core behind them. --
+    "fn_array",
+    "text_tokenize",
+    "mm_binary",
     "intersect",
     "union_distinct",
     "intersect_all",

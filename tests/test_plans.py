@@ -186,3 +186,17 @@ def test_sim_cosine_is_arrow_batched(spark):
     plan = _plan(spark, "sim_cosine_topk")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time python UDF marker
+
+
+def test_nested_struct_scan_prunes_to_struct(spark):
+    """Stored-struct query must read ONLY the meta struct from the derived
+    parquet — not event_id/attrs/v_null/etype_null. Nested-schema pruning
+    is what keeps a 100 TB wide-nested scan proportional to the fields
+    actually touched."""
+    plan = _plan(spark, "nested_struct_stored")
+    m = re.search(r"ReadSchema: struct<([^\n]*)>$", plan, re.M)
+    assert m, plan
+    schema = m.group(1)
+    assert schema.startswith("meta:struct<"), schema
+    for absent in ("attrs", "v_null", "etype_null", "event_id"):
+        assert absent not in schema, schema
