@@ -220,29 +220,49 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest click of the same user at or
-    before its timestamp.
+    before its timestamp. See :func:`asof_last_click` for the formulation
+    and tie semantics."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return asof_last_click(clicks, purchases)
+
+
+def asof_last_click(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Union+window as-of core: (user_id, ts, click_id) ⟕ (user_id, ts,
+    purchase_id), matching each purchase to the latest click at or before
+    its timestamp.
 
     Spark has no native as-of join; the scalable formulation is
     union-both-sides + ``last(click_id, ignorenulls=True)`` over a window
-    ordered by (ts, side) per user — a single shuffle on user_id, linear in
-    events, no per-row probe. ``side`` orders clicks before purchases at
-    identical timestamps so the match is inclusive (>=), mirroring DuckDB's
-    ASOF semantics. Event timestamps are µs-unique per user (verified), so
-    the window order is total.
+    ordered by (ts, side, click_id) per user — a single shuffle on
+    user_id, linear in events, no per-row probe. ``side`` orders clicks
+    before purchases at identical timestamps so the match is inclusive
+    (>=), mirroring DuckDB's ASOF semantics.
+
+    Tie semantics (pinned by tests/test_asof_ties.py): duplicate
+    (user_id, ts) click pairs are ordered by click_id, so the **greatest
+    click_id among latest-ts candidates** wins — a deterministic total
+    order. DuckDB's ASOF is physical-row-order-dependent under such ties
+    (verified: same data, two orderings, two answers), so determinism here
+    is strictly stronger than engine parity; the property test checks
+    equality against a deterministic SQL argmax oracle on tie-bearing
+    data, and against native ASOF whenever (user_id, ts) is right-unique.
     """
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(0).alias("side")
+    clicks = clicks.withColumn("side", F.lit(0)).withColumn(
+        "purchase_id", F.lit(None).cast("long")
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.lit(1).alias("side")
+    purchases = purchases.withColumn("side", F.lit(1)).withColumn(
+        "click_id", F.lit(None).cast("long")
     )
-    unioned = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
-        purchases.withColumn("click_id", F.lit(None).cast("long"))
-    )
+    unioned = clicks.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "click_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
