@@ -15,7 +15,13 @@ Secondary block: ``llm_queries`` times representative north-star
 operators (dedup / similarity / text pipeline / streaming) so a perf
 regression in that surface is visible round-over-round. These are
 multi-second physical pipelines (streaming ops re-run staging + state
-stores every invocation), timed warm best-of-2.
+stores every invocation), timed warm best-of-2. The dominant entry,
+dedup_ngram_jaccard (~4-6 s), is the *exact* all-pairs verifier over a
+deliberately degenerate fixture vocabulary (13k distinct shingles /
+1.35M shingle rows => 279M join pairs at sf0.1); DuckDB running the
+identical oracle SQL measures 8.3-9.8 s warm on the same 32 cores, so
+Spark is ~2x faster on it — the cost is the algorithm (scoped at scale
+to run behind an LSH/simhash candidate filter), not the engine.
 
 ``floor_note`` records the local-mode interpretation caveat for the
 per-query 2x bar: a Spark job submission + Arrow fetch floors at ~50 ms
