@@ -28,6 +28,8 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.setops",
     "dicebox_sensorybatchprocessor_spark.operators.scale",
     "dicebox_sensorybatchprocessor_spark.operators.sqlapi",
+    "dicebox_sensorybatchprocessor_spark.operators.sampling",
+    "dicebox_sensorybatchprocessor_spark.operators.sketches",
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",
@@ -114,6 +116,15 @@ _ROUND2_PRIORITY = (
     "fn_array",
     "text_tokenize",
     "mm_binary",
+    # -- round-2 additions past the window; front of round 3's rotation --
+    "split_train_val_test",
+    "sample_stratified",
+    "pack_sequences",
+    "sketch_quantiles",
+    "sketch_bloom",
+    "sketch_count_min",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
     "intersect",
     "union_distinct",
     "intersect_all",

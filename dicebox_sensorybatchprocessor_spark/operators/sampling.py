@@ -1,0 +1,132 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines (round-2 §2.10 additions).
+
+A 100 TB corpus pipeline needs reproducible dataset carving: train/val/
+test splits that never move a document between splits across reruns,
+stratified downsampling with per-stratum rates, and packing documents
+into fixed-budget sequences. Spark's ``randomSplit``/``sample`` are
+seed-dependent on partitioning (a repartition reshuffles the sample), so
+every operator here derives its randomness from a **content-keyed
+portable hash** — the first 15 hex digits of md5 (60 bits, same trick as
+dedup_simhash's oracle) — which both engines compute identically, making
+the ops exactly oracle-checkable AND partition-invariant at any scale.
+
+Scale notes:
+- All three are pure map + one aggregate/window — no joins, no driver
+  collects; the split/sample predicates push to the scan.
+- pack_sequences packs per-``lang`` partition (window partitionBy), the
+  shape that shards: a global pack order would serialize the window on
+  one task. At 100 TB the partition key is the shard/curriculum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+_PACK_CAPACITY = 4096  # chars per packed sequence bin
+
+
+def _bucket(col, salt: str, n: int):
+    """Deterministic bucket in [0, n): portable across Spark and DuckDB."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(n))
+
+
+def _bucket_sql(expr: str, salt: str, n: int) -> str:
+    return f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT % {n}"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT n_chars, lang, {_bucket_sql('doc_id', 'split', 100)} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split keyed on hash(doc_id): a document's
+    split assignment is a pure function of its id — stable under
+    repartitioning, appends, and reruns (unlike randomSplit, whose
+    assignment shifts with partitioning). One scan, one aggregate."""
+    d = load(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"), "split", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_bucket_sql('doc_id', 'strat', 100)} <
+          CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep 50% of 'en', 20% of
+    every other language — the language-rebalancing step of corpus
+    curation. The keep-predicate is a scan-pushed filter (no shuffle at
+    all), and membership is reproducible row-wise, so incremental reruns
+    over appended data never resample old rows (the property sampleBy's
+    seeded-RNG-per-partition approach loses)."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return d.filter(_bucket(F.col("doc_id"), "strat", 100) < rate).select("doc_id", "lang")
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH pos AS (
+      SELECT lang, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+      FROM documents
+    )
+    SELECT lang, CAST(FLOOR(start_off / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM pos GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents per language in doc_id
+    order and chunk the stream into fixed-size bins; each document is
+    assigned to the bin where it starts. This is the streaming-packing
+    formulation used to build fixed-budget training sequences: one window
+    (cumulative length) + one aggregate, linear, partitioned by ``lang``
+    so no single task owns a global order — at 100 TB the partition key
+    is the shard key and each shard packs independently."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start_off = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off")
+    pos = d.select("lang", "doc_id", "n_chars", start_off)
+    return pos.groupBy(
+        "lang",
+        F.floor(F.col("start_off") / _PACK_CAPACITY).alias("bin_id"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

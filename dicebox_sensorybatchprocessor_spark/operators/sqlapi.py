@@ -21,7 +21,7 @@ def _ensure_views(spark: SparkSession, sf_dir: str) -> None:
     """Register fixture temp views once per session × scale factor."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VIEWS_READY:
-        for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        for name in ("customer", "orders", "lineitem", "supplier", "nation", "region", "part"):
             load(spark, sf_dir, name).createOrReplaceTempView(f"sbp_{name}")
         _VIEWS_READY.add(key)
 
@@ -142,4 +142,75 @@ def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """)
+
+
+@register(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 *shape* (the fixtures carry no commit/receipt dates, so
+    the correlated predicate is shipdate > orderdate): a correlated
+    EXISTS that Catalyst must decorrelate into a left-semi join — the
+    planner surface that matters at scale, where a per-row subquery probe
+    would be O(n²) and the semi-join is one shuffle."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM sbp_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM sbp_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o.o_orderpriority
+    """)
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT count(*) AS n_small, CAST(SUM(CAST(round(l.l_extendedprice * 100.0, 0) AS HUGEINT))
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(round(l2.l_quantity * 100.0, 0) AS HUGEINT)) AS DOUBLE)
+                      / 100.0 / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a correlated *scalar aggregate* subquery
+    (per-part average quantity) under a comparison — Catalyst
+    decorrelates it into an aggregate + join instead of re-running the
+    aggregate per outer row. The average is computed in fixed-point
+    (exact integer sum / count) on both engines so the comparison
+    threshold is bit-identical regardless of accumulation order."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT count(*) AS n_small,
+               CAST(
+                 CAST(SUM(CAST((CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)
+                                - pmod(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT), 1048576))
+                               / CAST(1048576 AS DOUBLE) AS BIGINT)) AS DECIMAL(38,0)) * 1048576
+                 + CAST(SUM(pmod(CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT), 1048576))
+                       AS DECIMAL(38,0))
+                 AS DOUBLE) / 100.0 AS sum_price
+        FROM sbp_lineitem l JOIN sbp_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.5 * (CAST(SUM(CAST(round(l2.l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE)
+                          / 100.0 / count(*))
+            FROM sbp_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
     """)

@@ -200,3 +200,15 @@ def test_nested_struct_scan_prunes_to_struct(spark):
     assert schema.startswith("meta:struct<"), schema
     for absent in ("attrs", "v_null", "etype_null", "event_id"):
         assert absent not in schema, schema
+
+
+@pytest.mark.parametrize("name", ["sql_exists_subquery", "sql_scalar_subquery"])
+def test_correlated_subqueries_decorrelate_to_joins(spark, name):
+    """Correlated EXISTS / scalar-aggregate subqueries must be rewritten
+    into joins (semi join / aggregate+join) — a per-outer-row subquery
+    re-execution would be O(n²) at scale. The final plan must contain a
+    hash join and no InSubquery/ScalarSubquery expression nodes."""
+    plan = _plan(spark, name)
+    tree = _final_tree(plan)
+    assert "Join" in tree, tree
+    assert "Subquery" not in tree, tree
