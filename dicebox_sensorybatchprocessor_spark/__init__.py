@@ -125,6 +125,8 @@ _ROUND2_PRIORITY = (
     "sketch_count_min",
     "sql_exists_subquery",
     "sql_scalar_subquery",
+    "dedup_clusters",
+    "dedup_minhash_banded",
     "intersect",
     "union_distinct",
     "intersect_all",

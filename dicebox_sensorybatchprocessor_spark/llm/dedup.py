@@ -18,7 +18,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
@@ -248,4 +248,169 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_raw") >= 0.35)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+_JACCARD_PAIRS_SQL = f"""
+      WITH sh AS ({_SHINGLES_SQL}),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b
+      FROM p0
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM jp
+    ),
+    reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+    """,
+    cache_plan=False,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the *grouping*
+    step every dedup pipeline needs after pair generation (keep one doc
+    per component, not per pair: A~B and B~C must collapse A,B,C
+    together even when A~C was never emitted).
+
+    Spark has no native CC; this is iterative min-label propagation:
+    every member's label converges to the component's minimum doc_id in
+    O(diameter) rounds, each round one join + one aggregate, with
+    localCheckpoint truncating the lineage (the standard pattern for
+    iterative algorithms — without it the plan doubles every round).
+    Near-dup components are small and dense (dup families, not social
+    graphs), so diameter is tiny; at 100 TB the same loop runs with the
+    alternating large-star/small-star optimization. The DuckDB oracle is
+    the exact closed form: a recursive CTE over the same edge set.
+    Driver-side work is ONE scalar (the convergence count) per round —
+    the label table itself never leaves the executors."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    while True:
+        nbr = (
+            edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "u")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count("*").over(w))
+
+
+_MH_ROWS = 8  # minhash rows; 4 bands x 2 rows
+_MH_BANDS = 4
+
+
+def _mh_oracle() -> str:
+    mh = "('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT"
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    mins AS (
+      SELECT doc_id, g.j, min({mh}) AS mh
+      FROM sh, generate_series(0, {_MH_ROWS - 1}) g(j)
+      GROUP BY doc_id, g.j
+    ),
+    bands AS (
+      SELECT doc_id, j // 2 AS b,
+             CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || '_' ||
+             CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+      FROM mins GROUP BY doc_id, j // 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_band_matches
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_minhash_banded", oracle=_mh_oracle())
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash candidate generation with a *portable* hash family
+    (md5-prefix, like dedup_simhash) — unlike dedup_minhash_lsh (MLlib,
+    whose hash family is engine-private ⇒ rows-only oracle), every
+    signature here is engine-reproducible, so the full
+    shingle → signature → band → candidate-pair pipeline is exactly
+    oracle-checked.
+
+    Shape: explode shingles ×{_MH_ROWS} salted hashes → per-doc min
+    (ONE aggregation, map-side combined) → {_MH_BANDS} band keys per doc
+    → equi-join on (band, key). Cost is linear in corpus size; the join
+    touches only colliding bands — the LSH property that replaces the
+    all-pairs verifier at 100 TB."""
+    sh = _shingles(spark, sf_dir)
+    mh_cols = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15), 16, 10
+            ).cast("bigint")
+        ).alias(f"mh{j}")
+        for j in range(_MH_ROWS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mh_cols)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_band_matches"))
     )
