@@ -9,8 +9,11 @@ Three tiers, by scale:
 - sim_knn_query — single-query k-NN: the query vector is a literal
   broadcast into a JVM-side higher-order-function expression; linear scan,
   no Python at all.
-- sim_ann_lsh — MLlib BucketedRandomProjectionLSH: hash-bucketed
-  candidates, linear cost, approximate ⇒ rows-only oracle.
+- sim_ann_lsh / sim_ann_ivf — hash-bucketed (BRP-LSH) and coarse-quantized
+  (KMeans IVF) candidates, linear cost. Approximate, so the *recall
+  guarantee* is the checked value: each emits the in-engine exact side
+  plus a boolean recall claim the DuckDB oracle asserts as literal TRUE
+  (the agg_approx_distinct/sketch pattern).
 """
 
 from __future__ import annotations
@@ -137,6 +140,18 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = sims.ravel()
             m = min(_PART_M, flat.size)
             top = np.argpartition(-flat, m - 1)[:m]
+            # per-row top-k floor (ADVICE r2): every row's k raw-closest
+            # pairs survive regardless of how many closer pairs other rows
+            # in this partition hold, so a global top-k pair (raw order)
+            # can never be pruned partition-locally; only rounding-tie
+            # reordering at the cut remains (documented, ~0 probability
+            # for continuous similarities)
+            kk = min(_TOPK, sims.shape[1])
+            row_top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            row_flat = (
+                np.arange(sims.shape[0])[:, None] * sims.shape[1] + row_top
+            ).ravel()
+            top = np.union1d(top, row_flat)
             vals = flat[top]
             keep = np.isfinite(vals)
             top, vals = top[keep], vals[keep]
@@ -193,12 +208,13 @@ def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh", oracle=None)
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN at scale: BucketedRandomProjectionLSH (seeded).
-    Euclidean-bucketed candidate pairs within distance 8.0 — the linear
-    path that replaces sim_cosine_topk's O(n²) beyond broadcast scale.
-    Approximate ⇒ rows-only oracle."""
+_ANN_RADIUS = 8.0
+
+
+def _ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH candidate pairs within euclidean radius
+    (seeded) — the linear path that replaces all-pairs beyond broadcast
+    scale. Shared by sim_ann_lsh (which wraps it in a recall claim)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -209,7 +225,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, 8.0, distCol="euclid_dist")
+    pairs = model.approxSimilarityJoin(e, e, _ANN_RADIUS, distCol="euclid_dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
@@ -217,20 +233,87 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.vec_id").alias("id_b"),
             F.round("euclid_dist", 6).alias("euclid_dist"),
         )
-        .orderBy("id_a", "id_b")
     )
 
 
-@register("sim_ann_ivf", oracle=None)
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    SELECT count(*) AS n_exact_pairs, TRUE AS recall_ge_80pct
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) <= {_ANN_RADIUS}
+    """,
+    cache_plan=False,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-LSH with its recall as the checked value (the
+    agg_approx_distinct/sketch pattern): MLlib's hash family is
+    engine-private, so the candidate *pairs* can't be oracle-matched — but
+    the guarantee can. Spark computes BOTH the LSH candidates and the
+    in-engine exact neighbor set (all pairs within the radius, JVM-side
+    higher-order fns) and emits the exact-pair count plus a boolean recall
+    claim; DuckDB recomputes the exact side and emits literal TRUE, so the
+    driver's value-hash gates both the exact arithmetic and the claim.
+
+    Claim threshold 0.8 is deliberately below the measured recall (1.0 at
+    sf0.01 and sf0.1 with 4 hash tables) so the gate is robust to fixture
+    evolution (ADVICE r2: don't let probabilistic bounds flip the hash)."""
+    pairs = _ann_lsh_pairs(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), dist.alias("d")
+        )
+        .filter(F.col("d") <= _ANN_RADIUS)
+    )
+    n_exact = exact.count()
+    n_found = exact.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, n_found >= 0.8 * n_exact)],
+        "n_exact_pairs long, recall_ge_80pct boolean",
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine,
+           TRUE AS ivf_recall_at_5_ok
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    cache_plan=False,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the other scale path SURVEY.md §2.9 names): a seeded
-    KMeans coarse quantizer assigns every vector to a cell; a query probes
-    only the nprobe nearest cells and brute-forces within them. At 100 TB
-    the cell assignment is computed once at ingest and stored as a
-    partition column, so a query touches nprobe/k of the data — here the
-    whole pipeline (fit → assign → probe → exact rerank) runs in one job.
-    Approximate (recall depends on the quantizer) ⇒ rows-only oracle;
-    tests assert the probed subset's exact top matches brute force."""
+    """IVF-style ANN (the other scale path SURVEY.md §2.9 names) with its
+    recall@k as the checked value: a seeded KMeans coarse quantizer assigns
+    every vector to a cell; the query probes only the nprobe nearest cells
+    and brute-forces within them. At 100 TB the cell assignment is computed
+    once at ingest and stored as a partition column, so a query touches
+    nprobe/k of the data.
+
+    The quantizer's cell contents are engine-private (KMeans internals), so
+    the probed top-k itself can't be oracle-matched — the *guarantee* can:
+    the returned rows are the in-engine exact brute-force top-5 (which
+    DuckDB recomputes value-for-value), and `ivf_recall_at_5_ok` claims the
+    IVF-probed top-5 recovered ≥4 of them. Measured recall is 5/5 at
+    sf0.01 and sf0.1; the ≥4 threshold leaves margin so fixture evolution
+    can't flip the driver's hash gate."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -264,18 +347,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    return (
+    scored = F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine")
+    ivf_top = (
         assigned.filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_id") != qrow["vec_id"])
-        .select(
-            "vec_id",
-            "label",
-            F.col("cell").cast("int").alias("cell"),
-            F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"),
-        )
+        .select("vec_id", scored)
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(topk)
     )
+    exact_top = (
+        e.filter(F.col("vec_id") != qrow["vec_id"])
+        .select("vec_id", "label", scored)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(topk)
+    )
+    n_overlap = exact_top.join(ivf_top, "vec_id", "left_semi").count()
+    return exact_top.withColumn("ivf_recall_at_5_ok", F.lit(n_overlap >= topk - 1))
 
 
 @register(
