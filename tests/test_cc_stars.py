@@ -1,0 +1,74 @@
+"""Property tests for the large-star/small-star connected-components
+helper behind dedup_clusters: logarithmic round count on the worst-case
+(high-diameter) path graph, and label equality against an exact
+union-find oracle on randomized graphs."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from dicebox_sensorybatchprocessor_spark.llm.dedup import _connected_components
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component label = min node id of the component
+    comp_min: dict[int, int] = {}
+    for node in list(parent):
+        root = find(node)
+        comp_min[root] = min(comp_min.get(root, node), node)
+    return {node: comp_min[find(node)] for node in parent}
+
+
+def _spark_labels(spark, edges: list[tuple[int, int]]):
+    df = spark.createDataFrame(edges, "u long, v long")
+    labels, rounds = _connected_components(df)
+    return {r["u"]: r["label"] for r in labels.collect()}, rounds
+
+
+def test_path_graph_converges_in_log_rounds(spark):
+    """A 128-node path is the worst case for plain min-label propagation
+    (needs ~diameter = 127 rounds); the star alternation must finish in
+    O(log n) — the bound that makes CC viable on 100 TB dup graphs."""
+    n = 128
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got, rounds = _spark_labels(spark, edges)
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        got, _rounds = _spark_labels(spark, edges)
+        assert got == _union_find_labels(edges)
+
+
+def test_shapes_ring_star_disjoint(spark):
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    star = [(100, 100 + i) for i in range(1, 8)]
+    pair = [(1000, 2000)]
+    got, _rounds = _spark_labels(spark, ring + star + pair)
+    expect = {i: 0 for i in range(10)}
+    expect.update({100 + i: 100 for i in range(8)})
+    expect.update({1000: 1000, 2000: 1000})
+    assert got == expect
