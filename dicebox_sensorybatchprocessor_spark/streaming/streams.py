@@ -22,7 +22,6 @@ import os
 import tempfile
 import uuid
 from collections.abc import Iterator
-from contextlib import contextmanager
 
 import pandas as pd
 
@@ -31,6 +30,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.session import ensure_engine_conf
 from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum
 
 # With spark.sql.legacy.parquet.nanosAsLong=true the ns-precision ts column
@@ -61,15 +61,27 @@ def _events_stream(spark: SparkSession, path: str, max_files: int | None = None)
 _STREAM_SHUFFLE_PARTITIONS = 8
 
 
-@contextmanager
-def _stream_shuffle(spark: SparkSession):
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(_STREAM_SHUFFLE_PARTITIONS))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+_STREAM_SESSIONS: dict[int, SparkSession] = {}
+
+
+def _streaming_session(spark: SparkSession) -> SparkSession:
+    """Isolated child session for streaming ops (ADVICE r2): shares the
+    SparkContext/executors with the driver-owned session but owns its
+    SQLConf, so pinning spark.sql.shuffle.partitions to the streaming
+    state-store width cannot leak into batch queries planned concurrently
+    on the parent session (the previous context-manager approach mutated
+    the shared conf for the duration of every streaming run). Cached per
+    parent session; every streaming op routes through it, so stream
+    construction, staging reads, and sink read-backs all plan under the
+    scoped conf."""
+    key = id(spark)
+    child = _STREAM_SESSIONS.get(key)
+    if child is None:
+        child = spark.newSession()
+        ensure_engine_conf(child)
+        child.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
+        _STREAM_SESSIONS[key] = child
+    return child
 
 
 def _run_to_table(spark: SparkSession, df: DataFrame, name: str, mode: str) -> DataFrame:
@@ -77,17 +89,16 @@ def _run_to_table(spark: SparkSession, df: DataFrame, name: str, mode: str) -> D
     sink and return the sink contents as a batch DataFrame."""
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix=f"sbp_ck_{name}_")
-    with _stream_shuffle(spark):
-        q = (
-            df.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode(mode)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
 
 
 # Staged replay directories are deterministic functions of (layout name,
@@ -156,6 +167,7 @@ def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: replay the events table as an unbounded file-source stream
     (at-least-once consume loop ≡ file source + checkpoint) and land every
     row — proves the source path end-to-end incl. the ns-ts repair."""
+    spark = _streaming_session(spark)
     stream = _events_stream(spark, _events_dir(sf_dir))
     out = stream.select("event_id", "ts", "user_id", "event_type", "value")
     return _run_to_table(spark, out, "replay", "append")
@@ -174,6 +186,7 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxFilesPerTrigger=1 → one foreachBatch parquet append per micro-batch;
     read back and count per batch. Files are split by event_id%3 with
     ordered mtimes, so batch_id ↔ residue class deterministically."""
+    spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
     staged = _stage_files(spark, parts, "feb", cache_key=sf_dir)
@@ -184,14 +197,13 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, staged, max_files=1)
     ck = tempfile.mkdtemp(prefix="sbp_ck_feb_")
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(persist)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        stream.writeStream.foreachBatch(persist)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     back = spark.read.parquet(out_dir)
     return back.groupBy("batch_id").agg(F.count("*").alias("n_rows"))
 
@@ -210,6 +222,7 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window × event_type aggregation over the stream;
     must equal the batch events_tumbling exactly (batch-equivalence)."""
+    spark = _streaming_session(spark)
     stream = _events_stream(spark, _events_dir(sf_dir))
     agg = stream.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
         F.count("*").alias("n_events"),
@@ -234,6 +247,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 15 min slide): each event lands in 4
     windows; the oracle expands the same 4 windows per event."""
+    spark = _streaming_session(spark)
     stream = _events_stream(spark, _events_dir(sf_dir))
     agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
         F.count("*").alias("n_events")
@@ -270,6 +284,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-sessionization (sessionize_batch) — Spark's session_window end is
     last-event + gap, which the oracle mirrors. This is the §5.2
     batch-equivalence check binding the two sessionizers together."""
+    spark = _streaming_session(spark)
     stream = _events_stream(spark, _events_dir(sf_dir))
     agg = stream.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
@@ -308,6 +323,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (measured: numRowsDroppedByWatermark=0 for a same-run late batch),
     so the cross-run checkpoint restore is the semantics-bearing path —
     and the one a 100 TB at-least-once ingest actually exercises."""
+    spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     cutoff_ns = raw.agg(F.expr("min(ts) + 86400000000000")).first()[0]  # min + 1 day, in ns
     early = raw.filter(F.col("ts") < cutoff_ns)
@@ -329,15 +345,14 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         def persist(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(out_dir)
 
-        with _stream_shuffle(spark):
-            q = (
-                agg.writeStream.foreachBatch(persist)
-                .outputMode("append")
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        q = (
+            agg.writeStream.foreachBatch(persist)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     run_once()  # drain on-time data; checkpoint commits the advanced watermark
     os.rename(
@@ -363,6 +378,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the clean source. Unbounded-state variant for the bounded
     fixture; production uses dropDuplicatesWithinWatermark so state ages
     out with the watermark."""
+    spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     dups = raw.filter(F.col("event_id") % 10 == 0)
     staged = _stage_files(spark, [raw, dups], "dedup10", cache_key=sf_dir)
@@ -391,6 +407,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two staged batches → the memory sink holds one row per user per batch
     it appeared in; the *final* state per user (latest emission) must equal
     the batch aggregate."""
+    spark = _streaming_session(spark)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     raw = _events_raw(spark, sf_dir)
@@ -459,6 +476,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⋈static dimension enrichment (broadcast — the dimension ships
     to every task once; stateless) followed by a streaming aggregate."""
+    spark = _streaming_session(spark)
     stream = _events_stream(spark, _events_dir(sf_dir))
     dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
     joined = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
@@ -487,6 +505,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases matched to same-user clicks in the preceding hour. Watermarks
     bound both sides' state; the range condition lets Spark evict rows
     older than (watermark − 1 h)."""
+    spark = _streaming_session(spark)
     p = (
         _events_stream(spark, _events_dir(sf_dir))
         .filter(F.col("event_type") == "purchase")
@@ -549,6 +568,7 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     user must equal the batch aggregate. Requires the RocksDB state store
     provider — which is also the 100 TB production choice (state spills
     to disk instead of executor heap)."""
+    spark = _streaming_session(spark)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import (
         DoubleType,
@@ -658,6 +678,7 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet appends inside one foreachBatch, the idiomatic Spark form of
     the reference's nack/dead-letter loop. Read back and count per
     (sink, category); the oracle recomputes the same routing in SQL."""
+    spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     damaged = raw.withColumn(
         "event_type",
@@ -690,14 +711,13 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, staged, max_files=1)
     ck = tempfile.mkdtemp(prefix="sbp_ck_quar_")
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(route)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     ok = spark.read.parquet(dataset_dir).select("event_type").withColumn(
         "sink", F.lit("dataset")
     )
@@ -727,6 +747,7 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch; within one availableNow run the watermark holds (see
     stream_watermark), so the redelivery is in-horizon and dropped — the
     per-type counts must equal the clean source."""
+    spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     dups = raw.filter(F.col("event_id") % 10 == 0)
     staged = _stage_files(spark, [raw, dups], "dedup10", cache_key=sf_dir)
@@ -743,15 +764,14 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         def persist(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(out_dir)
 
-        with _stream_shuffle(spark):
-            q = (
-                deduped.writeStream.foreachBatch(persist)
-                .outputMode("append")
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        q = (
+            deduped.writeStream.foreachBatch(persist)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     run_once()
     back = spark.read.parquet(out_dir)
