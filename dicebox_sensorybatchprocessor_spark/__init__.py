@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.sqlapi",
     "dicebox_sensorybatchprocessor_spark.operators.sampling",
     "dicebox_sensorybatchprocessor_spark.operators.sketches",
+    "dicebox_sensorybatchprocessor_spark.operators.analytics",
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",
@@ -42,20 +43,79 @@ _OPERATOR_MODULES = (
 
 
 # Driver-facing query order. The driver's correctness harness checks the
-# FIRST 50 registered queries each round (CORRECTNESS_r01.json == exactly
+# FIRST 50 registered queries each round (CORRECTNESS_r0N.json == exactly
 # list(all_queries())[:50]), so ordering is the verification budget.
-# Round 1 verified the relational/join/agg/window core (49/50 green, 1
-# rows-only by design); round 2 therefore promotes the 50 oracle-backed
-# queries the driver has NOT yet seen — functions, UDx, LLM dedup/
-# similarity/text/multimodal, pipelines, SQL surface, scale joins, and
-# the full streaming family. Positions 51-60 hold the remaining
-# unverified queries that carry the weaker rows-only check (approx/LSH/
-# ANN) plus the trivially-thin set-op wrappers; the round-1-proven core
-# follows in its original registration order.
-_ROUND2_PRIORITY = (
-    # -- 50 oracle-backed queries without a green driver check as of
-    # CORRECTNESS_r01 (agg_approx_distinct was rows-only in r01; it now
-    # carries the tolerance-claim oracle and re-enters the window) --
+# Round 1 verified the relational/join/agg/window core; round 2 the
+# functions/UDx/LLM/streaming families (99 distinct queries green across
+# both, 0 failures). Round 3's window (below): [1-19] the only
+# oracle-backed queries never inside a window (sampling, sketches,
+# subqueries, dedup clusters/banded, set ops, fn_array/text_tokenize/
+# mm_binary), [20-24] the former rows-only ops that now carry boolean
+# claim oracles, [25-43] the round-3 additions (TPC-H Q7/Q8/Q10/Q14/Q18
+# SQL shapes, analytics family, tfidf/bpe/containment, centroid,
+# nearest-as-of, DPP join, composed dedup_near_verified), and [44-50]
+# rotating sentinels from the proven core (ADVICE r2: keep a sample of
+# previously-verified queries inside every window so regressions in the
+# core remain externally detectable).
+_ROUND3_PRIORITY = (
+    # -- [1-19] oracle-backed, never driver-checked before round 3 --
+    "split_train_val_test",
+    "sample_stratified",
+    "pack_sequences",
+    "sketch_quantiles",
+    "sketch_bloom",
+    "sketch_count_min",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
+    "dedup_clusters",
+    "dedup_minhash_banded",
+    "union_distinct",
+    "intersect",
+    "intersect_all",
+    "except_distinct",
+    "except",
+    "except_all",
+    "fn_array",
+    "text_tokenize",
+    "mm_binary",
+    # -- [20-24] former rows-only ops, now claim-checked (VERDICT r2 #2);
+    # dedup_near is an alias of dedup_minhash_lsh and stays out of the
+    # window (identical code path) --
+    "fn_hash_native",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_near_verified",
+    # -- [25-43] round-3 additions --
+    "sql_q7_volume_shipping",
+    "sql_q8_market_share",
+    "sql_q10_returned_items",
+    "sql_q14_promo_effect",
+    "sql_q18_large_customers",
+    "events_retention_cohort",
+    "events_funnel",
+    "agg_histogram",
+    "agg_mode",
+    "win_gap_islands",
+    "orders_rfm",
+    "events_session_stats",
+    "agg_rollup_incremental",
+    "text_tfidf_top_terms",
+    "text_bpe_token_count",
+    "text_containment",
+    "emb_label_centroid_dist",
+    "join_asof_nearest",
+    "join_dpp_partitioned",
+    # -- [44-50] rotating proven-core sentinels --
+    "q1_pricing_summary",
+    "join_asof",
+    "win_frame_range",
+    "agg_grouping_sets",
+    "scan_parquet_ns",
+    "sessionize_batch",
+    "stream_session",
+    # -- 51+: everything else keeps its round-2 ordering (all green in
+    # r1/r2 driver checks or local pytest) --
     "agg_approx_distinct",
     "join_bucketed",
     "join_skew_salted",
@@ -95,7 +155,6 @@ _ROUND2_PRIORITY = (
     "sink_foreach_batch",
     "stream_tumbling",
     "stream_sliding",
-    "stream_session",
     "stream_watermark",
     "stream_dedup",
     "stream_stateful",
@@ -103,55 +162,24 @@ _ROUND2_PRIORITY = (
     "stream_stream_join",
     "stream_quarantine",
     "stream_dedup_wm",
-    # -- stored nested/null parquet coverage (VERDICT r1 gap #4) --
     "nested_struct_stored",
     "nested_map_stored",
     "nested_null_stored",
-    # -- 51+: unverified-but-weaker signal. Displaced to keep the window
-    # at 50: fn_array / text_tokenize / mm_binary (each has an in-window
-    # sibling covering the same family: fn_array_explode,
-    # text_token_stats, mm_image_meta+mm_frame_sample), rows-only
-    # approx/LSH/ANN ops, and the thin set-op wrappers. These rotate into
-    # round 3's window with the proven relational core behind them. --
-    "fn_array",
-    "text_tokenize",
-    "mm_binary",
-    # -- round-2 additions past the window; front of round 3's rotation --
-    "split_train_val_test",
-    "sample_stratified",
-    "pack_sequences",
-    "sketch_quantiles",
-    "sketch_bloom",
-    "sketch_count_min",
-    "sql_exists_subquery",
-    "sql_scalar_subquery",
-    "dedup_clusters",
-    "dedup_minhash_banded",
-    "intersect",
-    "union_distinct",
-    "intersect_all",
-    "except_distinct",
-    "except",
-    "except_all",
-    "fn_hash_native",
-    "dedup_minhash_lsh",
     "dedup_near",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
 )
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
     the full registry, reordered so the driver's 50-query correctness
-    window covers not-yet-verified operators first (see _ROUND2_PRIORITY).
+    window covers not-yet-verified operators first (see _ROUND3_PRIORITY).
     Keys are the SURVEY.md §2 operator IDs."""
     import importlib
 
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     ordered: dict[str, QuerySpec] = {}
-    for name in _ROUND2_PRIORITY:
+    for name in _ROUND3_PRIORITY:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():

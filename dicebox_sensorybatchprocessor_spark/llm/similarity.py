@@ -390,3 +390,68 @@ def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.element_at(embd, 1) / norm, 6).alias("first_component_normalized"),
     )
+
+
+@register(
+    "emb_label_centroid_dist",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, g.i AS pos, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    comp AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(round(x * 10000000.0, 0) AS HUGEINT)) AS DOUBLE)
+               / 10000000.0 / count(*) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label)
+    SELECT e.vec_id, e.label,
+           round(
+             list_aggregate(list_transform(range(1, 65),
+               i -> e.embedding[i]::DOUBLE * cent.centroid[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[], x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(cent.centroid, x -> x * x), 'sum'))),
+             6) AS cos_to_centroid
+    FROM embeddings e JOIN cent ON e.label = cent.label
+    """,
+)
+def emb_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + each vector's cosine to its own label's
+    centroid — the class-coherence signal behind embedding-space QA and
+    semantic-dedup cluster audits. Centroid components are averaged in
+    fixed-point (exact integer-unit sums, so the mean is accumulation-
+    order-independent across engines); the centroid is rebuilt as an
+    ordered array (array_sort on (pos, value) structs — deterministic)
+    and the cosine folds sequentially with JVM higher-order functions.
+    Shape: one posexplode + one (label, pos) aggregate (64×10 rows), a
+    10-row broadcast join back, and a codegen'd scan — linear at any
+    scale, no Python."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "label", "pos", "x")
+    comp = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.round(F.col("x") * 10000000.0, 0).cast("long")).cast("double")
+            / 10000000.0
+            / F.count("*")
+        ).alias("c")
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    emb = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(emb, F.col("centroid"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    return e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(dot / (norm(emb) * norm(F.col("centroid"))), 6).alias("cos_to_centroid"),
+    )

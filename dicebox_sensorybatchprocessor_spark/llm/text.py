@@ -10,7 +10,7 @@ group-by, with map-side partial aggregation shrinking it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
@@ -208,4 +208,138 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingled.groupBy("doc_id").agg(
         F.min(F.md5("s")).alias("fingerprint"),
         F.countDistinct("s").alias("n_shingles"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token AS term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC, tf.token
+             ) AS rn
+      FROM tf JOIN df ON tf.token = df.token, n
+    )
+    SELECT doc_id, term, tfidf FROM scored WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic corpus-salience
+    signal feeding keyword extraction / quality heuristics. One explode,
+    two aggregations (per-doc TF, corpus DF), a broadcast of the
+    single-row corpus count, and a WindowGroupLimit top-k per doc; the
+    token ASC tiebreaker makes the cut deterministic on both engines.
+    DF is a token-cardinality relation (vocabulary-sized, not corpus-
+    sized), so at 100 TB it broadcasts or bucket-joins cheaply."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("token").alias("term"), F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens,
+           CAST(list_aggregate(
+             list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                            t -> (length(t) + 3) // 4),
+             'sum') AS BIGINT) AS n_subwords,
+           length(replace(text, ' ', '')) AS n_alpha_chars
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation (SURVEY.md §2.9 "BPE-ish" counting): regex
+    word extraction plus a fixed-fanout subword estimate (ceil(len/4)
+    chunks per word — the packing-budget proxy real BPE vocabularies
+    approximate). All integer arithmetic inside JVM higher-order
+    functions, so the estimate is engine-exact and the scan stays
+    codegen'd — the shape that prices a 100 TB corpus for sequence
+    packing in one pass (feeds pack_sequences)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_regex_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: ((F.length(t) + F.lit(3)) / F.lit(4)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_alpha_chars"),
+    )
+
+
+@register(
+    "text_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, g.i, 8) AS s
+      FROM documents, generate_series(1, {_MAX_LEN}) g(i)
+      WHERE g.i <= length(text) - 7
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs: |A∩B| / min(|A|,
+    |B|) ≥ 0.8 over 8-char shingles — catches a short document embedded
+    inside a longer one, which Jaccard's union denominator dilutes below
+    threshold (the snippet-reuse case every corpus dedup misses with
+    Jaccard alone). Same shingle-join shape as dedup_ngram_jaccard, and
+    the same scale posture: behind the banded-MinHash candidate filter."""
+    from dicebox_sensorybatchprocessor_spark.llm.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("n_common") * 1.0 / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(containment >= 0.8)
+        .select("doc_a", "doc_b", "n_common", F.round(containment, 6).alias("containment"))
     )

@@ -1,0 +1,362 @@
+"""Analytics-pipeline operators (round-3 §2.10 additions): cohort
+retention, ordered funnels, histograms, per-group mode, gaps-and-islands
+runs, RFM segmentation, session rollups, and incremental (mergeable)
+window rollups — the query shapes a production events/corpus warehouse
+runs daily, composed entirely from built-in DataFrame ops.
+
+Scale notes: every operator here is one or two hash shuffles on its
+natural key (user_id / bucket / day); the only global windows are the
+RFM ntile scores, which at 100 TB would be replaced by sketch-derived
+cut points (see orders_rfm docstring). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_point_sum_sql
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    firstd AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, d.day) AS day_offset,
+           count(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN firstd f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    every later day offset — the canonical activation/retention matrix.
+    Two shuffles (first-day agg on user_id, then the cohort×offset agg);
+    the first-day table is one row per user, so Catalyst broadcasts it
+    into the join at any realistic cardinality."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("day"), F.to_date("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_order, 'signup' AS stage, count(*) AS n_users FROM s
+      UNION ALL
+      SELECT 2, 'view', count(*) FROM v
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM p
+    ) ORDER BY stage_order
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: each stage
+    counts users whose stage event happened strictly AFTER their previous
+    stage's first event (time-ordered, not mere co-occurrence). Each stage
+    is a filter + per-user min + broadcast-sized join — linear scans, no
+    self-join explosion, the shape that holds at 100 TB because stage
+    tables shrink monotonically."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, order: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(s, 1, "signup")
+        .unionByName(stage(v, 2, "view"))
+        .unionByName(stage(p, 3, "purchase"))
+        .orderBy("stage_order")
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 5000000 AS bucket,
+           (CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 5000000) * 50000.0 AS bucket_lo,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0
+             AS sum_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram ($50k buckets over o_totalprice) — the
+    profiling primitive behind data-quality dashboards and feature
+    bucketing. Bucket ids are computed by INTEGER division on exact cents
+    (never floor of a double quotient) so boundary values land in the same
+    bucket on every engine; one map-side-combined aggregation."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT) div 5000000")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n AS n_events
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+             ) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user) with a
+    deterministic tie-break (lexicographically smallest type wins):
+    count aggregation, then a WindowGroupLimit-eligible row_number over
+    the small per-user type set — never a collect of value lists."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_events"))
+    )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    SELECT user_id, event_type, min(ts) AS run_start, count(*) AS run_len
+    FROM (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+      FROM events
+    )
+    GROUP BY user_id, event_type, grp
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user via the row_number-difference trick (two window passes over the
+    SAME partition/order — Catalyst collapses them into one sort), then
+    one aggregate per island. The total-order tiebreaker (ts, event_id)
+    pins island composition deterministically on both engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    return (
+        ev.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("run_start"), F.count("*").alias("run_len"))
+        .drop("grp")
+    )
+
+
+@register(
+    "orders_rfm",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT ref_date FROM ref)) AS recency_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM base
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency (order count), monetary (exact fixed-point
+    revenue), each quartiled into a 1-4 score with a deterministic
+    o_custkey tiebreaker. The global ntile windows are exact-rank cuts —
+    correct at fixture scale and for any per-segment output that fits a
+    sort; at 100 TB the idiomatic swap is sketch_quantiles cut points
+    joined back (no total order), which changes only the scoring join,
+    not this operator's aggregation shape."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            fixed_point_sum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("ref_date"), F.to_date("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+           round(sum(epoch_us(e) - epoch_us(s)) / 1000000.0, 6) AS total_span_secs
+    FROM sessions GROUP BY user_id
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup on top of gap-based sessionization
+    (30-minute inactivity): session count, largest session, and total
+    in-session span. Durations are summed as INTEGER microseconds and
+    divided once, so the double result is accumulation-order-independent
+    (the same fixed-point discipline as money sums)."""
+    from dicebox_sensorybatchprocessor_spark.operators.windows import sessionize_batch
+
+    sessions = sessionize_batch(spark, sf_dir)
+    span_us = F.unix_micros(F.col("session_end").cast("timestamp")) - F.unix_micros(
+        F.col("session_start").cast("timestamp")
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum(span_us).alias("total_us"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "max_session_events",
+            F.round(F.col("total_us") / 1000000.0, 6).alias("total_span_secs"),
+        )
+    )
+
+
+@register(
+    "agg_rollup_incremental",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day_start, event_type,
+           count(*) AS n_events,
+           {fixed_point_sum_sql("value", 6)} AS sum_value
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def agg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup (the hypertable pattern): hourly partial
+    aggregates are MERGED into daily aggregates instead of re-scanning the
+    raw events — the oracle computes the daily result directly from raw
+    rows, so the hash match proves the partials are lossless. Counts and
+    fixed-point integer unit sums are algebraic (merge = sum), which is
+    exactly why the 100 TB continuous-aggregate pipeline stores hourly
+    partials and serves any coarser grain from them."""
+    ev = load(spark, sf_dir, "events")
+    units = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum(units).alias("units"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour_start").alias("day_start"), "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("units").alias("u"))
+        .select(
+            "day_start",
+            "event_type",
+            "n_events",
+            (F.col("u").cast("double") / 1000000.0).alias("sum_value"),
+        )
+    )

@@ -310,3 +310,86 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, ts FROM events WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.pid AS purchase_id, p.user_id, c.cid AS nearest_click_id,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS delta_us,
+             row_number() OVER (
+               PARTITION BY p.pid
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                        CASE WHEN c.ts <= p.ts THEN -c.cid ELSE c.cid END
+             ) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+    )
+    SELECT purchase_id, user_id, nearest_click_id, delta_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase matches the click of
+    the same user closest in time in EITHER direction (backward wins
+    exact-distance ties; within a side, the asof_last_click tie order:
+    greatest click_id among latest earlier clicks, smallest click_id
+    among earliest later clicks).
+
+    Scalable formulation: ONE union + two frames over the same
+    (user_id, ts, side, click_id) sort — a running `last` for the
+    backward candidate and a `first` over the forward frame — then a
+    JVM-side CASE picks the nearer. Single shuffle on user_id, linear in
+    events, no per-row probe; the oracle is the O(pairs) argmin join,
+    affordable only at fixture scale."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    unioned = clicks.unionByName(purchases).withColumn(
+        "click_ts", F.when(F.col("side") == 0, F.col("ts"))
+    )
+    order = [F.col("ts"), F.col("side"), F.col("click_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    annotated = (
+        unioned.withColumn("b_id", F.last("click_id", ignorenulls=True).over(w_back))
+        .withColumn("b_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("f_id", F.first("click_id", ignorenulls=True).over(w_fwd))
+        .withColumn("f_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("side") == 1)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    b_delta = us("ts") - us("b_ts")
+    f_delta = us("f_ts") - us("ts")
+    pick_back = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (b_delta <= f_delta)
+    )
+    return annotated.select(
+        "purchase_id",
+        "user_id",
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_click_id"),
+        F.when(pick_back, b_delta).otherwise(f_delta).alias("delta_us"),
+    )

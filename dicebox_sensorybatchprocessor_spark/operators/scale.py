@@ -122,3 +122,75 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         fixed_point_sum(F.col("value"), 6).alias("sum_value"),
     )
+
+
+_DPP_READY: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write events partitioned by day plus a day-dimension table (once per
+    session × scale factor) — the ingest-time layout dynamic partition
+    pruning needs."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DPP_READY:
+        fact_dir = tempfile.mkdtemp(prefix="sbp_dpp_fact_")
+        dim_dir = tempfile.mkdtemp(prefix="sbp_dpp_dim_")
+        ev = load(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(fact_dir)
+        # dim day is DATE to match the read-back partition column type, so
+        # the join key is the bare partition attribute (an expression over
+        # it would defeat the PartitionPruning rule). The focus marker is a
+        # STRING equality filter on a non-join-key column: a bare boolean
+        # attribute fails Catalyst's isLikelySelective test (no DPP), and a
+        # predicate on the join key itself would propagate to the fact as a
+        # static filter via constraint inference (pruning, but not dynamic).
+        days = (
+            ev.select(F.to_date("day").alias("day"))
+            .distinct()
+            .withColumn(
+                "day_type",
+                F.when(
+                    F.col("day") <= F.lit("2024-01-03").cast("date"), "focus"
+                ).otherwise("other"),
+            )
+        )
+        days.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        _DPP_READY[key] = (fact_dir, dim_dir)
+    return _DPP_READY[key]
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           {fixed_point_sum_sql("value", 6)} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
+    GROUP BY day, event_type
+    """,
+    cache_plan=False,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, exercised for real: events are laid out
+    partitioned by day (the 100 TB ingest layout), the day dimension is
+    filtered to a 3-day focus window, and the fact⋈dim join lets Catalyst
+    inject a DynamicPruningSubquery so the scan reads ONLY the 3 matching
+    day partitions out of 30 — the fact-side filter is never written by
+    the query, it is *derived from the dim at runtime* (asserted in
+    tests/test_plans.py). This is partition pruning driven through a join,
+    the dominant scan-elimination mechanism for star-schema queries at
+    scale."""
+    fact_dir, dim_dir = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("day_type") == "focus").select("day")
+    return (
+        fact.join(dim, "day")
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            fixed_point_sum(F.col("value"), 6).alias("sum_value"),
+        )
+    )

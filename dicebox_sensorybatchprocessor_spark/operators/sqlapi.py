@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum_sql,
+    fixed_point_sum_sql_spark,
+)
 
 _VIEWS_READY: set[tuple[str, str]] = set()
 
@@ -213,4 +217,223 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / 100.0 / count(*))
             FROM sbp_lineitem l2 WHERE l2.l_partkey = l.l_partkey
           )
+    """)
+
+
+_VOL = "l_extendedprice * (1 - l_discount)"
+_Q7_SPARK = fixed_point_sum_sql_spark("volume", 4)
+_Q7_DUCK = fixed_point_sum_sql("volume", 4)
+
+
+@register(
+    "sql_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {_Q7_DUCK} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year, {_VOL} AS volume
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape via spark.sql: bidirectional nation-pair volume by
+    ship year. Six-way join where BOTH nation dims broadcast and the
+    nation-pair disjunction prunes before the fact-fact join; the
+    subquery projects volume once so the fixed-point sum sees a single
+    expression."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT supp_nation, cust_nation, l_year, {_Q7_SPARK} AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year, {_VOL} AS volume
+          FROM sbp_supplier s JOIN sbp_lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN sbp_orders o ON o.o_orderkey = l.l_orderkey
+            JOIN sbp_customer c ON c.c_custkey = o.o_custkey
+            JOIN sbp_nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN sbp_nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                                 AND TIMESTAMP_NTZ '1997-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """)
+
+
+_Q8_NUM_SPARK = fixed_point_sum_sql_spark(
+    "CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END", 4
+)
+_Q8_DEN_SPARK = fixed_point_sum_sql_spark("volume", 4)
+_Q8_NUM_DUCK = fixed_point_sum_sql(
+    "CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END", 4
+)
+_Q8_DEN_DUCK = fixed_point_sum_sql("volume", 4)
+
+
+@register(
+    "sql_q8_market_share",
+    oracle=f"""
+    SELECT o_year, round(({_Q8_NUM_DUCK}) / ({_Q8_DEN_DUCK}), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year, {_VOL} AS volume, n2.n_name AS nation
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape via spark.sql: national market share = one nation's
+    volume over total volume per order year — the filtered-sum / total-sum
+    ratio computed as TWO exact fixed-point sums divided once, so the
+    6-decimal rounding is bit-identical across engines. Eight-way join;
+    all five dims broadcast."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_year, round(({_Q8_NUM_SPARK}) / ({_Q8_DEN_SPARK}), 6) AS mkt_share
+        FROM (
+          SELECT year(o.o_orderdate) AS o_year, {_VOL} AS volume, n2.n_name AS nation
+          FROM sbp_part p JOIN sbp_lineitem l ON p.p_partkey = l.l_partkey
+            JOIN sbp_orders o ON o.o_orderkey = l.l_orderkey
+            JOIN sbp_customer c ON c.c_custkey = o.o_custkey
+            JOIN sbp_nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN sbp_region r ON n1.n_regionkey = r.r_regionkey
+            JOIN sbp_supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN sbp_nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate BETWEEN TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                                  AND TIMESTAMP_NTZ '1997-12-31 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """)
+
+
+@register(
+    "sql_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, {_Q7_DUCK.replace("volume", "l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape via spark.sql: top-20 customers by lost revenue on
+    returned items in one quarter. Fact-fact join narrowed by the quarter
+    predicate before joining lineitem; deterministic LIMIT via the
+    c_custkey tiebreaker."""
+    _ensure_views(spark, sf_dir)
+    rev = _Q7_SPARK.replace("volume", "l.l_extendedprice * (1 - l.l_discount)")
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_name, {rev} AS revenue, c.c_acctbal, n.n_name
+        FROM sbp_customer c JOIN sbp_orders o ON c.c_custkey = o.o_custkey
+          JOIN sbp_lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN sbp_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1996-10-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """)
+
+
+_Q14_NUM_SPARK = fixed_point_sum_sql_spark(
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4
+)
+_Q14_NUM_DUCK = fixed_point_sum_sql(
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4
+)
+
+
+@register(
+    "sql_q14_promo_effect",
+    oracle=f"""
+    SELECT round(100.0 * ({_Q14_NUM_DUCK}) / ({_Q8_DEN_DUCK.replace("volume", "l_extendedprice * (1 - l_discount)")}), 6)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape via spark.sql: promotion revenue share in one
+    month — the canonical conditional-aggregate-over-join, with both the
+    conditional and total sums exact fixed-point so the percentage rounds
+    identically on both engines. part broadcasts; the month filter pushes
+    to the lineitem scan."""
+    _ensure_views(spark, sf_dir)
+    den = _Q8_DEN_SPARK.replace("volume", "l_extendedprice * (1 - l_discount)")
+    return spark.sql(f"""
+        SELECT round(100.0 * ({_Q14_NUM_SPARK}) / ({den}), 6) AS promo_revenue_pct
+        FROM sbp_lineitem l JOIN sbp_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP_NTZ '1996-09-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP_NTZ '1996-10-01 00:00:00'
+    """)
+
+
+_QTY_SUM_SPARK = "CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0"
+_QTY_SUM_DUCK = "CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0"
+
+
+@register(
+    "sql_q18_large_customers",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {_QTY_SUM_DUCK} AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0 > 300.0
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def sql_q18_large_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape via spark.sql: large-volume customers — an IN over
+    a grouped HAVING (Catalyst plans it as an aggregate + semi-join, no
+    per-row re-execution), then re-aggregation of the surviving orders.
+    Quantity sums are exact single-long fixed-point (≤2 decimals)."""
+    _ensure_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               {_QTY_SUM_SPARK} AS total_qty
+        FROM sbp_customer c JOIN sbp_orders o ON c.c_custkey = o.o_custkey
+          JOIN sbp_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM sbp_lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 > 300.0
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
     """)

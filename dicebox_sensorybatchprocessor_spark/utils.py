@@ -52,6 +52,21 @@ def fixed_point_sum_sql(expr: str, decimals: int) -> str:
     return f"CAST(SUM(CAST(round(({expr}) * {factor}, 0) AS HUGEINT)) AS DOUBLE) / {factor}"
 
 
+def fixed_point_sum_sql_spark(expr: str, decimals: int) -> str:
+    """Spark SQL string form of :func:`fixed_point_sum` (same hi/lo long
+    decomposition), for spark.sql-surface queries that must hash-match the
+    DuckDB HUGEINT oracle. ``expr`` may be any SQL expression, including a
+    CASE WHEN for filtered sums."""
+    factor = float(10**decimals)
+    units = f"CAST(round(({expr}) * {factor}, 0) AS BIGINT)"
+    lo = f"pmod({units}, {_CHUNK})"
+    return (
+        f"CAST(CAST(SUM(CAST(({units} - {lo}) / CAST({_CHUNK} AS DOUBLE) AS BIGINT))"
+        f" AS DECIMAL(38,0)) * {_CHUNK}"
+        f" + CAST(SUM({lo}) AS DECIMAL(38,0)) AS DOUBLE) / {factor}"
+    )
+
+
 def ts_ntz(literal: str) -> Column:
     """TIMESTAMP_NTZ literal — fixture timestamps are naive (FIXTURES.md)."""
     return F.expr(f"TIMESTAMP_NTZ '{literal}'")

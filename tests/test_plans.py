@@ -212,3 +212,12 @@ def test_correlated_subqueries_decorrelate_to_joins(spark, name):
     tree = _final_tree(plan)
     assert "Join" in tree, tree
     assert "Subquery" not in tree, tree
+
+
+def test_dpp_join_prunes_partitions(spark):
+    """join_dpp_partitioned's fact scan must carry a dynamicpruning
+    partition filter derived from the dimension at runtime — the join-
+    driven scan-elimination mechanism that matters most on partitioned
+    100 TB layouts."""
+    plan = _plan(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
