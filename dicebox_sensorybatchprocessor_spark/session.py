@@ -3,9 +3,12 @@
 The profile pins the behaviors every operator depends on:
 
 - ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is
-  nanosecond-precision parquet (FIXTURES.md); PySpark 4.x refuses the
-  read otherwise (PARQUET_TYPE_ILLEGAL). The repair to a real timestamp
-  happens in :mod:`.io`.
+  nanosecond-precision parquet (FIXTURES.md). Early PySpark 4.x builds
+  refuse the read otherwise (PARQUET_TYPE_ILLEGAL) and deliver ns-LONG
+  with it; current builds read TIMESTAMP(NANOS) natively as µs-truncated
+  TIMESTAMP_NTZ and ignore this knob, so :mod:`.io` (batch) and
+  :mod:`.streaming.streams` (staged streams) branch on the observed
+  dtype rather than assuming either behavior.
 - UTC session timezone — fixture timestamps are naive; the DuckDB
   correctness oracle compares naive microsecond values.
 - AQE on — runtime shuffle-partition coalescing and skew-join splitting;

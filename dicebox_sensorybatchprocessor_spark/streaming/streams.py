@@ -33,8 +33,13 @@ from dicebox_sensorybatchprocessor_spark.registry import register
 from dicebox_sensorybatchprocessor_spark.session import ensure_engine_conf
 from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum
 
-# With spark.sql.legacy.parquet.nanosAsLong=true the ns-precision ts column
-# arrives as LONG nanos; streaming file sources need the schema up front.
+# Streaming file sources need the schema up front. Every streaming read in
+# this module goes through a *staged* parquet dir whose ts column is
+# normalized to LONG nanoseconds by _events_raw (see below), so this schema
+# is environment-independent — unlike the raw fixture file, whose read type
+# varies across Spark builds (ns-as-LONG under
+# spark.sql.legacy.parquet.nanosAsLong, native TIMESTAMP_NTZ(µs) where the
+# reader grew TIMESTAMP(NANOS) support and the legacy knob is ignored).
 _EVENTS_RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
@@ -135,27 +140,37 @@ def _stage_files(
     return root
 
 
-_EVENTS_DIR_CACHE: dict[str, str] = {}
+def _events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Single-file staged dir holding the events fixture with ts normalized
+    to LONG nanos — the directory all whole-table streaming reads consume.
 
-
-def _events_dir(sf_dir: str) -> str:
-    """The streaming file source requires a *directory*; expose the single
-    events.parquet fixture file through a symlink in a temp dir (cached per
-    scale factor)."""
-    if sf_dir not in _EVENTS_DIR_CACHE:
-        root = tempfile.mkdtemp(prefix="sbp_events_dir_")
-        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(root, "events.parquet"))
-        _EVENTS_DIR_CACHE[sf_dir] = root
-    return _EVENTS_DIR_CACHE[sf_dir]
+    Previously this was a symlink to the raw fixture file, but the raw
+    file's streaming read type is Spark-build-dependent (TIMESTAMP(NANOS)
+    parquet arrives as ns-LONG on builds honoring nanosAsLong, as a
+    µs-truncated TIMESTAMP_NTZ on builds with native nanos read support —
+    where a user-supplied BIGINT schema silently yields *microseconds*, a
+    1000× unit error). Staging through _events_raw pins the on-disk type
+    to INT64 nanos so _EVENTS_RAW_SCHEMA + _repair are exact everywhere.
+    Cached per sf_dir via _stage_files."""
+    return _stage_files(spark, [_events_raw(spark, sf_dir)], "rawev", cache_key=sf_dir)
 
 
 def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts still as LONG nanos (for re-staging to parquet that the
-    streaming schema above can read back)."""
+    """events with ts as LONG nanos (for re-staging to parquet that the
+    streaming schema above can read back). On Spark builds that read
+    TIMESTAMP(NANOS) parquet natively as TIMESTAMP_NTZ (µs-truncated,
+    nanosAsLong ignored), the column is converted back to ns-LONG —
+    sub-µs digits are already gone in that case, which matches the µs
+    resolution the DuckDB oracle compares at."""
     from dicebox_sensorybatchprocessor_spark.session import ensure_engine_conf
 
     ensure_engine_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") != "bigint":
+        df = df.withColumn(
+            "ts", F.expr("unix_micros(cast(ts as timestamp)) * CAST(1000 AS BIGINT)")
+        )
+    return df
 
 
 @register(
@@ -168,7 +183,7 @@ def source_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at-least-once consume loop ≡ file source + checkpoint) and land every
     row — proves the source path end-to-end incl. the ns-ts repair."""
     spark = _streaming_session(spark)
-    stream = _events_stream(spark, _events_dir(sf_dir))
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
     out = stream.select("event_id", "ts", "user_id", "event_type", "value")
     return _run_to_table(spark, out, "replay", "append")
 
@@ -223,7 +238,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window × event_type aggregation over the stream;
     must equal the batch events_tumbling exactly (batch-equivalence)."""
     spark = _streaming_session(spark)
-    stream = _events_stream(spark, _events_dir(sf_dir))
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
     agg = stream.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
         F.count("*").alias("n_events"),
         fixed_point_sum(F.col("value"), 6).alias("sum_value"),
@@ -248,7 +263,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 15 min slide): each event lands in 4
     windows; the oracle expands the same 4 windows per event."""
     spark = _streaming_session(spark)
-    stream = _events_stream(spark, _events_dir(sf_dir))
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
     agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
         F.count("*").alias("n_events")
     )
@@ -285,7 +300,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-event + gap, which the oracle mirrors. This is the §5.2
     batch-equivalence check binding the two sessionizers together."""
     spark = _streaming_session(spark)
-    stream = _events_stream(spark, _events_dir(sf_dir))
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
     agg = stream.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
     ).agg(F.count("*").alias("n_events"))
@@ -477,7 +492,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⋈static dimension enrichment (broadcast — the dimension ships
     to every task once; stateless) followed by a streaming aggregate."""
     spark = _streaming_session(spark)
-    stream = _events_stream(spark, _events_dir(sf_dir))
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
     dim = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
     joined = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
     agg = joined.groupBy("c_mktsegment").agg(
@@ -507,7 +522,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     older than (watermark − 1 h)."""
     spark = _streaming_session(spark)
     p = (
-        _events_stream(spark, _events_dir(sf_dir))
+        _events_stream(spark, _events_dir(spark, sf_dir))
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -517,7 +532,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "1 hour")
     )
     c = (
-        _events_stream(spark, _events_dir(sf_dir))
+        _events_stream(spark, _events_dir(spark, sf_dir))
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
