@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.setops",
     "dicebox_sensorybatchprocessor_spark.operators.scale",
     "dicebox_sensorybatchprocessor_spark.operators.sqlapi",
+    "dicebox_sensorybatchprocessor_spark.operators.sqldeep",
     "dicebox_sensorybatchprocessor_spark.operators.sampling",
     "dicebox_sensorybatchprocessor_spark.operators.sketches",
     "dicebox_sensorybatchprocessor_spark.operators.analytics",

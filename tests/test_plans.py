@@ -202,7 +202,22 @@ def test_nested_struct_scan_prunes_to_struct(spark):
         assert absent not in schema, schema
 
 
-@pytest.mark.parametrize("name", ["sql_exists_subquery", "sql_scalar_subquery"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sql_exists_subquery",
+        "sql_scalar_subquery",
+        # deep-SQL batch: Q2's correlated scalar-min over a 4-dim join
+        # stack, Q20's nested IN with a correlated scalar over a grouped
+        # derived table, Q21's EXISTS + NOT EXISTS double correlation,
+        # Q22's anti-join — all must land as joins, never re-executed
+        # per outer row.
+        "sql_q2_min_cost_supplier",
+        "sql_q20_promo_concentration",
+        "sql_q21_sole_blame",
+        "sql_q22_dormant_value",
+    ],
+)
 def test_correlated_subqueries_decorrelate_to_joins(spark, name):
     """Correlated EXISTS / scalar-aggregate subqueries must be rewritten
     into joins (semi join / aggregate+join) — a per-outer-row subquery
