@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",
+    "dicebox_sensorybatchprocessor_spark.llm.corpus",
     "dicebox_sensorybatchprocessor_spark.llm.similarity",
     "dicebox_sensorybatchprocessor_spark.llm.text",
     "dicebox_sensorybatchprocessor_spark.llm.multimodal",

@@ -103,3 +103,39 @@ def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "sink_scan_orc",
+    cache_plan=False,
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip: the second columnar lake format Spark
+    ships natively (vectorized reader, predicate pushdown, partition
+    pruning — same scan machinery as parquet). Writes a lineitem
+    projection partitioned by l_returnflag, re-reads it, and aggregates;
+    the oracle checks against the parquet source, so the round-trip must
+    be value-exact including the double money columns."""
+    tmp = tempfile.mkdtemp(prefix="sbp_orc_")
+    out = os.path.join(tmp, "lineitem_orc")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    factor = F.lit(100.0)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * factor, 0).cast("decimal(38,0)")).cast("double")
+            / factor
+        ).alias("sum_price"),
+    )

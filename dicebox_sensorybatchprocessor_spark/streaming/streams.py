@@ -791,3 +791,46 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@register(
+    cache_plan=False,
+    name="stream_sink_parquet",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 streaming persist to a partitioned lake layout: the events stream
+    lands via the native parquet sink partitioned by event_type (exactly-
+    once per file through the checkpoint's file-manifest commit protocol),
+    then the read-back aggregates per partition. This is the streaming
+    twin of sink_parquet_part — at scale the same writeStream runs
+    continuously and downstream batch readers see only committed files,
+    with partition pruning on event_type."""
+    spark = _streaming_session(spark)
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="sbp_ssink_out_")
+    ck = tempfile.mkdtemp(prefix="sbp_ck_ssink_")
+    q = (
+        stream.select("event_id", "ts", "event_type", "value")
+        .writeStream.format("parquet")
+        .partitionBy("event_type")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    factor = F.lit(1000000.0)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum(F.round(F.col("value") * factor, 0).cast("decimal(38,0)")).cast("double")
+            / factor
+        ).alias("sum_value"),
+    )
