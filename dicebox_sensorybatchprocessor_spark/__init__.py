@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.sampling",
     "dicebox_sensorybatchprocessor_spark.operators.sketches",
     "dicebox_sensorybatchprocessor_spark.operators.analytics",
+    "dicebox_sensorybatchprocessor_spark.operators.maintenance",
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",

@@ -343,3 +343,43 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= 0.8)
         .select("doc_a", "doc_b", "n_common", F.round(containment, 6).alias("containment"))
     )
+
+
+@register(
+    "text_canonicalize",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS canon_key,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens
+      FROM documents
+    )
+    SELECT c.doc_id, c.canon_key, c.n_unique_tokens,
+           g.group_size
+    FROM canon c
+    JOIN (SELECT canon_key, CAST(count(*) AS BIGINT) AS group_size
+          FROM canon GROUP BY canon_key) g
+      ON g.canon_key = c.canon_key
+    """,
+)
+def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words canonicalization for permutation-invariant dedup:
+    sorted-unique-token form hashed to a canon key, plus the size of each
+    canon group — documents that are word-permutations or repetitions of
+    each other collide on the key even though every char-shingle method
+    sees them as different. All JVM array functions (split → distinct →
+    sort → join → md5), one extra hash-aggregate for group sizes; at
+    scale the canon key replaces raw text in the exact-dedup hash-agg, so
+    the cost profile is identical to dedup_exact."""
+    d = load(spark, sf_dir, "documents")
+    canon = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("canon_key"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("n_unique_tokens"),
+    )
+    groups = canon.groupBy("canon_key").agg(F.count("*").alias("group_size"))
+    return canon.join(groups, "canon_key").select(
+        "doc_id", "canon_key", "n_unique_tokens", "group_size"
+    )

@@ -834,3 +834,98 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             / factor
         ).alias("sum_value"),
     )
+
+
+@register(
+    cache_plan=False,
+    name="stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream⋈stream join: purchases with their
+    same-user clicks in the preceding hour, *including* purchases with no
+    such click — the null-extended rows a funnel/attribution pipeline
+    needs. Matches emit as they are found; an unmatched purchase can only
+    emit once the global watermark proves no matching click can still
+    arrive, so the state-eviction machinery — not the join condition — is
+    what this op exercises. The replay appends a far-future
+    watermark-advancer file (impossible user_ids: its click joins
+    nothing, its purchase stays in state, never past its own watermark)
+    and re-runs on the shared checkpoint until the sink stops growing —
+    outer emission frequently needs one batch beyond the watermark
+    commit, which a single availableNow run does not deliver."""
+    spark = _streaming_session(spark)
+    staged = _stage_files(spark, [_events_raw(spark, sf_dir)], "ssoj")
+    future_ns = 1735689600 * 1_000_000_000  # 2025-01-01, ~11 months past fixture end
+    advancer = spark.createDataFrame(
+        [(-10, future_ns, -1, "click", 0.0, "{}"), (-11, future_ns, -2, "purchase", 0.0, "{}")],
+        schema=_EVENTS_RAW_SCHEMA,
+    )
+    adv_dir = _stage_files(spark, [advancer], "ssoj_adv")
+    ck = tempfile.mkdtemp(prefix="sbp_ck_ssoj_")
+    out_dir = tempfile.mkdtemp(prefix="sbp_ssoj_out_")
+
+    def run_once() -> None:
+        src = _events_stream(spark, staged)
+        p = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        joined = p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        ).select("purchase_id", "click_id", "user_id")
+
+        def persist(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            joined.writeStream.foreachBatch(persist)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # drains the data; outer rows still held back by the watermark
+    os.rename(
+        os.path.join(adv_dir, "part-000.parquet"),
+        os.path.join(staged, "part-100.parquet"),
+    )
+    # Re-run on the shared checkpoint until the sink stops growing: the
+    # advancer batch commits the far-future watermark, the next batch
+    # evicts state and emits the null-extended rows. Bounded retries keep
+    # this deterministic without relying on per-build batch scheduling.
+    prev = -1
+    for _ in range(4):
+        run_once()
+        n = spark.read.parquet(out_dir).count()
+        if n == prev:
+            break
+        prev = n
+    back = spark.read.parquet(out_dir)
+    return back.filter(F.col("purchase_id") >= 0)
