@@ -236,3 +236,30 @@ def test_dpp_join_prunes_partitions(spark):
     100 TB layouts."""
     plan = _plan(spark, "join_dpp_partitioned")
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_corpus_sample_rates_join_broadcasts(spark):
+    """corpus_sample_temperature's per-source rates table (≤20 rows) must
+    broadcast — a shuffled join keyed on 20 sources would put the whole
+    corpus through a 20-partition exchange at scale."""
+    plan = _plan(spark, "corpus_sample_temperature")
+    assert "BroadcastHashJoin" in _final_tree(plan), plan[:2000]
+
+
+def test_emb_quantize_stays_jvm_side(spark):
+    """emb_quantize_int8 is pure higher-order-function arithmetic: no
+    Python evaluation node and no shuffle — one scan, one project."""
+    plan = _plan(spark, "emb_quantize_int8")
+    tree = _final_tree(plan)
+    assert "BatchEvalPython" not in tree, tree
+    assert "ArrowEvalPython" not in tree, tree
+    assert "Exchange" not in tree, tree
+
+
+def test_dedup_incremental_no_python(spark):
+    """dedup_incremental's fingerprint probes are hash joins over
+    engine-side hashes — no Python evaluation anywhere."""
+    plan = _plan(spark, "dedup_incremental")
+    tree = _final_tree(plan)
+    assert "BatchEvalPython" not in tree, tree
+    assert "ArrowEvalPython" not in tree, tree
