@@ -393,3 +393,79 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_click_id"),
         F.when(pick_back, b_delta).otherwise(f_delta).alias("delta_us"),
     )
+
+
+@register(
+    "join_interval_chunked",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(ts) AS p_start, epoch_us(ts) + 1800000000 AS p_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id,
+             epoch_us(ts) AS c_start, epoch_us(ts) + 1800000000 AS c_end
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, c.click_id, p.user_id,
+           least(p.p_end, c.c_end) - greatest(p.p_start, c.c_start) AS overlap_us
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND p.p_start <= c.c_end AND c.c_start <= p.p_end
+    """,
+)
+def join_interval_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via time chunking: 30-minute activity windows
+    around purchases and clicks, matched when they overlap for the same
+    user. The naive form is a theta-join — O(rows²) per user key. Here
+    each interval is exploded onto the 1-hour grid chunks it touches
+    (≤ 2 for a 30-minute interval), the join is an EQUI-join on
+    (user_id, chunk) with the exact overlap predicate as a residual, and
+    duplicates (pairs meeting in two chunks) collapse with one distinct.
+    That turns the per-key cross product into hash lookups — the standard
+    interval-join decomposition at 100 TB, where chunk width trades join
+    fan-out (intervals/chunk)² against duplicate factor (chunks/interval).
+    The exact overlap length is integer µs arithmetic, identical on both
+    engines; the oracle runs the naive theta-join."""
+    _HALF_H = 1_800_000_000  # 30 min in µs
+    _CHUNK = 3_600_000_000  # 1 h grid
+    ev = load(spark, sf_dir, "events")
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def side(etype: str, idc: str, s: str, e: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(idc),
+                "user_id",
+                start.alias(s),
+                (start + _HALF_H).alias(e),
+            )
+            .withColumn(
+                "chunk",
+                F.explode(
+                    F.sequence(
+                        (F.col(s) / _CHUNK).cast("bigint"),
+                        (F.col(e) / _CHUNK).cast("bigint"),
+                    )
+                ),
+            )
+        )
+
+    p = side("purchase", "purchase_id", "p_start", "p_end")
+    c = side("click", "click_id", "c_start", "c_end")
+    return (
+        p.join(c, ["user_id", "chunk"])
+        .filter(
+            (F.col("p_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("p_end"))
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (
+                F.least("p_end", "c_end") - F.greatest("p_start", "c_start")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

@@ -263,3 +263,15 @@ def test_dedup_incremental_no_python(spark):
     tree = _final_tree(plan)
     assert "BatchEvalPython" not in tree, tree
     assert "ArrowEvalPython" not in tree, tree
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """join_interval_chunked's whole point is turning an interval theta-
+    join into an equi-join on (user_id, chunk): the plan must be a hash/
+    sort-merge equi-join with the overlap predicate as a residual, never
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _plan(spark, "join_interval_chunked")
+    tree = _final_tree(plan)
+    assert "NestedLoop" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert any(j in tree for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), tree
