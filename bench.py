@@ -67,6 +67,21 @@ LLM_BLOCK = [
     "stream_tumbling",
 ]
 
+# Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H
+# shapes and the interval/CDC joins, same protocol, with same-machine
+# DuckDB baselines in BASELINE.md (scripts/measure_llm_baseline.py sql).
+# join_interval_chunked is the interesting ratio: Spark runs the chunked
+# equi-join decomposition while the DuckDB baseline runs the naive
+# interval theta-join the decomposition replaces.
+SQL_BLOCK = [
+    "sql_q2_min_cost_supplier",
+    "sql_q9_product_profit",
+    "sql_q13_order_distribution",
+    "sql_q21_sole_blame",
+    "join_interval_chunked",
+    "cdc_snapshot_diff",
+]
+
 
 def _timed_runs(fn, runs: int) -> list[float]:
     ts = []
@@ -107,16 +122,21 @@ def main() -> None:
         timings[name] = _best(runs)
         medians[name] = _median(runs)
 
-    llm_timings: dict[str, float] = {}
-    llm_medians: dict[str, float] = {}
-    for name in LLM_BLOCK:
-        if name not in specs:
-            continue
-        fn = specs[name].fn
-        fn(spark, sf_dir).toPandas()  # warm-up
-        runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), 3)
-        llm_timings[name] = _best(runs)
-        llm_medians[name] = _median(runs)
+    def _block(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        bests: dict[str, float] = {}
+        meds: dict[str, float] = {}
+        for name in names:
+            if name not in specs:
+                continue
+            fn = specs[name].fn
+            fn(spark, sf_dir).toPandas()  # warm-up
+            runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), 3)
+            bests[name] = _best(runs)
+            meds[name] = _median(runs)
+        return bests, meds
+
+    llm_timings, llm_medians = _block(LLM_BLOCK)
+    sql_timings, sql_medians = _block(SQL_BLOCK)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -130,6 +150,8 @@ def main() -> None:
                 "total_median_of_3": round(sum(medians.values()), 4),
                 "llm_queries": llm_timings,
                 "llm_queries_median_of_3": llm_medians,
+                "sql_queries": sql_timings,
+                "sql_queries_median_of_3": sql_medians,
                 "sf": sf,
                 "protocol_note": (
                     "warm-up pass + best-of-3 AND median-of-3 per query; "

@@ -24,17 +24,7 @@ sys.path.insert(0, "/root/repo")
 
 from dicebox_sensorybatchprocessor_spark import all_queries  # noqa: E402
 
-LLM_BLOCK = [
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_near_verified",
-    "dedup_minhash_banded",
-    "dedup_simhash",
-    "sim_knn_query",
-    "text_quality",
-    "pipeline_corpus_preprocess",
-    "stream_tumbling",
-]
+from bench import LLM_BLOCK, SQL_BLOCK  # noqa: E402  (single source of truth)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -43,6 +33,7 @@ TABLES = (
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    block = LLM_BLOCK if (len(sys.argv) < 3 or sys.argv[2] == "llm") else SQL_BLOCK
     specs = all_queries()
     con = duckdb.connect()
     for t in TABLES:
@@ -50,7 +41,7 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     out = {}
-    for name in LLM_BLOCK:
+    for name in block:
         sql = specs[name].oracle
         con.execute(sql).fetchdf()  # warm-up
         runs = []

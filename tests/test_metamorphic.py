@@ -154,3 +154,37 @@ def test_cosine_guard_routes_to_lsh_beyond_budget(spark, monkeypatch):
     )
     out = S.sim_cosine_topk.__wrapped__(spark, SF_ORACLE)
     assert out.count() == 10
+
+
+def test_interval_chunk_width_invariance(spark):
+    """join_interval_chunked's result must be independent of the chunk
+    width — the grid is an execution strategy, not semantics. Recompute
+    with a naive per-user theta join (no chunking) and compare exactly;
+    a lost pair here would mean an interval's chunk cover missed a
+    chunk shared with an overlapping interval."""
+    specs = all_queries()
+    chunked = specs["join_interval_chunked"].fn(spark, SF_ORACLE)
+
+    ev = load(spark, SF_ORACLE, "events")
+    half_h = 1_800_000_000
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def side(etype, idc, s, e):
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(idc), "user_id", start.alias(s), (start + half_h).alias(e)
+        )
+
+    p, c = side("purchase", "purchase_id", "p_start", "p_end"), side("click", "click_id", "c_start", "c_end")
+    naive = (
+        p.join(c, "user_id")
+        .filter((F.col("p_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("p_end")))
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.least("p_end", "c_end") - F.greatest("p_start", "c_start")).alias("overlap_us"),
+        )
+    )
+    assert chunked.count() == naive.count()
+    assert chunked.exceptAll(naive).count() == 0
+    assert naive.exceptAll(chunked).count() == 0
