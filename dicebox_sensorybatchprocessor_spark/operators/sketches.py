@@ -239,3 +239,52 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("estimate") >= F.col("n_true")).alias("cms_overestimates"),
         (F.col("estimate") <= F.col("n_true") + eps * total).alias("cms_within_eps"),
     )
+
+
+@register(
+    "sketch_hll_merge",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_equals_direct,
+           TRUE AS estimate_within_5pct
+    FROM events
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg family) — the pattern behind every incremental
+    rollup at 100 TB: sketch each day partition once, store the binary
+    sketch, answer any date-range distinct query by unioning sketches
+    instead of rescanning raw data. Register-wise max makes
+    union(daily sketches) ≡ sketch(whole table) *exactly* (same lgK), so
+    that identity is emitted as a checked claim next to the exact
+    distinct count DuckDB recomputes, plus a 5% accuracy bound claim
+    (fixture cardinalities sit in HLL's near-exact regime; the default
+    lgK=12 rsd is ~1.6%, so the bound has wide margin)."""
+    from pyspark.sql.functions import (
+        hll_sketch_agg,
+        hll_sketch_estimate,
+        hll_union_agg,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        hll_sketch_agg("user_id").alias("sk")
+    )
+    merged_est = daily.agg(
+        hll_sketch_estimate(hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct_est = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    exact = ev.agg(F.count_distinct("user_id").alias("n")).first()["n"]
+    return spark.createDataFrame(
+        [
+            (
+                int(exact),
+                bool(merged_est == direct_est),
+                bool(abs(direct_est - exact) <= 0.05 * exact),
+            )
+        ],
+        "exact_distinct BIGINT, merged_equals_direct BOOLEAN, estimate_within_5pct BOOLEAN",
+    )

@@ -278,3 +278,51 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS first_occ
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_occ) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not directly expressible in
+    either engine (distinct aggregates are unsupported in window frames),
+    so it decomposes into two plain windows: flag each (user, type)'s
+    first occurrence via row_number, then running-sum the flags. Both
+    windows sort once per user partition on the same (ts, event_id) total
+    order, so Spark plans a single shuffle + sort with two Window nodes —
+    the standard rewrite that keeps an otherwise O(n·k) running-distinct
+    linear."""
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_occ"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_occ").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+    )
