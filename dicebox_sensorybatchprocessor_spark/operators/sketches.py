@@ -245,8 +245,8 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_hll_merge",
     oracle="""
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-           TRUE AS merged_equals_direct,
-           TRUE AS estimate_within_5pct
+           TRUE AS merged_within_5pct,
+           TRUE AS direct_within_5pct
     FROM events
     """,
 )
@@ -255,12 +255,16 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's hll_sketch_agg family) — the pattern behind every incremental
     rollup at 100 TB: sketch each day partition once, store the binary
     sketch, answer any date-range distinct query by unioning sketches
-    instead of rescanning raw data. Register-wise max makes
-    union(daily sketches) ≡ sketch(whole table) *exactly* (same lgK), so
-    that identity is emitted as a checked claim next to the exact
-    distinct count DuckDB recomputes, plus a 5% accuracy bound claim
-    (fixture cardinalities sit in HLL's near-exact regime; the default
-    lgK=12 rsd is ~1.6%, so the bound has wide margin)."""
+    instead of rescanning raw data. Both the union-of-daily-sketches
+    estimate and the direct whole-table estimate are claimed within 5% of
+    the exact distinct count DuckDB recomputes (default lgK=12 rsd is
+    ~1.6%, so the bound has wide margin at any fixture scale). The two
+    estimates are NOT claimed identical: they agree bit-for-bit only in
+    the sparse coupon regime (true at sf0.01's 150 users); at sf0.1's
+    1500 users the sketches promote to dense HLL mode, where
+    union-then-estimate and direct-estimate legitimately differ inside
+    the error bound — measured here so the claim is the guarantee HLL
+    actually provides, not one a scale change falsifies."""
     from pyspark.sql.functions import (
         hll_sketch_agg,
         hll_sketch_estimate,
@@ -282,9 +286,9 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(exact),
-                bool(merged_est == direct_est),
+                bool(abs(merged_est - exact) <= 0.05 * exact),
                 bool(abs(direct_est - exact) <= 0.05 * exact),
             )
         ],
-        "exact_distinct BIGINT, merged_equals_direct BOOLEAN, estimate_within_5pct BOOLEAN",
+        "exact_distinct BIGINT, merged_within_5pct BOOLEAN, direct_within_5pct BOOLEAN",
     )
