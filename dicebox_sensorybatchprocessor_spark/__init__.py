@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.sketches",
     "dicebox_sensorybatchprocessor_spark.operators.analytics",
     "dicebox_sensorybatchprocessor_spark.operators.maintenance",
+    "dicebox_sensorybatchprocessor_spark.operators.quality",
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",

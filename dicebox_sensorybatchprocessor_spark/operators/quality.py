@@ -1,0 +1,140 @@
+"""Data-quality operators — the validation gates a production lake runs
+before promoting a batch (the reference's R2 validate stage generalized
+to table level, Deequ-style):
+
+- ``dq_profile``: per-column completeness / cardinality / range profile
+  of the events table, computed in ONE pass (every metric is an
+  aggregate over the same scan — no per-column jobs). At 100 TB this is
+  the single-scan profiling job whose output feeds anomaly detection;
+  the per-column metrics are plain aggregates, so partial aggregation
+  and AQE apply as for any rollup.
+- ``dq_constraints``: referential-integrity and domain checks as
+  anti-join counts (orphaned FKs) and predicate-violation counts, one
+  row per constraint with the violating-row count and a pass flag —
+  exactly the shape a CI gate consumes. Anti joins broadcast the PK
+  side's keys; no constraint requires more than one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+
+@register(
+    "dq_profile",
+    oracle="""
+    SELECT 'events' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(event_id) AS BIGINT) AS event_id_nonnull,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS event_id_distinct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS value_negative,
+           min(ts) AS ts_min,
+           max(ts) AS ts_max
+    FROM events
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile: completeness (non-null counts), key
+    uniqueness (distinct vs row count), categorical cardinality, numeric
+    range + sign violations, event-time span. One scan, one aggregate —
+    the profile a 100 TB lake computes per batch promotion, not one job
+    per column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.count("event_id").alias("event_id_nonnull"),
+        F.count_distinct("event_id").alias("event_id_distinct"),
+        F.count_distinct("user_id").alias("user_id_distinct"),
+        F.count_distinct("event_type").alias("event_type_distinct"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("bigint").alias("value_negative"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+@register(
+    "dq_constraints",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_custkey_fk' AS constraint_name,
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_violations
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem_discount_domain',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_discount < 0.0 OR l_discount > 0.5) AS BIGINT)
+      UNION ALL
+      SELECT 'orders_status_domain',
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+      UNION ALL
+      SELECT 'events_props_json',
+             CAST((SELECT count(*) FROM events
+                   WHERE json_extract(props, '$.k') IS NULL) AS BIGINT)
+    )
+    ORDER BY constraint_name
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation as a one-row-per-check report: FK integrity
+    via anti joins (the PK side reduces to a distinct-key broadcast),
+    domain checks as predicate counts, JSON extractability as a parse
+    probe. The report unions five scalar aggregates — each an
+    independent branch Spark schedules concurrently — and a CI gate
+    promotes the batch iff every n_violations is 0 (the pass flag is
+    derivable, kept out of the output so the oracle stays pure SQL)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        check(
+            "orders_custkey_fk",
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
+        ),
+        check(
+            "lineitem_orderkey_fk",
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        check(
+            "lineitem_discount_domain",
+            lineitem.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)),
+        ),
+        check(
+            "orders_status_domain",
+            orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+        check(
+            "events_props_json",
+            events.filter(F.get_json_object("props", "$.k").isNull()),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
