@@ -929,3 +929,60 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = n
     back = spark.read.parquet(out_dir)
     return back.filter(F.col("purchase_id") >= 0)
+
+
+@register(
+    cache_plan=False,
+    name="stream_session_dynamic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 3600000000 ELSE 1800000000 END AS end_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, end_us,
+             CASE WHEN epoch_us(ts) > max(end_us) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ), numbered AS (
+      SELECT user_id, ts, end_us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           make_timestamp(max(end_us)) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: purchases hold a session open for
+    60 minutes, everything else 30 — session_window with a per-row gap
+    expression, the form engagement analytics actually needs (heavier
+    events imply longer attention). Each event spans [ts, ts+gap);
+    overlapping spans merge; the session end is the max event end. The
+    oracle is the interval-union sessionization: break when ts exceeds
+    the running max end of all prior events (a plain lag is wrong here —
+    a long-gap event can bridge over a later short-gap event's break
+    point, which is exactly what distinguishes dynamic from fixed-gap
+    semantics)."""
+    spark = _streaming_session(spark)
+    stream = _events_stream(spark, _events_dir(spark, sf_dir))
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = stream.groupBy(F.session_window("ts", gap), F.col("user_id")).agg(
+        F.count("*").alias("n_events")
+    )
+    out = _run_to_table(spark, agg, "session_dyn", "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
