@@ -188,3 +188,47 @@ def test_interval_chunk_width_invariance(spark):
     assert chunked.count() == naive.count()
     assert chunked.exceptAll(naive).count() == 0
     assert naive.exceptAll(chunked).count() == 0
+
+
+def test_cdc_diff_reconstructs_new_snapshot(spark):
+    """Applying cdc_snapshot_diff's change semantics to the old snapshot
+    must reconstruct the new snapshot exactly: old − deletes − updated
+    old-rows + inserts + updated new-rows == new. This checks the diff's
+    COMPLETENESS (no missed or spurious changes), which the aggregated
+    count oracle alone cannot."""
+    from dicebox_sensorybatchprocessor_spark.operators.maintenance import (
+        _NEW_PRICE,
+        _NEW_SNAP,
+        _OLD_SNAP,
+    )
+
+    o = load(spark, SF_ORACLE, "orders")
+    old_snap = o.filter(F.expr(_OLD_SNAP.format(ts="TIMESTAMP_NTZ"))).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_snap = o.filter(F.expr(_NEW_SNAP.format(ts="TIMESTAMP_NTZ"))).select(
+        "o_orderkey", "o_orderstatus", F.expr(_NEW_PRICE).alias("o_totalprice")
+    )
+    jo = old_snap.alias("o").join(
+        new_snap.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    row_o = F.concat_ws("|", F.col("o.o_orderstatus"), F.col("o.o_totalprice").cast("string"))
+    row_n = F.concat_ws("|", F.col("n.o_orderstatus"), F.col("n.o_totalprice").cast("string"))
+    deletes = jo.filter(F.col("n.o_orderkey").isNull()).select(F.col("o.o_orderkey").alias("k"))
+    inserts = jo.filter(F.col("o.o_orderkey").isNull()).select(
+        F.col("n.o_orderkey"), F.col("n.o_orderstatus"), F.col("n.o_totalprice")
+    )
+    updates_new = jo.filter(
+        F.col("o.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull() & (row_o != row_n)
+    ).select(F.col("n.o_orderkey"), F.col("n.o_orderstatus"), F.col("n.o_totalprice"))
+    update_keys = updates_new.select(F.col("o_orderkey").alias("k"))
+
+    reconstructed = (
+        old_snap.join(deletes, old_snap.o_orderkey == deletes.k, "left_anti")
+        .join(update_keys, old_snap.o_orderkey == update_keys.k, "left_anti")
+        .unionByName(inserts)
+        .unionByName(updates_new)
+    )
+    assert reconstructed.count() == new_snap.count()
+    assert reconstructed.exceptAll(new_snap).count() == 0
+    assert new_snap.exceptAll(reconstructed).count() == 0
