@@ -306,9 +306,16 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows sort once per user partition on the same (ts, event_id) total
     order, so Spark plans a single shuffle + sort with two Window nodes —
     the standard rewrite that keeps an otherwise O(n·k) running-distinct
-    linear."""
+    linear.
+
+    Both windows partition by user_id alone — the first-occurrence flag
+    comes from a type-change boundary under a (event_type, ts, event_id)
+    sort rather than a row_number per (user_id, event_type), so the two
+    Window nodes share ONE exchange (re-partitioning by (user, type) for
+    the flag and again by user for the running sum would shuffle the
+    table twice; plan-asserted single-Exchange in tests/test_plans.py)."""
     ev = load(spark, sf_dir, "events")
-    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -318,8 +325,13 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        "event_type",
-        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_occ"),
+        F.when(
+            F.lag("event_type", 1).over(w_type).isNull()
+            | (F.lag("event_type", 1).over(w_type) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("first_occ"),
     )
     return flagged.select(
         "user_id",

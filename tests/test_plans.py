@@ -275,3 +275,14 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "NestedLoop" not in tree, tree
     assert "CartesianProduct" not in tree, tree
     assert any(j in tree for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), tree
+
+
+def test_running_distinct_single_exchange(spark):
+    """win_running_distinct's two Window nodes must share one user_id
+    exchange (the flag window deliberately avoids partitioning by
+    (user_id, event_type), which would shuffle the table a second
+    time)."""
+    plan = _plan(spark, "win_running_distinct")
+    tree = _final_tree(plan)
+    assert tree.count("Window (") >= 2 or tree.count("Window(") >= 2, tree
+    assert len(re.findall(r"Exchange \(\d+\)", tree)) == 1, tree
