@@ -139,3 +139,54 @@ def sink_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / factor
         ).alias("sum_price"),
     )
+
+
+@register(
+    "scan_schema_evolution",
+    cache_plan=False,
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                THEN o_orderpriority END AS priority_v2,
+           o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS from_v2
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a lake directory whose older files lack a
+    column added later (v1 = 1997 orders without priority_v2, v2 = 1998
+    orders with it), read back with mergeSchema — Spark unions the file
+    schemas and NULL-fills the missing column for old files, which is how
+    a 100 TB lake absorbs additive schema changes without rewriting
+    history. The oracle derives the same NULL pattern from o_orderdate.
+    mergeSchema costs one footer read per file at planning; production
+    pins the merged schema in a metastore instead — the read path
+    exercised here is identical."""
+    o = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="sbp_evo_")
+    v1 = o.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")
+    v2 = o.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.col("o_orderpriority").alias("priority_v2"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(tmp, "d=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(tmp, "d=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(tmp, "d=v1"), os.path.join(tmp, "d=v2")
+    )
+    return back.select(
+        "o_orderkey",
+        "o_totalprice",
+        "priority_v2",
+        F.col("priority_v2").isNotNull().alias("from_v2"),
+    )
