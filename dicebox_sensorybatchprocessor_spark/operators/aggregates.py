@@ -75,7 +75,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (no group-by) aggregate."""
+    """Global (no group-by) aggregate — partial aggregation on every
+    partition then a single-row final merge; the shuffle moves one row
+    per partition regardless of input size."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),

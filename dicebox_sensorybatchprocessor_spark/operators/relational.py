@@ -63,7 +63,9 @@ def filter_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-list predicate."""
+    """IN-list predicate — compiles to an In expression the parquet scan
+    receives as PushedFilters (plan-asserted in tests/test_plans.py), so
+    row groups without matching dictionary entries are skipped."""
     o = load(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -93,7 +95,9 @@ def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE and regexp predicates."""
+    """LIKE and regexp predicates — the LIKE prefix/suffix forms push down
+    as StringContains/StartsWith; the regexp stays a codegen'd residual
+    filter (regexps are not pushable), evaluated JVM-side."""
     p = load(spark, sf_dir, "part")
     pred = F.col("p_name").like("%gold%") | (
         F.col("p_brand").like("Brand#1%") & F.col("p_type").rlike("^(ECONOMY|PROMO)$")
