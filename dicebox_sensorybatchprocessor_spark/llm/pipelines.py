@@ -130,3 +130,86 @@ def pipeline_sensory_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("prop_k").alias("n_with_prop"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "pipeline_train_export",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE n_chars BETWEEN 80 AND 500
+    ), canon AS (
+      SELECT *,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS canon_key
+      FROM gated
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY canon_key ORDER BY doc_id) AS rn
+        FROM canon) t
+      WHERE rn = 1
+    ), assigned AS (
+      SELECT *,
+             CASE
+               WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                 THEN 'train'
+               WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM deduped
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data export in ONE registered plan: quality gate
+    (length bounds — pushed to the scan) → permutation-invariant
+    canonical dedup (bag-of-words key, keep lowest doc_id) → deterministic
+    content-keyed 80/10/10 split → per-(lang, split) manifest with token
+    budgets. Three shuffles end-to-end (canon key, none for the split —
+    it's a pure per-row expression — and the manifest rollup); every
+    stage is the scale-shaped variant the standalone ops establish
+    (md5-bucket split is partition-invariant, canon dedup costs one
+    hash-agg like dedup_exact). This is the 'a reference user runs their
+    entire preprocess here' capstone."""
+    d = load(spark, sf_dir, "documents")
+    gated = d.filter(F.col("n_chars").between(80, 500)).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("bigint")
+    )
+    canon = gated.withColumn(
+        "canon_key",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")),
+    )
+    w = Window.partitionBy("canon_key").orderBy("doc_id")
+    deduped = canon.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(10),
+    )
+    assigned = deduped.withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"),
+    )
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
