@@ -360,3 +360,97 @@ def agg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("u").cast("double") / 1000000.0).alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY date_trunc('hour', ts)
+    ), scored AS (
+      SELECT hour_start, n_events,
+             avg(n_events) OVER w AS trail_mean,
+             stddev_samp(n_events) OVER w AS trail_std,
+             count(*) OVER w AS n_trail
+      FROM hourly
+      WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_start, n_events,
+           round((n_events - trail_mean) / trail_std, 6) AS zscore
+    FROM scored
+    WHERE n_trail = 24 AND trail_std > 0
+      AND abs((n_events - trail_mean) / trail_std) >= 2.0
+    ORDER BY hour_start
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: hourly event counts scored against the
+    trailing 24 CLOSED hours (frame ends at 1 PRECEDING — including the
+    current hour would let the anomaly suppress its own z-score), flagged
+    at |z| ≥ 2. The trailing mean/stddev are over exact integer counts,
+    so the float math is the same two IEEE ops on both engines. Shape:
+    one shuffle to hourly grain (map-side combined), then a single-pass
+    window over a series 5 orders of magnitude smaller than the input —
+    the monitoring rollup pattern where the expensive part is the first
+    aggregate, not the analytics on top."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.orderBy("hour_start").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "hour_start",
+        "n_events",
+        F.avg("n_events").over(w).alias("trail_mean"),
+        F.stddev_samp("n_events").over(w).alias("trail_std"),
+        F.count("*").over(w).alias("n_trail"),
+    )
+    z = (F.col("n_events") - F.col("trail_mean")) / F.col("trail_std")
+    return (
+        scored.filter((F.col("n_trail") == 24) & (F.col("trail_std") > 0) & (F.abs(z) >= 2.0))
+        .select("hour_start", "n_events", F.round(z, 6).alias("zscore"))
+    )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_type
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+    GROUP BY a.p_type, b.p_type
+    ORDER BY n_orders DESC, type_a, type_b
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: how often two part types appear in the same
+    order — the basket self-join. The DISTINCT-first projection is the
+    scale move: the join fans out per order as (distinct types)², capped
+    at 6 types here (≤15 pairs/order) instead of (lineitems)² (up to
+    7²=49) — on a 100 TB basket table that pre-distinct is the difference
+    between a bounded and an unbounded fan-out, and the < ordering halves
+    the pair space while making pairs canonical."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b"))
+        .agg(F.count("*").alias("n_orders"))
+    )
