@@ -458,3 +458,57 @@ def emb_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(dot / (norm(emb) * norm(F.col("centroid"))), 6).alias("cos_to_centroid"),
     )
+
+
+@register(
+    "emb_label_margin",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id, a.label AS label_a, b.label AS label_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id,
+           round(max(CASE WHEN label_a = label_b THEN cos END), 6) AS same_label_max,
+           round(max(CASE WHEN label_a <> label_b THEN cos END), 6) AS other_label_max,
+           round(max(CASE WHEN label_a = label_b THEN cos END)
+                 - max(CASE WHEN label_a <> label_b THEN cos END), 6) AS margin
+    FROM pairs GROUP BY vec_id
+    """,
+)
+def emb_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: per vector, the nearest same-label cosine
+    minus the nearest other-label cosine — positive margin means the
+    label structure survives in embedding space (the 1-NN leave-one-out
+    signal retrieval teams track per training run). Exact all-pairs
+    formulation in pure JVM higher-order functions (zip_with dot,
+    aggregate norms); conditional maxes need one shuffle on vec_id. At
+    corpus scale the same margins come from the ANN side (sim_ann_lsh /
+    sim_ann_ivf candidates), with this exact form as the audit on a
+    sample — the same exact-verifies-approximate posture as the dedup
+    family."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id"),
+        F.col("label").alias("label_a"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("label").alias("label_b"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vb"),
+    )
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
+    na = F.expr("sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
+    nb = F.expr("sqrt(aggregate(transform(vb, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
+    pairs = (
+        a.join(b, F.col("vec_id") != F.col("vid_b"))
+        .select("vec_id", "label_a", "label_b", (dot / (na * nb)).alias("cos"))
+    )
+    same_max = F.max(F.when(F.col("label_a") == F.col("label_b"), F.col("cos")))
+    other_max = F.max(F.when(F.col("label_a") != F.col("label_b"), F.col("cos")))
+    return pairs.groupBy("vec_id").agg(
+        F.round(same_max, 6).alias("same_label_max"),
+        F.round(other_max, 6).alias("other_label_max"),
+        F.round(same_max - other_max, 6).alias("margin"),
+    )
