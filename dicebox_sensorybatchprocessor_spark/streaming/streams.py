@@ -986,3 +986,72 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    cache_plan=False,
+    name="stream_upsert_merge",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_id % 3 AS version,
+             count(*) AS n_events,
+             CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE) / 1000000.0
+               AS sum_value
+      FROM events GROUP BY user_id, event_id % 3
+    )
+    SELECT user_id, n_events, sum_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+          FROM versions) t
+    WHERE rn = 1
+    """,
+)
+def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink (foreachBatch merge): each micro-batch holds a
+    new VERSION of per-user aggregates (batches = event_id%3 slices with
+    ordered mtimes ⇒ deterministic batch↔version mapping); the sink
+    merges by key — later versions overwrite earlier ones, unseen keys
+    survive — by rewriting a keyed parquet store per batch (anti-join old
+    ⊎ new). This is the CDC-sink / Delta-MERGE pattern on plain parquet:
+    at scale the store is partitioned by key-hash and only partitions
+    containing changed keys rewrite. The final table must equal
+    keep-latest-version-per-user, which the oracle computes from raw
+    events."""
+    spark = _streaming_session(spark)
+    raw = _events_raw(spark, sf_dir)
+    parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    staged = _stage_files(spark, parts, "upsert3", cache_key=sf_dir)
+    store = tempfile.mkdtemp(prefix="sbp_upsert_store_")
+    ck = tempfile.mkdtemp(prefix="sbp_ck_upsert_")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            fixed_point_sum(F.col("value"), 6).alias("sum_value"),
+        )
+        import os as _os
+
+        if _os.listdir(store):
+            old = batch_df.sparkSession.read.parquet(store)
+            kept = old.join(batch_agg.select("user_id"), "user_id", "left_anti")
+            merged = kept.unionByName(batch_agg)
+        else:
+            merged = batch_agg
+        # rewrite via a temp dir: the store is both input and output of
+        # this batch, and parquet cannot overwrite a path it is reading
+        tmp_out = store + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        for f in _os.listdir(store):
+            _os.remove(_os.path.join(store, f))
+        for f in _os.listdir(tmp_out):
+            _os.rename(_os.path.join(tmp_out, f), _os.path.join(store, f))
+        _os.rmdir(tmp_out)
+
+    stream = _events_stream(spark, staged, max_files=1)
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store)
