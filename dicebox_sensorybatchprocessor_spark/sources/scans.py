@@ -190,3 +190,60 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority_v2",
         F.col("priority_v2").isNotNull().alias("from_v2"),
     )
+
+
+@register(
+    "sink_range_partitioned",
+    cache_plan=False,
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date,
+           TRUE AS file_ranges_disjoint,
+           TRUE AS file_count_in_bounds
+    FROM orders
+    """,
+)
+def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time clustering: repartitionByRange + sortWithinPartitions on
+    o_orderdate before the write, so each output file owns a disjoint
+    date range and its parquet row-group min/max statistics prune
+    date-filtered scans to the few files that can match — the layout move
+    that makes time-range queries on a 100 TB lake read 1/Nth of the
+    data. The disjointness is CHECKED: per-file min/max via
+    input_file_name(), ordered by min, every file's min must exceed the
+    previous file's max (range partitioning sends equal keys to one
+    partition, so boundaries cannot straddle files). That claim plus the
+    row-count/min/max round-trip ride the value hash."""
+    o = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="sbp_range_")
+    out = os.path.join(tmp, "orders_by_date")
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("fmin"), F.max("o_orderdate").alias("fmax"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("fmin")
+    overlaps = (
+        per_file.select("fmin", "fmax", F.lag("fmax").over(w).alias("prev_max"))
+        .filter(F.col("prev_max").isNotNull() & (F.col("fmin") <= F.col("prev_max")))
+        .count()
+    )
+    n_files = per_file.count()
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    ).select(
+        "*",
+        F.lit(bool(overlaps == 0)).alias("file_ranges_disjoint"),
+        F.lit(bool(1 <= n_files <= 8)).alias("file_count_in_bounds"),
+    )
