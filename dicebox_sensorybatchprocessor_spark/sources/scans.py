@@ -247,3 +247,51 @@ def sink_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(overlaps == 0)).alias("file_ranges_disjoint"),
         F.lit(bool(1 <= n_files <= 8)).alias("file_count_in_bounds"),
     )
+
+
+@register(
+    "scan_csv_corrupt",
+    cache_plan=False,
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey % 100 = 7) AS BIGINT) AS n_bad,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 100 <> 7
+    """,
+)
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerant CSV ingest (reference R2 decode + R10 poison
+    handling at the batch layer): orders rendered to CSV with every
+    o_orderkey ≡ 7 (mod 100) row deliberately corrupted (non-numeric key
+    field), read back under PERMISSIVE mode with a corrupt-record
+    column — bad rows surface as rows with the raw line captured instead
+    of failing the job, exactly how a 100 TB ingest quarantines poison
+    records without a second pass. Good rows must round-trip value-exact
+    (key sum), and the good/bad split must match the injection rule the
+    oracle recomputes."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    line_good = F.format_string("%d,%s,%.2f", "o_orderkey", "o_orderstatus", "o_totalprice")
+    line_bad = F.format_string("BAD_%d,%s,%.2f", "o_orderkey", "o_orderstatus", "o_totalprice")
+    lines = o.select(
+        F.when(F.col("o_orderkey") % 100 == 7, line_bad).otherwise(line_good).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="sbp_csv_corrupt_")
+    src = os.path.join(tmp, "lines")
+    lines.write.mode("overwrite").text(src)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(src)
+    )
+    back = back.cache()  # corrupt-record column requires a materialized referenced plan
+    good = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    n_bad = bad.count()
+    return good.agg(
+        F.count("*").alias("n_good"),
+        F.lit(n_bad).cast("bigint").alias("n_bad"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
