@@ -350,3 +350,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
     )
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, verified bit-identical linear interpolation) —
+    the exact twin of sketch_quantiles' mergeable GK bound. Exact
+    percentile is a full-sort-per-group aggregate: fine when group
+    cardinality × group size fits a shuffle (this shape), while the
+    sketch path is the streaming/mergeable route at 100 TB. Both belong
+    in the surface because percentile SLAs are usually contractual
+    (exact) at reporting grain and approximate upstream."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 6).alias(name)
+            for q, name in ((0.25, "p25"), (0.50, "p50"), (0.95, "p95"), (0.99, "p99"))
+        ]
+    )

@@ -1055,3 +1055,52 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(store)
+
+
+@register(
+    cache_plan=False,
+    name="stream_update_mode",
+    oracle="""
+    SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third output mode: UPDATE emits only the state rows changed by
+    each micro-batch (append can't emit running aggregates; complete
+    re-emits everything — at 100 TB of keys, update is the only mode
+    whose sink traffic is proportional to the delta). Three
+    maxFilesPerTrigger=1 batches over event_id%3 slices; every batch
+    touches all 5 event types, so the sink sees 3 versions per type and
+    the LAST version per type must equal the full-table counts — which is
+    also what distinguishes update (overwrites keyed rows downstream)
+    from append (immutable rows) at the consumer."""
+    spark = _streaming_session(spark)
+    raw = _events_raw(spark, sf_dir)
+    parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    staged = _stage_files(spark, parts, "updmode", cache_key=sf_dir)
+    stream = _events_stream(spark, staged, max_files=1)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    qname = f"upd_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="sbp_ck_upd_")
+    out_dir = tempfile.mkdtemp(prefix="sbp_upd_out_")
+
+    def persist(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(persist)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+    return (
+        back.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events")
+    )
