@@ -397,3 +397,41 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k.cast("int"), 3).cast("bigint").alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH AS next_month,
+           last_day(o_orderdate) AS month_end,
+           date_trunc('week', o_orderdate) AS week_start,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sunday1,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           o_orderdate + INTERVAL 90 DAY AS due_date
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic family: month addition (with end-of-month
+    clamping — both engines clamp Jan 31 + 1 month to Feb end), last_day,
+    ISO week truncation/numbering, quarter, day-of-week, fixed-day
+    offsets. Convention bridges verified by probe: Spark dayofweek is
+    1=Sunday while DuckDB's is 0=Sunday (offset in the oracle); both
+    date_trunc('week') land on Monday; DATE-typed outputs are cast to
+    TIMESTAMP_NTZ at the boundary (the fn_date stringification lesson).
+    All JVM-side, codegen'd, no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    ntz = lambda c: c.cast("timestamp_ntz")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        ntz(F.expr("add_months(o_orderdate, 1)")).alias("next_month"),
+        ntz(F.expr("last_day(o_orderdate)")).alias("month_end"),
+        F.expr("date_trunc('week', o_orderdate)").alias("week_start"),
+        F.expr("dayofweek(o_orderdate)").cast("int").alias("dow_sunday1"),
+        F.expr("weekofyear(o_orderdate)").cast("int").alias("iso_week"),
+        F.expr("quarter(o_orderdate)").cast("int").alias("qtr"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+    )

@@ -454,3 +454,68 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "parts_abc_pareto",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0, 0) AS HUGEINT))
+               AS rev_units
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev_units,
+             CAST(SUM(rev_units) OVER (ORDER BY rev_units DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+               AS running_units,
+             CAST((SELECT SUM(rev_units) FROM per_part) AS HUGEINT) AS total_units
+      FROM per_part
+    ), classed AS (
+      SELECT l_partkey, rev_units,
+             CASE WHEN running_units * 1.0 / total_units <= 0.8 THEN 'A'
+                  WHEN running_units * 1.0 / total_units <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_units) AS DOUBLE) / 10000.0 AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, running
+    cumulative share cut at 80% (A) and 95% (B) — the inventory-analysis
+    staple. Everything order-sensitive runs in EXACT integer units: the
+    per-part revenue is a fixed-point bigint sum, the running total is a
+    window cumsum of those integers under a total (revenue, partkey)
+    order, and the share compare divides two exact integers — so the
+    class boundaries are bit-deterministic on both engines (a double
+    running sum would accumulate in window order and could flip a
+    boundary part between engines). Two shuffles: the per-part aggregate
+    and the single-partition ranking window — the ranking input is one
+    row per part (~1/30th of lineitem), the usual pareto-rollup shape."""
+    li = load(spark, sf_dir, "lineitem")
+    units = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0, 0
+    ).cast("decimal(38,0)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(units).alias("rev_units"))
+    w_run = (
+        Window.orderBy(F.col("rev_units").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = per_part.agg(F.sum("rev_units")).first()[0]
+    share = F.col("running_units").cast("double") / F.lit(float(total))
+    ranked = per_part.withColumn("running_units", F.sum("rev_units").over(w_run))
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum("rev_units").cast("double") / 10000.0).alias("class_revenue"),
+        )
+    )
