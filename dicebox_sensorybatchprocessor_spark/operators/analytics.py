@@ -519,3 +519,56 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev_units").cast("double") / 10000.0).alias("class_revenue"),
         )
     )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+    WITH as_of AS (SELECT max(o_orderdate) AS now FROM orders),
+    open_orders AS (
+      SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE), CAST(a.now AS DATE)) AS age_days
+      FROM orders o, as_of a
+      WHERE o.o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 90 THEN '0-90'
+                WHEN age_days <= 365 THEN '91-365'
+                WHEN age_days <= 730 THEN '366-730'
+                ELSE '730+' END AS age_bucket,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS HUGEINT)) AS DOUBLE) / 100.0
+             AS backlog_value
+    FROM open_orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: open ('O') orders bucketed by calendar-day age
+    relative to the dataset's as-of date (max order date — computed
+    in-engine, not wall clock, so the result is reproducible), crossed
+    with priority, with exact fixed-point backlog value. The as-of scalar
+    is one tiny aggregate broadcast into a per-row expression; the rest
+    is a single filtered scan + hash aggregate — the nightly-report shape
+    where the only full pass is the one aggregate."""
+    o = load(spark, sf_dir, "orders")
+    asof = o.agg(F.max("o_orderdate")).first()[0]
+    age = F.datediff(F.lit(asof).cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 90, "0-90")
+        .when(age <= 365, "91-365")
+        .when(age <= 730, "366-730")
+        .otherwise("730+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(bucket.alias("age_bucket"), "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("decimal(38,0)")).cast("double")
+                / 100.0
+            ).alias("backlog_value"),
+        )
+    )
