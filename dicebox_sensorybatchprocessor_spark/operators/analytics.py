@@ -572,3 +572,56 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("backlog_value"),
         )
     )
+
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000.0, 0)
+                         AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment scorecard: per supplier, line volume, on-time
+    share numerator (shipped within 30 days of order), return count, and
+    exact revenue — the vendor-review rollup. Counts are integer CASE
+    sums (exact), revenue is fixed-point; orders joins on the fact key,
+    supplier/nation broadcast. One shuffle: the (suppkey, name, nation)
+    hash aggregate; ratios are left to the consumer so every emitted
+    value is exact (a ratio column would be two exact ints divided —
+    derivable, and keeping it out avoids the float-division ulp
+    cross-engine worry entirely)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    on_time = F.when(
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), 1
+    ).otherwise(0)
+    returned = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0, 0
+    ).cast("decimal(38,0)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(on_time).cast("bigint").alias("n_on_time"),
+            F.sum(returned).cast("bigint").alias("n_returned"),
+            (F.sum(rev_units).cast("double") / 10000.0).alias("revenue"),
+        )
+    )

@@ -469,3 +469,64 @@ def join_interval_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE WHEN p.ts - c.ts <= INTERVAL 6 HOUR THEN c.event_id END AS click_id_fresh,
+           CASE WHEN p.ts - c.ts <= INTERVAL 6 HOUR
+                THEN CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) // 1000000 END
+             AS staleness_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (the feature-store form: a
+    feature value older than the tolerance is MISSING, not
+    approximated by an even older one): latest same-user click at or
+    before each purchase, nulled when more than 6 hours stale, with the
+    observed staleness. Same union + last(ignorenulls) single-shuffle
+    core as join_asof — the tolerance is a post-match per-row predicate,
+    NOT a join-condition change, which is what makes it free at scale
+    (and is also why the stale match must be found first: the bound
+    filters the match, it must not fall back to older candidates)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        .withColumn("side", F.lit(0))
+        .withColumn("purchase_id", F.lit(None).cast("long"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+        .withColumn("side", F.lit(1))
+        .withColumn("click_id", F.lit(None).cast("long"))
+    )
+    both = clicks.unionByName(purchases).withColumn(
+        "click_ts", F.when(F.col("side") == 0, F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        both.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    stale_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_click_ts").cast("timestamp")
+    )
+    fresh = stale_us <= 6 * 3600 * 1_000_000
+    return matched.select(
+        "purchase_id",
+        "user_id",
+        F.when(fresh, F.col("last_click")).alias("click_id_fresh"),
+        F.when(fresh, (stale_us / 1_000_000).cast("bigint")).alias("staleness_sec"),
+    )
