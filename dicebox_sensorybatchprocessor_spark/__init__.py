@@ -49,20 +49,80 @@ _OPERATOR_MODULES = (
 # Driver-facing query order. The driver's correctness harness checks the
 # FIRST 50 registered queries each round (CORRECTNESS_r0N.json == exactly
 # list(all_queries())[:50]), so ordering is the verification budget.
-# Round 1 verified the relational/join/agg/window core; round 2 the
-# functions/UDx/LLM/streaming families (99 distinct queries green across
-# both, 0 failures). Round 3's window (below): [1-19] the only
-# oracle-backed queries never inside a window (sampling, sketches,
-# subqueries, dedup clusters/banded, set ops, fn_array/text_tokenize/
-# mm_binary), [20-24] the former rows-only ops that now carry boolean
-# claim oracles, [25-43] the round-3 additions (TPC-H Q7/Q8/Q10/Q14/Q18
-# SQL shapes, analytics family, tfidf/bpe/containment, centroid,
-# nearest-as-of, DPP join, composed dedup_near_verified), and [44-50]
-# rotating sentinels from the proven core (ADVICE r2: keep a sample of
-# previously-verified queries inside every window so regressions in the
-# core remain externally detectable).
-_ROUND3_PRIORITY = (
-    # -- [1-19] oracle-backed, never driver-checked before round 3 --
+# Rounds 1-3 verified 142 distinct queries across three windows (142
+# green, 0 red). Round 4's window (below) completes full-registry
+# coverage: [1-43] are the ONLY 43 registered queries never inside a
+# driver window — the deep-SQL TPC-H block and the capstone
+# pipeline_train_export first (benched in BENCH_r03 but externally
+# unverified — VERDICT r3 priority), then the corpus/LLM, analytics,
+# streaming, sources/sinks, maintenance/quality and joins/sketches
+# late additions, plus the dedup_near alias (its code path is green via
+# dedup_minhash_lsh, but the alias name itself never sat in a window).
+# [44-50] are rotating proven-core sentinels (ADVICE r2: keep a sample
+# of previously-verified queries inside every window so regressions in
+# the core remain externally detectable) — a different set from r3's.
+_ROUND4_PRIORITY = (
+    # -- [1-12] deep-SQL block + capstone pipeline --
+    "sql_q2_min_cost_supplier",
+    "sql_q9_product_profit",
+    "sql_q11_important_parts",
+    "sql_q12_ship_latency",
+    "sql_q13_order_distribution",
+    "sql_q15_top_supplier",
+    "sql_q16_supplier_part_counts",
+    "sql_q19_disjunctive_ranges",
+    "sql_q20_promo_concentration",
+    "sql_q21_sole_blame",
+    "sql_q22_dormant_value",
+    "pipeline_train_export",
+    # -- [13-17] corpus/LLM late additions --
+    "dedup_incremental",
+    "corpus_sample_temperature",
+    "emb_quantize_int8",
+    "emb_label_margin",
+    "text_canonicalize",
+    # -- [18-25] windows/analytics late additions --
+    "win_distribution",
+    "win_running_distinct",
+    "events_anomaly_zscore",
+    "orders_market_basket",
+    "parts_abc_pareto",
+    "orders_backlog_aging",
+    "supplier_scorecard",
+    "agg_percentiles_exact",
+    # -- [26-30] streaming late additions --
+    "stream_sink_parquet",
+    "stream_join_outer",
+    "stream_session_dynamic",
+    "stream_upsert_merge",
+    "stream_update_mode",
+    # -- [31-34] sources/sinks late additions --
+    "sink_scan_orc",
+    "scan_schema_evolution",
+    "sink_range_partitioned",
+    "scan_csv_corrupt",
+    # -- [35-38] maintenance/quality late additions --
+    "maintenance_compact",
+    "cdc_snapshot_diff",
+    "dq_profile",
+    "dq_constraints",
+    # -- [39-42] joins/sketches/functions late additions --
+    "join_interval_chunked",
+    "join_asof_tolerance",
+    "sketch_hll_merge",
+    "fn_datetime_arith",
+    # -- [43] alias whose name never sat in a window --
+    "dedup_near",
+    # -- [44-50] rotating proven-core sentinels (round-4 set) --
+    "project",
+    "join_semi",
+    "agg_pivot",
+    "win_topk_group",
+    "stream_watermark",
+    "dedup_exact",
+    "sim_cosine_topk",
+    # -- 51+: the round-3 window (all driver-green in r3), then
+    # everything else in its round-2 ordering --
     "split_train_val_test",
     "sample_stratified",
     "pack_sequences",
@@ -82,15 +142,11 @@ _ROUND3_PRIORITY = (
     "fn_array",
     "text_tokenize",
     "mm_binary",
-    # -- [20-24] former rows-only ops, now claim-checked (VERDICT r2 #2);
-    # dedup_near is an alias of dedup_minhash_lsh and stays out of the
-    # window (identical code path) --
     "fn_hash_native",
     "dedup_minhash_lsh",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "dedup_near_verified",
-    # -- [25-43] round-3 additions --
     "sql_q7_volume_shipping",
     "sql_q8_market_share",
     "sql_q10_returned_items",
@@ -110,7 +166,6 @@ _ROUND3_PRIORITY = (
     "emb_label_centroid_dist",
     "join_asof_nearest",
     "join_dpp_partitioned",
-    # -- [44-50] rotating proven-core sentinels --
     "q1_pricing_summary",
     "join_asof",
     "win_frame_range",
@@ -118,8 +173,6 @@ _ROUND3_PRIORITY = (
     "scan_parquet_ns",
     "sessionize_batch",
     "stream_session",
-    # -- 51+: everything else keeps its round-2 ordering (all green in
-    # r1/r2 driver checks or local pytest) --
     "agg_approx_distinct",
     "join_bucketed",
     "join_skew_salted",
@@ -176,14 +229,14 @@ _ROUND3_PRIORITY = (
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
     the full registry, reordered so the driver's 50-query correctness
-    window covers not-yet-verified operators first (see _ROUND3_PRIORITY).
+    window covers not-yet-verified operators first (see _ROUND4_PRIORITY).
     Keys are the SURVEY.md §2 operator IDs."""
     import importlib
 
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     ordered: dict[str, QuerySpec] = {}
-    for name in _ROUND3_PRIORITY:
+    for name in _ROUND4_PRIORITY:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():

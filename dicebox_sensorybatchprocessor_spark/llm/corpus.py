@@ -34,9 +34,13 @@ from dicebox_sensorybatchprocessor_spark.registry import register
 # Deterministic 0..4 split bucket on doc_id (md5-keyed like
 # operators/sampling.py — partition-invariant). Buckets 0-3 = the standing
 # "corpus", bucket 4 = the incoming "batch" (~20%).
+# conv() returns STRING; cast to bigint explicitly (like sampling.py's
+# _bucket) so bucket arithmetic can never fall into string->DOUBLE
+# coercion, where 60-bit values lose precision vs the oracle's exact
+# BIGINT % 5.
 _SPLIT_SPARK = (
-    "pmod(conv(substring(md5(concat('split|', cast(doc_id as string))), 1, 15), 16, 10)"
-    " , 5)"
+    "pmod(cast(conv(substring(md5(concat('split|', cast(doc_id as string))), 1, 15),"
+    " 16, 10) as bigint), 5)"
 )
 _SPLIT_DUCK = "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5"
 

@@ -108,6 +108,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.6
     """,
+    audit_only=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 8-char-shingle Jaccard near-dup pairs (threshold 0.6 — the

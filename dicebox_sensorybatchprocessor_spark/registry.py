@@ -26,6 +26,12 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # None => driver's weaker rows-only check
     doc: str = ""
+    # True for deliberately-quadratic exact twins kept to audit an
+    # approximate/banded production path (e.g. dedup_ngram_jaccard audits
+    # dedup_near_verified). Audit-only ops are correct and oracle-checked
+    # but must NOT be called as the production path at scale; the registry
+    # surfaces the flag so callers/tools can route to the scale path.
+    audit_only: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -37,6 +43,7 @@ def register(
     *,
     aliases: tuple[str, ...] = (),
     cache_plan: bool = True,
+    audit_only: bool = False,
 ):
     """Decorator: register ``fn`` under ``name`` (and ``aliases``).
 
@@ -69,7 +76,9 @@ def register(
         for key in (name, *aliases):
             if key in QUERIES:
                 raise ValueError(f"duplicate query registration: {key}")
-            QUERIES[key] = QuerySpec(key, wrapped, oracle, doc=(fn.__doc__ or ""))
+            QUERIES[key] = QuerySpec(
+                key, wrapped, oracle, doc=(fn.__doc__ or ""), audit_only=audit_only
+            )
         return wrapped
 
     return deco

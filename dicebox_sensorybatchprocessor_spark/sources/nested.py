@@ -23,14 +23,17 @@ by the struct's bucket field and the queries below would prune on it.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_point_sum_sql
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+    scratch_dir,
+)
 
 # One derived dir per (application, sf_dir): the write is deterministic,
 # so every query (and repeated driver invocations) reuses the first copy.
@@ -49,7 +52,7 @@ def nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NESTED_CACHE:
-        out = os.path.join(tempfile.mkdtemp(prefix="sbp_nested_"), "events_nested")
+        out = os.path.join(scratch_dir(prefix="sbp_nested_"), "events_nested")
         bucket = F.pmod(F.col("user_id"), F.lit(5))
         k_str = F.get_json_object("props", "$.k")
         derived = load(spark, sf_dir, "events").select(

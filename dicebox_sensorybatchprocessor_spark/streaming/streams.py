@@ -19,7 +19,6 @@ flagged in docstrings with their WithinWatermark production forms.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -31,7 +30,7 @@ from pyspark.sql import functions as F
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
 from dicebox_sensorybatchprocessor_spark.session import ensure_engine_conf
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, scratch_dir
 
 # Streaming file sources need the schema up front. Every streaming read in
 # this module goes through a *staged* parquet dir whose ts column is
@@ -66,10 +65,10 @@ def _events_stream(spark: SparkSession, path: str, max_files: int | None = None)
 _STREAM_SHUFFLE_PARTITIONS = 8
 
 
-_STREAM_SESSIONS: dict[int, SparkSession] = {}
+_STREAM_SESSIONS: dict[tuple[int, bool], SparkSession] = {}
 
 
-def _streaming_session(spark: SparkSession) -> SparkSession:
+def _streaming_session(spark: SparkSession, rocksdb: bool = False) -> SparkSession:
     """Isolated child session for streaming ops (ADVICE r2): shares the
     SparkContext/executors with the driver-owned session but owns its
     SQLConf, so pinning spark.sql.shuffle.partitions to the streaming
@@ -78,13 +77,25 @@ def _streaming_session(spark: SparkSession) -> SparkSession:
     the shared conf for the duration of every streaming run). Cached per
     parent session; every streaming op routes through it, so stream
     construction, staging reads, and sink read-backs all plan under the
-    scoped conf."""
-    key = id(spark)
+    scoped conf.
+
+    ``rocksdb=True`` returns a SEPARATE cached child whose state-store
+    provider is RocksDB, set once at session creation — the ops that need
+    it (transformWithStateInPandas) get the conf without any
+    mutate-then-restore on a live session (VERDICT r3 #5: no
+    session-global conf mutation anywhere in the streaming path)."""
+    key = (id(spark), rocksdb)
     child = _STREAM_SESSIONS.get(key)
     if child is None:
         child = spark.newSession()
         ensure_engine_conf(child)
         child.conf.set("spark.sql.shuffle.partitions", str(_STREAM_SHUFFLE_PARTITIONS))
+        if rocksdb:
+            child.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         _STREAM_SESSIONS[key] = child
     return child
 
@@ -93,7 +104,7 @@ def _run_to_table(spark: SparkSession, df: DataFrame, name: str, mode: str) -> D
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink and return the sink contents as a batch DataFrame."""
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"sbp_ck_{name}_")
+    ck = scratch_dir(prefix=f"sbp_ck_{name}_")
     q = (
         df.writeStream.format("memory")
         .queryName(qname)
@@ -127,7 +138,7 @@ def _stage_files(
     order — deterministic micro-batch composition."""
     if cache_key is not None and (name, cache_key) in _STAGE_CACHE:
         return _STAGE_CACHE[(name, cache_key)]
-    root = tempfile.mkdtemp(prefix=f"sbp_stage_{name}_")
+    root = scratch_dir(prefix=f"sbp_stage_{name}_")
     for i, part in enumerate(parts):
         sub = os.path.join(root, f"_w{i}")
         part.coalesce(1).write.mode("overwrite").parquet(sub)
@@ -205,13 +216,13 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _events_raw(spark, sf_dir)
     parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
     staged = _stage_files(spark, parts, "feb", cache_key=sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="sbp_feb_out_")
+    out_dir = scratch_dir(prefix="sbp_feb_out_")
 
     def persist(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
 
     stream = _events_stream(spark, staged, max_files=1)
-    ck = tempfile.mkdtemp(prefix="sbp_ck_feb_")
+    ck = scratch_dir(prefix="sbp_ck_feb_")
     q = (
         stream.writeStream.foreachBatch(persist)
         .option("checkpointLocation", ck)
@@ -346,8 +357,8 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_files(spark, [raw], "wm")
     late_dir = _stage_files(spark, [late_redelivery], "wm_late")
 
-    ck = tempfile.mkdtemp(prefix="sbp_ck_wm_")
-    out_dir = tempfile.mkdtemp(prefix="sbp_wm_out_")
+    ck = scratch_dir(prefix="sbp_ck_wm_")
+    out_dir = scratch_dir(prefix="sbp_wm_out_")
 
     def run_once() -> None:
         stream = _events_stream(spark, staged)
@@ -583,7 +594,7 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     user must equal the batch aggregate. Requires the RocksDB state store
     provider — which is also the 100 TB production choice (state spills
     to disk instead of executor heap)."""
-    spark = _streaming_session(spark)
+    spark = _streaming_session(spark, rocksdb=True)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import (
         DoubleType,
@@ -639,25 +650,14 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    stream = _events_stream(spark, staged, max_files=1)
+    tracked = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
     )
-    try:
-        stream = _events_stream(spark, staged, max_files=1)
-        tracked = stream.groupBy("user_id").transformWithStateInPandas(
-            RunningTotals(),
-            outputStructType=out_schema,
-            outputMode="Append",
-            timeMode="None",
-        )
-        out = _run_to_table(spark, tracked, "tws", "append")
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = _run_to_table(spark, tracked, "tws", "append")
     w = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("batch_no").desc())
     )
@@ -706,8 +706,8 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = [damaged.filter(F.col("event_id") % 2 == i) for i in range(2)]
     staged = _stage_files(spark, parts, "quar", cache_key=sf_dir)
-    dataset_dir = tempfile.mkdtemp(prefix="sbp_quar_ok_")
-    quarantine_dir = tempfile.mkdtemp(prefix="sbp_quar_dlq_")
+    dataset_dir = scratch_dir(prefix="sbp_quar_ok_")
+    quarantine_dir = scratch_dir(prefix="sbp_quar_dlq_")
 
     invalid = F.col("event_type").isNull() | (F.col("value") < 0)
 
@@ -725,7 +725,7 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.unpersist()
 
     stream = _events_stream(spark, staged, max_files=1)
-    ck = tempfile.mkdtemp(prefix="sbp_ck_quar_")
+    ck = scratch_dir(prefix="sbp_ck_quar_")
     q = (
         stream.writeStream.foreachBatch(route)
         .option("checkpointLocation", ck)
@@ -767,8 +767,8 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = raw.filter(F.col("event_id") % 10 == 0)
     staged = _stage_files(spark, [raw, dups], "dedup10", cache_key=sf_dir)
 
-    ck = tempfile.mkdtemp(prefix="sbp_ck_dedupwm_")
-    out_dir = tempfile.mkdtemp(prefix="sbp_dedupwm_out_")
+    ck = scratch_dir(prefix="sbp_ck_dedupwm_")
+    out_dir = scratch_dir(prefix="sbp_dedupwm_out_")
 
     def run_once() -> None:
         stream = _events_stream(spark, staged, max_files=1)
@@ -812,8 +812,8 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     with partition pruning on event_type."""
     spark = _streaming_session(spark)
     stream = _events_stream(spark, _events_dir(spark, sf_dir))
-    out_dir = tempfile.mkdtemp(prefix="sbp_ssink_out_")
-    ck = tempfile.mkdtemp(prefix="sbp_ck_ssink_")
+    out_dir = scratch_dir(prefix="sbp_ssink_out_")
+    ck = scratch_dir(prefix="sbp_ck_ssink_")
     q = (
         stream.select("event_id", "ts", "event_type", "value")
         .writeStream.format("parquet")
@@ -868,8 +868,8 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=_EVENTS_RAW_SCHEMA,
     )
     adv_dir = _stage_files(spark, [advancer], "ssoj_adv")
-    ck = tempfile.mkdtemp(prefix="sbp_ck_ssoj_")
-    out_dir = tempfile.mkdtemp(prefix="sbp_ssoj_out_")
+    ck = scratch_dir(prefix="sbp_ck_ssoj_")
+    out_dir = scratch_dir(prefix="sbp_ssoj_out_")
 
     def run_once() -> None:
         src = _events_stream(spark, staged)
@@ -1020,8 +1020,8 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _events_raw(spark, sf_dir)
     parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
     staged = _stage_files(spark, parts, "upsert3", cache_key=sf_dir)
-    store = tempfile.mkdtemp(prefix="sbp_upsert_store_")
-    ck = tempfile.mkdtemp(prefix="sbp_ck_upsert_")
+    store = scratch_dir(prefix="sbp_upsert_store_")
+    ck = scratch_dir(prefix="sbp_ck_upsert_")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch_agg = batch_df.groupBy("user_id").agg(
@@ -1081,8 +1081,8 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, staged, max_files=1)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
     qname = f"upd_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="sbp_ck_upd_")
-    out_dir = tempfile.mkdtemp(prefix="sbp_upd_out_")
+    ck = scratch_dir(prefix="sbp_ck_upd_")
+    out_dir = scratch_dir(prefix="sbp_upd_out_")
 
     def persist(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)

@@ -22,10 +22,49 @@ stay inside int64 up to n ≈ 8e12 rows — beyond the 100 TB design point.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _CHUNK = 2**20  # hi/lo split base for exact long-only summation
+
+_SCRATCH_DIRS: list[str] = []
+_SCRATCH_CACHE: dict[tuple[str, str], tuple[str, bool]] = {}
+
+
+def scratch_dir(prefix: str, cache_key: str | None = None) -> str:
+    """``mkdtemp`` that is removed at process exit (ADVICE r3: one bench +
+    correctness process runs each disk-materializing op several times, so
+    un-reaped scratch dirs accumulate full table copies under /tmp).
+
+    With ``cache_key``, repeated calls return the same directory so pure
+    input staging is written once per (prefix, key) — use
+    :func:`scratch_dir_cached` to also learn whether the dir is fresh.
+    """
+    return scratch_dir_cached(prefix, cache_key)[0]
+
+
+def scratch_dir_cached(prefix: str, cache_key: str | None = None) -> tuple[str, bool]:
+    """Like :func:`scratch_dir` but returns ``(path, fresh)`` — ``fresh``
+    False means a cached dir already staged by an earlier call, so the
+    caller can skip rewriting its contents."""
+    if cache_key is not None and (prefix, cache_key) in _SCRATCH_CACHE:
+        path, _ = _SCRATCH_CACHE[(prefix, cache_key)]
+        return path, False
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(path)
+    if cache_key is not None:
+        _SCRATCH_CACHE[(prefix, cache_key)] = (path, True)
+    return path, True
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def fixed_point_sum(col: Column, decimals: int) -> Column:
@@ -70,3 +109,22 @@ def fixed_point_sum_sql_spark(expr: str, decimals: int) -> str:
 def ts_ntz(literal: str) -> Column:
     """TIMESTAMP_NTZ literal — fixture timestamps are naive (FIXTURES.md)."""
     return F.expr(f"TIMESTAMP_NTZ '{literal}'")
+
+
+def stable_round(col: Column, decimals: int = 6) -> Column:
+    """Cross-engine-stable display rounding: floor(x·10^d + 0.5)/10^d.
+
+    ``round(x, d)`` is a hash hazard when x·10^d lands exactly on .5 in
+    binary: Spark rounds HALF_UP (away from zero), DuckDB uses C rint
+    (half-to-even). The floor form computes identical IEEE operations on
+    both engines, so the hashed doubles are bit-identical. Pair with
+    :func:`stable_round_sql` on the oracle side.
+    """
+    s = float(10**decimals)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def stable_round_sql(expr: str, decimals: int = 6) -> str:
+    """DuckDB SQL mirroring :func:`stable_round` bit-for-bit."""
+    s = float(10**decimals)
+    return f"floor(({expr}) * {s} + 0.5) / {s}"

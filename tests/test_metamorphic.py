@@ -232,3 +232,15 @@ def test_cdc_diff_reconstructs_new_snapshot(spark):
     assert reconstructed.count() == new_snap.count()
     assert reconstructed.exceptAll(new_snap).count() == 0
     assert new_snap.exceptAll(reconstructed).count() == 0
+
+
+def test_ivf_measured_recall(spark):
+    """The shipped sim_ann_ivf claim is `overlap >= 3` (wide margin so
+    KMeans drift can't flip the driver's hash gate); the MEASURED recall
+    at the fixture scales is 5/5. Pin it here so a moderate recall
+    regression (nprobe/k misconfiguration, quantizer change) fails CI
+    even while the driver claim still passes (ADVICE r3)."""
+    from dicebox_sensorybatchprocessor_spark.llm.similarity import ivf_measured_overlap
+
+    n_overlap, topk, _ = ivf_measured_overlap(spark, SF_ORACLE)
+    assert n_overlap == topk
