@@ -17,14 +17,17 @@ queries rather than advice in a docstring:
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_point_sum_sql
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+    scratch_dir,
+)
 
 _N_BUCKETS = 8
 _SALT = 8
@@ -40,7 +43,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     li_name, o_name = f"sbp_li_b{tag}", f"sbp_o_b{tag}"
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED_READY:
-        root = tempfile.mkdtemp(prefix="sbp_bucketed_")
+        root = scratch_dir("sbp_bucketed_")
         (
             load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_quantity", "l_extendedprice")
@@ -133,8 +136,8 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     pruning needs."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DPP_READY:
-        fact_dir = tempfile.mkdtemp(prefix="sbp_dpp_fact_")
-        dim_dir = tempfile.mkdtemp(prefix="sbp_dpp_dim_")
+        fact_dir = scratch_dir("sbp_dpp_fact_")
+        dim_dir = scratch_dir("sbp_dpp_dim_")
         ev = load(spark, sf_dir, "events").withColumn(
             "day", F.date_format("ts", "yyyy-MM-dd")
         )

@@ -115,7 +115,7 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
-    import tempfile
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -125,7 +125,7 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
         # keep catalog metadata (bucketed-table entries) out of the repo cwd
-        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="sbp_warehouse_"))
+        .config("spark.sql.warehouse.dir", scratch_dir("sbp_warehouse_"))
     )
     for key, value in _RUNTIME_CONF.items():
         builder = builder.config(key, value)
