@@ -1,0 +1,361 @@
+"""Corpus-curation operators (round-4 §2.10 additions): benchmark
+decontamination, repetition-quality filtering, payload redaction,
+deterministic random-projection dimensionality reduction, and
+semantically-bucketed embedding dedup.
+
+These complete the LLM-training-data story (SURVEY.md north star,
+`BASELINE.json:6`) begun in :mod:`.dedup` / :mod:`.corpus`:
+
+- ``decontaminate_ngram``: before training, documents overlapping the
+  evaluation/benchmark suite must be removed (n-gram decontamination à
+  la GPT-3 appendix C / PaLM). The benchmark side is tiny by definition
+  (a test suite, not a corpus), so at 100 TB the n-gram set broadcasts
+  and the probe is a map-side hash lookup — the corpus is scanned once,
+  never self-joined.
+- ``text_repetition_filter``: Gopher-style repetition signals
+  (top-token fraction, duplicate-bigram fraction) — the standard
+  heuristics for machine-generated/boilerplate text. Pure per-document
+  map + one keyed aggregate.
+- ``events_pii_scrub``: redaction of numeric identifiers from
+  semi-structured payloads before payloads enter a training corpus —
+  masked-shape cardinality shows what the payload space looks like
+  after scrubbing. Single scan, one aggregate.
+- ``emb_dim_reduce_rp``: signed random projection (Achlioptas-style
+  ±1 matrix) from 64 to 16 dims. The sign matrix is derived from md5 on
+  both engines (no RNG state, no literal matrix), and the fold is
+  strictly left-to-right on both sides, so the projected doubles are
+  BIT-IDENTICAL cross-engine — no rounding tolerance anywhere.
+- ``dedup_semantic_buckets``: SemDeDup-shaped semantic dedup — coarse
+  semantic buckets (the sign pattern of the first 3 random projections)
+  gate an exact within-bucket cosine check, so the quadratic pair scan
+  is confined to buckets (~N²/2^b pairs instead of N²/2). The bucketing
+  is the same deterministic projection, so the whole op is exactly
+  oracle-checkable, unlike centroid-private KMeans clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.registry import register
+
+# Deterministic benchmark membership: ~1/29 of documents (md5-keyed like
+# operators/sampling.py — partition-invariant, append-stable).
+_BENCH_SPARK = (
+    "pmod(cast(conv(substring(md5(concat('bench|', cast(doc_id as string))), 1, 15),"
+    " 16, 10) as bigint), 29) = 0"
+)
+_BENCH_DUCK = "('0x' || substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 29 = 0"
+
+# Constant series bound for DuckDB n-gram generation (documents.text is
+# 48..553 chars — ≤ 600 tokens; same trick as llm/text.py's _MAX_LEN).
+_MAX_TOKS = 600
+
+
+def _word_ngrams(toks, n: int):
+    """Word n-grams as an array column: strictly JVM (sequence/slice/
+    array_join), guarded so short documents yield an empty array instead
+    of sequence(1, 0)'s descending [1, 0]."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, array_to_string(t[g.i:g.i+2], ' ') AS ngram
+      FROM toks, generate_series(1, {_MAX_TOKS}) g(i)
+      WHERE g.i <= len(t) - 2
+    ),
+    tag AS (SELECT doc_id, ngram, {_BENCH_DUCK} AS is_bench FROM ng),
+    bench AS (SELECT DISTINCT ngram FROM tag WHERE is_bench),
+    eval AS (SELECT doc_id, ngram FROM tag WHERE NOT is_bench),
+    sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM eval GROUP BY doc_id),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_hits
+      FROM eval e JOIN bench USING (ngram) GROUP BY e.doc_id
+    )
+    SELECT h.doc_id, n_hits, n_ngrams,
+           n_hits * 1.0 / n_ngrams AS contamination
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word 3-gram with the benchmark set (a deterministic ~3.4%
+    doc_id bucket standing in for the eval suite). Output: the
+    contaminated docs with hit counts and the contaminated fraction of
+    their distinct n-grams. Scale shape: the benchmark n-gram set is
+    small by definition, so it is broadcast (asserted in
+    tests/test_plans.py) and the corpus side is one scan + one
+    map-side-combined aggregate — never a corpus self-join; at 100 TB
+    the broadcast can be swapped for a bloom filter with the same plan
+    shape."""
+    d = load(spark, sf_dir, "documents")
+    ng = (
+        d.select("doc_id", F.explode(_word_ngrams(F.split("text", " "), 3)).alias("ngram"))
+        .distinct()
+        .withColumn("is_bench", F.expr(_BENCH_SPARK))
+    )
+    bench = ng.filter("is_bench").select("ngram").distinct()
+    eval_side = ng.filter(~F.col("is_bench")).select("doc_id", "ngram")
+    sizes = eval_side.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        eval_side.join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_ngrams",
+        (F.col("n_hits") * 1.0 / F.col("n_ngrams")).alias("contamination"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tc AS (
+      SELECT doc_id, token, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT doc_id, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, t[g.i] || ' ' || t[g.i+1] AS b
+      FROM toks, generate_series(1, {_MAX_TOKS}) g(i)
+      WHERE g.i <= len(t) - 1
+    ),
+    bgs AS (
+      SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT b) AS n_distinct
+      FROM bg GROUP BY doc_id
+    )
+    SELECT mx.doc_id, n_tokens,
+           max_c * 1.0 / n_tokens AS top_token_frac,
+           (n_bigrams - n_distinct) * 1.0 / n_bigrams AS dup_bigram_frac,
+           (max_c * 1.0 / n_tokens <= 0.14
+            AND (n_bigrams - n_distinct) * 1.0 / n_bigrams <= 0.065) AS keep
+    FROM mx JOIN bgs ON bgs.doc_id = mx.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document top-token fraction
+    and duplicate-bigram fraction, plus the keep verdict (thresholds cut
+    ~19% of the fixture corpus). Both fractions are exact-integer
+    divisions, so the doubles are bit-identical cross-engine. Shape: the
+    bigram stats are per-row JVM array ops (no shuffle); the top-token
+    count is one explode + keyed aggregate with map-side combine — at
+    100 TB this is the cheapest of the quality passes and composes into
+    the pipeline_* quality gates."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    bg = _word_ngrams(F.col("t"), 2)
+    per_row = d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct"),
+    )
+    top = (
+        d.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    top_frac = F.col("max_c") * 1.0 / F.col("n_tokens")
+    dup_frac = (F.col("n_bigrams") - F.col("n_distinct")) * 1.0 / F.col("n_bigrams")
+    return per_row.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= 0.14) & (dup_frac <= 0.065)).alias("keep"),
+    )
+
+
+@register(
+    "events_pii_scrub",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+             AS n_redactions,
+           count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+             AS n_masked_shapes
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload redaction before corpus admission: numeric identifiers in
+    the semi-structured ``props`` payload are masked to ``<NUM>``; the
+    rollup reports redaction volume and the post-mask shape cardinality
+    per event type (a collapsed shape space means the payload carried
+    only identifiers). regexp_replace/extract_all are JVM codegen'd —
+    one scan, one aggregate, no Python."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.countDistinct(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias(
+            "n_masked_shapes"
+        ),
+    )
+
+
+# --- deterministic signed random projection ------------------------------
+# sign(k, j) ∈ {+1, -1} from the first hex digit of md5("rp|k|j") — both
+# engines compute md5 of the same string, so the matrix needs no literal
+# table and no RNG state. The fold is strictly left-to-right with a 0.0
+# init (IEEE 0+x = x), so Spark's aggregate() and DuckDB's list_reduce()
+# produce bit-identical doubles (verified: 8000/8000 components exact).
+_RP_DIMS = 16
+
+
+def _rp_project_expr() -> str:
+    sign = (
+        "case when conv(substring(md5(concat('rp|', k, '|', j)), 1, 1), 16, 10) % 2 = 0"
+        " then 1.0d else -1.0d end"
+    )
+    return f"""
+    transform(sequence(0, {_RP_DIMS - 1}), k ->
+      aggregate(zip_with(embedding, transform(sequence(0, 63), j -> {sign}),
+                         (v, s) -> cast(v as double) * s),
+                cast(0.0 as double), (acc, x) -> acc + x))
+    """
+
+
+def _rp_duck(k: str) -> str:
+    """DuckDB projection of ``embedding`` onto RP row ``k`` (an SQL
+    expression, 1-based lambda index j bridged to the 0-based salt)."""
+    return f"""
+    list_reduce(list_transform(embedding, (v, j) ->
+      CAST(v AS DOUBLE) * (CASE WHEN ('0x' || substr(md5('rp|' || {k} || '|' || (j-1)), 1, 1))::BIGINT % 2 = 0
+                           THEN 1.0 ELSE -1.0 END)),
+      (a, b) -> a + b)
+    """
+
+
+@register(
+    "emb_dim_reduce_rp",
+    oracle=f"""
+    SELECT vec_id, g.k AS k, {_rp_duck("g.k")} AS component
+    FROM embeddings, generate_series(0, {_RP_DIMS - 1}) g(k)
+    """,
+)
+def emb_dim_reduce_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction 64 → 16 (signed ±1
+    Achlioptas matrix): the storage/ANN-recall trade every embedding
+    store makes before indexing. The matrix is md5-derived — reproducible
+    on any engine, no RNG, no shipped literals — and the output doubles
+    are bit-identical to the oracle (no rounding tolerance). Shape: pure
+    per-row JVM higher-order functions, zero shuffle, zero Python; at
+    100 TB this is a map-only pass that column-prunes to (vec_id,
+    embedding)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.expr(_rp_project_expr()).alias("proj"))
+        .select("vec_id", F.posexplode("proj").alias("k", "component"))
+        .select("vec_id", F.col("k").cast("bigint").alias("k"), "component")
+    )
+
+
+@register(
+    "dedup_semantic_buckets",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding,
+             {_rp_duck("0")} AS p0, {_rp_duck("1")} AS p1, {_rp_duck("2")} AS p2
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN p0 > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) AS bucket
+      FROM proj
+    )
+    SELECT CAST(a.bucket AS BIGINT) AS bucket, a.vec_id AS id_a, c.vec_id AS id_b,
+           list_reduce(list_transform(a.embedding, (v, j) ->
+             CAST(v AS DOUBLE) * CAST(c.embedding[j] AS DOUBLE)), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(a.embedding, (v, j) ->
+                CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(c.embedding, (v, j) ->
+                CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))
+             AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_reduce(list_transform(a.embedding, (v, j) ->
+            CAST(v AS DOUBLE) * CAST(c.embedding[j] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(a.embedding, (v, j) ->
+               CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(c.embedding, (v, j) ->
+               CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) >= 0.2
+    """,
+)
+def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: coarse semantic buckets (sign
+    pattern of RP projections 0-2 → 8 buckets) gate the exact cosine
+    check, confining the quadratic pair scan to same-bucket candidates
+    (~1/8 of all pairs here; 2^b shrinks it geometrically as b grows).
+    Random-hyperplane signs ARE the SimHash family for cosine, so
+    same-bucket probability rises with similarity — the standard
+    LSH-quality argument. Every quantity (projection, bucket, dot,
+    norms) is a strictly-ordered fold identical on both engines, so the
+    emitted cosines are bit-exact with no rounding tolerance. Scale
+    shape: one map pass to bucket, then a bucket-keyed self-join — the
+    shuffle is on (bucket), and within-bucket all-pairs is the unit the
+    production path caps (more projections → smaller buckets)."""
+    e = load(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        F.expr(_rp_project_expr()).alias("p"),
+    ).select(
+        "vec_id",
+        "emb",
+        (
+            F.when(F.element_at("p", 1) > 0, 1).otherwise(0)
+            + F.when(F.element_at("p", 2) > 0, 2).otherwise(0)
+            + F.when(F.element_at("p", 3) > 0, 4).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    a, c = proj.alias("a"), proj.alias("c")
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    dot = fold(F.zip_with(F.col("a.emb"), F.col("c.emb"), lambda x, y: x * y))
+    sq = lambda side: F.sqrt(  # noqa: E731
+        fold(F.transform(F.col(f"{side}.emb"), lambda v: v * v))
+    )
+    cosine = dot / (sq("a") * sq("c"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
