@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.llm.text",
     "dicebox_sensorybatchprocessor_spark.llm.multimodal",
     "dicebox_sensorybatchprocessor_spark.llm.pipelines",
+    "dicebox_sensorybatchprocessor_spark.llm.curation",
     "dicebox_sensorybatchprocessor_spark.streaming.streams",
 )
 
@@ -49,20 +50,73 @@ _OPERATOR_MODULES = (
 # Driver-facing query order. The driver's correctness harness checks the
 # FIRST 50 registered queries each round (CORRECTNESS_r0N.json == exactly
 # list(all_queries())[:50]), so ordering is the verification budget.
-# Rounds 1-3 verified 142 distinct queries across three windows (142
-# green, 0 red). Round 4's window (below) completes full-registry
-# coverage: [1-43] are the ONLY 43 registered queries never inside a
-# driver window — the deep-SQL TPC-H block and the capstone
-# pipeline_train_export first (benched in BENCH_r03 but externally
-# unverified — VERDICT r3 priority), then the corpus/LLM, analytics,
-# streaming, sources/sinks, maintenance/quality and joins/sketches
-# late additions, plus the dedup_near alias (its code path is green via
-# dedup_minhash_lsh, but the alias name itself never sat in a window).
-# [44-50] are rotating proven-core sentinels (ADVICE r2: keep a sample
-# of previously-verified queries inside every window so regressions in
-# the core remain externally detectable) — a different set from r3's.
-_ROUND4_PRIORITY = (
-    # -- [1-12] deep-SQL block + capstone pipeline --
+# Rounds 1-4 verified all 185 then-registered queries (r1 49/50 with the
+# since-fixed agg_approx_distinct; r2/r3/r4 50/50). Round 5's window:
+# [1-5] the llm/curation operators that round 4 wrote but never wired
+# into _OPERATOR_MODULES (VERDICT r4 #1 — their only gap is driver
+# visibility); [6-12] rotating proven-core sentinels per VERDICT r4 #5
+# (a set not used as sentinels in r4); [13-28] the full streaming
+# surface — streams.py's harness is being touched this round for the
+# stream_tumbling cost-trend work (VERDICT r4 #3), so every query
+# sharing that code path gets a fresh external row; [29-50] proven-core
+# rotation drawn from queries whose last green row is oldest (r1/r2).
+_ROUND5_PRIORITY = (
+    # -- [1-5] curation ops newly wired into the registry --
+    "decontaminate_ngram",
+    "text_repetition_filter",
+    "events_pii_scrub",
+    "emb_dim_reduce_rp",
+    "dedup_semantic_buckets",
+    # -- [6-12] rotating proven-core sentinels (round-5 set) --
+    "q1_pricing_summary",
+    "join_multiway",
+    "agg_grouping_sets",
+    "stream_session",
+    "sql_q21_sole_blame",
+    "dedup_near_verified",
+    "split_train_val_test",
+    # -- [13-28] streaming surface (harness code touched this round) --
+    "source_stream_replay",
+    "sink_foreach_batch",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_watermark",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_quarantine",
+    "stream_dedup_wm",
+    "stream_sink_parquet",
+    "stream_join_outer",
+    "stream_session_dynamic",
+    "stream_upsert_merge",
+    "stream_update_mode",
+    # -- [29-50] oldest-green proven-core rotation --
+    "sql_q3_shipping_priority",
+    "sql_q6_forecast_revenue",
+    "sql_q7_volume_shipping",
+    "sql_q10_returned_items",
+    "sql_q18_large_customers",
+    "events_retention_cohort",
+    "events_funnel",
+    "orders_rfm",
+    "win_gap_islands",
+    "sketch_quantiles",
+    "sketch_count_min",
+    "dedup_clusters",
+    "dedup_minhash_banded",
+    "text_langid",
+    "text_fingerprint",
+    "mm_image_meta",
+    "pack_sequences",
+    "join_bucketed",
+    "fn_struct",
+    "udaf_grouped",
+    "agg_minmax_by",
+    "win_frame_rows",
+    # -- 51+: the round-4 window (all driver-green in r4), then
+    # everything else in earlier-round ordering --
     "sql_q2_min_cost_supplier",
     "sql_q9_product_profit",
     "sql_q11_important_parts",
@@ -72,16 +126,13 @@ _ROUND4_PRIORITY = (
     "sql_q16_supplier_part_counts",
     "sql_q19_disjunctive_ranges",
     "sql_q20_promo_concentration",
-    "sql_q21_sole_blame",
     "sql_q22_dormant_value",
     "pipeline_train_export",
-    # -- [13-17] corpus/LLM late additions --
     "dedup_incremental",
     "corpus_sample_temperature",
     "emb_quantize_int8",
     "emb_label_margin",
     "text_canonicalize",
-    # -- [18-25] windows/analytics late additions --
     "win_distribution",
     "win_running_distinct",
     "events_anomaly_zscore",
@@ -90,49 +141,29 @@ _ROUND4_PRIORITY = (
     "orders_backlog_aging",
     "supplier_scorecard",
     "agg_percentiles_exact",
-    # -- [26-30] streaming late additions --
-    "stream_sink_parquet",
-    "stream_join_outer",
-    "stream_session_dynamic",
-    "stream_upsert_merge",
-    "stream_update_mode",
-    # -- [31-34] sources/sinks late additions --
     "sink_scan_orc",
     "scan_schema_evolution",
     "sink_range_partitioned",
     "scan_csv_corrupt",
-    # -- [35-38] maintenance/quality late additions --
     "maintenance_compact",
     "cdc_snapshot_diff",
     "dq_profile",
     "dq_constraints",
-    # -- [39-42] joins/sketches/functions late additions --
     "join_interval_chunked",
     "join_asof_tolerance",
     "sketch_hll_merge",
     "fn_datetime_arith",
-    # -- [43] alias whose name never sat in a window --
     "dedup_near",
-    # -- [44-50] rotating proven-core sentinels (round-4 set) --
     "project",
     "join_semi",
     "agg_pivot",
     "win_topk_group",
-    "stream_watermark",
     "dedup_exact",
     "sim_cosine_topk",
-    # -- 51+: the round-3 window (all driver-green in r3), then
-    # everything else in its round-2 ordering --
-    "split_train_val_test",
     "sample_stratified",
-    "pack_sequences",
-    "sketch_quantiles",
     "sketch_bloom",
-    "sketch_count_min",
     "sql_exists_subquery",
     "sql_scalar_subquery",
-    "dedup_clusters",
-    "dedup_minhash_banded",
     "union_distinct",
     "intersect",
     "intersect_all",
@@ -146,18 +177,10 @@ _ROUND4_PRIORITY = (
     "dedup_minhash_lsh",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "dedup_near_verified",
-    "sql_q7_volume_shipping",
     "sql_q8_market_share",
-    "sql_q10_returned_items",
     "sql_q14_promo_effect",
-    "sql_q18_large_customers",
-    "events_retention_cohort",
-    "events_funnel",
     "agg_histogram",
     "agg_mode",
-    "win_gap_islands",
-    "orders_rfm",
     "events_session_stats",
     "agg_rollup_incremental",
     "text_tfidf_top_terms",
@@ -166,19 +189,13 @@ _ROUND4_PRIORITY = (
     "emb_label_centroid_dist",
     "join_asof_nearest",
     "join_dpp_partitioned",
-    "q1_pricing_summary",
     "join_asof",
     "win_frame_range",
-    "agg_grouping_sets",
     "scan_parquet_ns",
     "sessionize_batch",
-    "stream_session",
     "agg_approx_distinct",
-    "join_bucketed",
     "join_skew_salted",
-    "sql_q3_shipping_priority",
     "sql_q5_local_supplier_volume",
-    "sql_q6_forecast_revenue",
     "fn_string",
     "fn_date",
     "fn_math",
@@ -186,57 +203,38 @@ _ROUND4_PRIORITY = (
     "fn_map",
     "fn_json",
     "fn_hash",
-    "fn_struct",
     "fn_bitwise",
     "udf_scalar",
-    "udaf_grouped",
     "udtf_grouped_map",
     "udtf_map",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
-    "sim_cosine_topk",
     "sim_knn_query",
     "vec_norm",
     "text_token_stats",
     "text_quality",
     "text_lang_stats",
-    "text_langid",
-    "text_fingerprint",
-    "mm_image_meta",
     "mm_frame_sample",
     "pipeline_corpus_preprocess",
     "pipeline_sensory_ingest",
-    "source_stream_replay",
-    "sink_foreach_batch",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_watermark",
-    "stream_dedup",
-    "stream_stateful",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_quarantine",
-    "stream_dedup_wm",
     "nested_struct_stored",
     "nested_map_stored",
     "nested_null_stored",
-    "dedup_near",
 )
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
     the full registry, reordered so the driver's 50-query correctness
-    window covers not-yet-verified operators first (see _ROUND4_PRIORITY).
+    window covers not-yet-verified operators first (see _ROUND5_PRIORITY).
     Keys are the SURVEY.md §2 operator IDs."""
     import importlib
 
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     ordered: dict[str, QuerySpec] = {}
-    for name in _ROUND4_PRIORITY:
+    for name in _ROUND5_PRIORITY:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():

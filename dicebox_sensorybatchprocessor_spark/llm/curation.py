@@ -143,6 +143,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT b) AS n_distinct
       FROM bg GROUP BY doc_id
     )
+    -- inner join on bgs == drop docs with <2 tokens (no bigrams), matching
+    -- the engine's explicit n_bigrams >= 1 guard
     SELECT mx.doc_id, n_tokens,
            max_c * 1.0 / n_tokens AS top_token_frac,
            (n_bigrams - n_distinct) * 1.0 / n_bigrams AS dup_bigram_frac,
@@ -169,7 +171,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("bigint").alias("n_tokens"),
         F.size(bg).cast("bigint").alias("n_bigrams"),
         F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct"),
-    )
+    ).filter(F.col("n_bigrams") >= 1)  # <2-token docs have no bigram signal;
+    # dropping them keeps dup_bigram_frac NULL-free and matches the oracle's
+    # inner join on bgs (ADVICE r4: 0/0 -> NULL divergence on short docs)
     top = (
         d.select("doc_id", F.explode("t").alias("token"))
         .groupBy("doc_id", "token")
@@ -229,13 +233,13 @@ def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_DIMS = 16
 
 
-def _rp_project_expr() -> str:
+def _rp_project_expr(dims: int = _RP_DIMS) -> str:
     sign = (
         "case when conv(substring(md5(concat('rp|', k, '|', j)), 1, 1), 16, 10) % 2 = 0"
         " then 1.0d else -1.0d end"
     )
     return f"""
-    transform(sequence(0, {_RP_DIMS - 1}), k ->
+    transform(sequence(0, {dims - 1}), k ->
       aggregate(zip_with(embedding, transform(sequence(0, 63), j -> {sign}),
                          (v, s) -> cast(v as double) * s),
                 cast(0.0 as double), (acc, x) -> acc + x))
@@ -326,7 +330,9 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-        F.expr(_rp_project_expr()).alias("p"),
+        # only the 3 bucketing projections are computed (ADVICE r4: the
+        # full 16-dim fold was 13 wasted per-row reductions)
+        F.expr(_rp_project_expr(dims=3)).alias("p"),
     ).select(
         "vec_id",
         "emb",

@@ -286,3 +286,24 @@ def test_running_distinct_single_exchange(spark):
     tree = _final_tree(plan)
     assert tree.count("Window (") >= 2 or tree.count("Window(") >= 2, tree
     assert len(re.findall(r"Exchange \(\d+\)", tree)) == 1, tree
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    """decontaminate_ngram's benchmark n-gram set is tiny by definition
+    (an eval suite, not a corpus): its probe join must broadcast the
+    bench side so the corpus n-grams are checked map-side — a shuffled
+    join here would re-shuffle the whole corpus on ngram at 100 TB."""
+    plan = _plan(spark, "decontaminate_ngram")
+    tree = _final_tree(plan)
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_rp_dim_reduce_stays_jvm_side(spark):
+    """emb_dim_reduce_rp is a map-only pass: md5-derived sign folds as
+    higher-order functions, zero Python nodes, zero shuffle."""
+    plan = _plan(spark, "emb_dim_reduce_rp")
+    tree = _final_tree(plan)
+    assert "BatchEvalPython" not in tree, tree
+    assert "ArrowEvalPython" not in tree, tree
+    assert "Exchange" not in tree, tree
