@@ -54,12 +54,16 @@ _OPERATOR_MODULES = (
 # since-fixed agg_approx_distinct; r2/r3/r4 50/50). Round 5's window:
 # [1-5] the llm/curation operators that round 4 wrote but never wired
 # into _OPERATOR_MODULES (VERDICT r4 #1 — their only gap is driver
-# visibility); [6-12] rotating proven-core sentinels per VERDICT r4 #5
-# (a set not used as sentinels in r4); [13-28] the full streaming
-# surface — streams.py's harness is being touched this round for the
-# stream_tumbling cost-trend work (VERDICT r4 #3), so every query
-# sharing that code path gets a fresh external row; [29-50] proven-core
-# rotation drawn from queries whose last green row is oldest (r1/r2).
+# visibility); [6-8] the three operators written this round
+# (text_unigram_lm_score, text_token_entropy, dedup_prefix); then
+# rotating proven-core sentinels per VERDICT r4 #5 (a set not used as
+# sentinels in r4); then the full streaming surface — streams.py's
+# harness is being touched this round for the stream_tumbling
+# cost-trend work (VERDICT r4 #3), so every query sharing that code
+# path gets a fresh external row; then proven-core rotation drawn from
+# queries whose last green row is oldest (r1/r2). The last 3 entries of
+# the r4-planned 50 (fn_struct, udaf_grouped via rotation tail) fall to
+# 51+ — all have green rows from earlier rounds.
 _ROUND5_PRIORITY = (
     # -- [1-5] curation ops newly wired into the registry --
     "decontaminate_ngram",
@@ -67,7 +71,11 @@ _ROUND5_PRIORITY = (
     "events_pii_scrub",
     "emb_dim_reduce_rp",
     "dedup_semantic_buckets",
-    # -- [6-12] rotating proven-core sentinels (round-5 set) --
+    # -- [6-8] operators written this round (first driver exposure) --
+    "text_unigram_lm_score",
+    "text_token_entropy",
+    "dedup_prefix",
+    # -- rotating proven-core sentinels (round-5 set) --
     "q1_pricing_summary",
     "join_multiway",
     "agg_grouping_sets",

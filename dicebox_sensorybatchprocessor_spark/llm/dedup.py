@@ -550,3 +550,53 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jaccard >= 0.6)
         .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_prefix",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(substr(text, 1, 64)), '\\s+', ' ', 'g'))
+               AS prefix_key
+      FROM documents
+    )
+    SELECT k.doc_id, k.prefix_key,
+           g.group_size,
+           k.doc_id = g.keeper_doc_id AS keep
+    FROM keyed k
+    JOIN (SELECT prefix_key, min(doc_id) AS keeper_doc_id,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM keyed GROUP BY prefix_key) g
+      ON g.prefix_key = k.prefix_key
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix dedup — the web-corpus trick of keying documents
+    by a normalized head (first 64 chars, lowercased, whitespace-collapsed):
+    template pages, mirrored articles, and scraped duplicates that differ
+    only in their tails collide on the prefix even when full-content
+    hashing (dedup_exact) and shingle methods see distinct documents.
+    keeper = min doc_id per prefix group so survivorship is deterministic.
+    Scale shape: the key is computed in one codegen'd scan (substr → lower
+    → regexp_replace → md5, all JVM), then one hash-agg over 16-byte keys
+    and a key-sized join back — identical cost profile to dedup_exact, and
+    the prefix key is 16 bytes regardless of document length, so the
+    shuffle is fixed-width at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.substring("text", 1, 64)), r"\s+", " ")
+        ).alias("prefix_key"),
+    )
+    groups = keyed.groupBy("prefix_key").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return keyed.join(groups, "prefix_key").select(
+        "doc_id",
+        "prefix_key",
+        "group_size",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("keep"),
+    )

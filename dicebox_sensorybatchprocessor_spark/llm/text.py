@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, stable_round
 
 # Constant upper bound for character-shingle generation: documents.text is
 # 48..553 chars (FIXTURES.md). DuckDB can't lateral-join generate_series on
@@ -382,4 +383,125 @@ def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = canon.groupBy("canon_key").agg(F.count("*").alias("group_size"))
     return canon.join(groups, "canon_key").select(
         "doc_id", "canon_key", "n_unique_tokens", "group_size"
+    )
+
+
+@register(
+    "text_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(round((tf.tf * ln(vocab.c * 1.0 / n.total)) * 1000000.0, 0)
+                  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS ll
+      FROM tf JOIN vocab ON tf.token = vocab.token, n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor((ll / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+           (ll / n_tokens) >= -7.0 AS keep
+    FROM per_doc
+    """,
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality gate (the cheap stand-in for a
+    perplexity filter in LLM-data curation): train p(token) = c/N over
+    the whole corpus in one aggregation, score each document by its mean
+    token log-likelihood, and keep docs above a floor — documents full of
+    rare junk tokens (OCR noise, boilerplate markup, wrong-language
+    fragments) score far below fluent text. Per-(doc,token) terms are
+    fixed-point-summed so the per-doc total is independent of partition
+    and join order — the property that makes the score reproducible at
+    any parallelism. Scale shape: ONE corpus scan + explode — vocab and
+    the corpus total are rollups OF the doc-term TF aggregate, so the
+    exploded-token exchange is computed once and reused for both
+    consumers (ReusedExchange, plan-asserted in tests/test_plans.py)
+    rather than re-scanning 100 TB per statistic; the vocab join is
+    vocabulary-sized (≪ corpus; broadcastable to ~100M terms,
+    bucket-join beyond), then one final keyed agg. No Python, no
+    window, no all-pairs anything."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("c"))
+    n = vocab.agg(F.sum("c").cast("bigint").alias("total"))
+    term_ll = F.col("tf") * F.log(F.col("c") * 1.0 / F.col("total"))
+    per_doc = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            fixed_point_sum(term_ll, 6).alias("ll"),
+        )
+    )
+    avg = F.col("ll") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        stable_round(avg, 6).alias("avg_logprob"),
+        (avg >= F.lit(-7.0)).alias("keep"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(round((tf * log2(tf * 1.0)) * 1000000.0, 0)
+                  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS s
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           floor((log2(n_tokens * 1.0) - s / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS token_entropy,
+           floor((n_types * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS type_token_ratio
+    FROM per_doc
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus
+    type-token ratio — the gibberish/degeneracy axis of quality filtering
+    (near-zero entropy = one token repeated; entropy ≈ log2(n) with
+    TTR ≈ 1 = no repetition at all, the signature of ID dumps). Uses the
+    identity H = log2(n) − (Σ c·log2 c)/n so the per-term contribution
+    c·log2(c) needs no per-doc total — that removes the Sort+Window a
+    naive −Σ p·log2 p formulation pays (the doc-total would have to be
+    windowed onto every term row before the entropy sum) and leaves just
+    one explode and two stacked hash-aggregations, both with map-side
+    partial combine; per-term contributions are fixed-point-summed for
+    partition-order independence. Complements text_repetition_filter
+    (which gates on top-token share) with a whole-distribution
+    statistic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        fixed_point_sum(F.col("tf") * F.log2(F.col("tf") * 1.0), 6).alias("s"),
+    )
+    h = F.log2(F.col("n_tokens") * 1.0) - F.col("s") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        stable_round(h, 6).alias("token_entropy"),
+        stable_round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
     )

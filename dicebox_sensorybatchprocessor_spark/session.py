@@ -64,13 +64,26 @@ _RUNTIME_CONF = {
 }
 
 
+# Marker conf: a session that pins its own shuffle width (the streaming
+# child sessions pin the state-store width) sets this to the pinned value;
+# ensure_engine_conf then re-asserts THAT width instead of the batch
+# default. Without it, any load()/_events_raw() call routed through the
+# child re-applied the batch width mid-session — the silent cause of the
+# r2→r4 stream_tumbling cost creep (state ran with 32 stores per
+# micro-batch, not the pinned streaming width; VERDICT r4 #3).
+PINNED_SHUFFLE_KEY = "spark.sbp.pinnedShuffleWidth"
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine profile to an existing session.
 
     Idempotent and cheap; every registered query runs through this so the
     engine behaves identically on driver-owned sessions.
     """
+    pinned = spark.conf.get(PINNED_SHUFFLE_KEY, None)
     for key, value in _RUNTIME_CONF.items():
+        if key == "spark.sql.shuffle.partitions" and pinned is not None:
+            value = pinned
         try:
             spark.conf.set(key, value)
         except Exception as exc:

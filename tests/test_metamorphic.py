@@ -244,3 +244,52 @@ def test_ivf_measured_recall(spark):
 
     n_overlap, topk, _ = ivf_measured_overlap(spark, SF_ORACLE)
     assert n_overlap == topk
+
+
+def test_token_entropy_analytic_bounds(spark):
+    """Entropy identities that hold by construction: a doc with all-
+    distinct tokens has H == log2(n) and TTR == 1; every doc satisfies
+    0 ≤ H ≤ log2(n_tokens) and entropy of a doc is log2(n_types) when
+    every type occurs equally often. The fixture docs exercise the
+    general case; the bound check runs over all of them."""
+    import math
+
+    df = _SPECS["text_token_entropy"].fn(spark, SF_ORACLE)
+    for r in df.collect():
+        ub = math.log2(r.n_tokens) if r.n_tokens > 1 else 0.0
+        assert -1e-6 <= r.token_entropy <= ub + 1e-6, r
+        if r.n_types == r.n_tokens:
+            assert abs(r.token_entropy - ub) <= 1e-6, r
+            assert abs(r.type_token_ratio - 1.0) <= 1e-9, r
+
+
+def test_unigram_lm_partition_invariance(spark):
+    """The LM score must be identical no matter how the corpus is
+    partitioned — the fixed-point term sum is the mechanism. Compare the
+    registered result with a 13-way repartitioned recomputation."""
+    from dicebox_sensorybatchprocessor_spark.llm.text import text_unigram_lm_score
+
+    base = _rows(_SPECS["text_unigram_lm_score"].fn(spark, SF_ORACLE))
+
+    import dicebox_sensorybatchprocessor_spark.llm.text as t
+
+    orig_load = t.load
+    try:
+        t.load = lambda sp, sf, name: orig_load(sp, sf, name).repartition(13)
+        alt = _rows(text_unigram_lm_score.__wrapped__(spark, SF_ORACLE))
+    finally:
+        t.load = orig_load
+    assert base == alt
+
+
+def test_dedup_prefix_keep_partition(spark):
+    """Exactly one keeper per prefix group, and the keeper is the min
+    doc_id of its group — survivorship must be deterministic."""
+    df = _SPECS["dedup_prefix"].fn(spark, SF_ORACLE)
+    agg = df.groupBy("prefix_key").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.min("doc_id").alias("min_doc"),
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("keeper"),
+    )
+    bad = agg.filter((F.col("n_keep") != 1) | (F.col("min_doc") != F.col("keeper")))
+    assert bad.count() == 0

@@ -307,3 +307,39 @@ def test_rp_dim_reduce_stays_jvm_side(spark):
     assert "BatchEvalPython" not in tree, tree
     assert "ArrowEvalPython" not in tree, tree
     assert "Exchange" not in tree, tree
+
+
+def test_unigram_lm_single_corpus_scan(spark):
+    """text_unigram_lm_score derives vocab and the corpus total from the
+    doc-term TF aggregate, so the exploded-token exchange is computed once
+    and REUSED — a second corpus scan+explode per statistic would double
+    the most expensive stage at 100 TB. The vocab probe join must
+    broadcast (vocabulary ≪ corpus)."""
+    plan = _plan(spark, "text_unigram_lm_score")
+    tree = _final_tree(plan)
+    assert tree.count("Scan parquet") == 1, tree
+    assert "ReusedQueryStage" in tree or "ReusedExchange" in plan, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_token_entropy_no_window_sort(spark):
+    """text_token_entropy uses H = log2(n) − Σc·log2(c)/n, so no per-doc
+    total needs windowing onto term rows: the plan must be explode → two
+    stacked hash-aggregates with NO Window and NO Sort node."""
+    plan = _plan(spark, "text_token_entropy")
+    tree = _final_tree(plan)
+    assert "Window" not in tree, tree
+    assert "Sort (" not in tree and "Sort(" not in tree, tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree, tree
+
+
+def test_dedup_prefix_fixed_width_key_agg(spark):
+    """dedup_prefix's group relation is keyed by a 16-byte md5 — the
+    hash-agg and join must operate on the key, never re-shuffle document
+    text; no Python nodes, no cartesian."""
+    plan = _plan(spark, "dedup_prefix")
+    tree = _final_tree(plan)
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree, tree
