@@ -365,3 +365,146 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, array_to_string(t[g.i:g.i+2], ' ') AS ngram
+      FROM toks, generate_series(1, {_MAX_TOKS}) g(i)
+      WHERE g.i <= len(t) - 2
+    ),
+    tag AS (SELECT doc_id, ngram, {_BENCH_DUCK} AS is_bench FROM ng),
+    bench AS (SELECT DISTINCT ngram FROM tag WHERE is_bench),
+    eval AS (SELECT doc_id, ngram FROM tag WHERE NOT is_bench),
+    sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM eval GROUP BY doc_id),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_hits
+      FROM eval e JOIN bench USING (ngram) GROUP BY e.doc_id
+    )
+    SELECT h.doc_id, n_hits, n_ngrams,
+           n_hits * 1.0 / n_ngrams AS contamination
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale seam of decontaminate_ngram, actually built:
+    when the benchmark n-gram set outgrows a raw-string broadcast
+    (~100M+ n-grams), replace it with a Bloom bitset — a relation of set
+    bit positions (m bits ≈ 9.6 · |bench|, integers, not strings) that
+    broadcasts long after the strings cannot. Probe: each corpus n-gram
+    explodes into its k hash bits (seeded xxhash64 family, the
+    operators/sketches.py construction); an n-gram is a CANDIDATE iff
+    all k exploded rows hit the broadcast bitset (count == k — correct
+    even when two hash functions collide on one bit, because the bitset
+    is distinct so each exploded row matches at most once). Candidates
+    are then EXACTLY verified against the true bench set, which kills
+    bloom false positives — so the oracle is the SAME SQL as
+    decontaminate_ngram, and equality proves end-to-end that the bloom
+    pass loses no true hit (no false negatives) and the verify pass
+    admits no false hit. At 100 TB the exact-verify join sees only the
+    ~fpp-sized surviving fraction of corpus n-grams instead of all of
+    them — the candidates-gate-the-expensive-step shape shared with
+    dedup_near_verified."""
+    import math as _math
+
+    from dicebox_sensorybatchprocessor_spark.operators.sketches import _bloom_bits
+
+    d = load(spark, sf_dir, "documents")
+    ng = (
+        d.select(
+            "doc_id", F.explode(_word_ngrams(F.split("text", " "), 3)).alias("ngram")
+        )
+        .distinct()
+        .withColumn("is_bench", F.expr(_BENCH_SPARK))
+    )
+    bench = ng.filter("is_bench").select("ngram").distinct()
+    eval_side = ng.filter(~F.col("is_bench")).select("doc_id", "ngram")
+    sizes = eval_side.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+
+    fpp = 0.01
+    n_bench = max(bench.count(), 1)
+    m = max(64, int(_math.ceil(-n_bench * _math.log(fpp) / (_math.log(2) ** 2))))
+    k = max(1, round(m / n_bench * _math.log(2)))
+    bitset = _bloom_bits(bench, "ngram", k, m).select("bit").distinct()
+
+    probe_bits = eval_side.select(
+        "doc_id",
+        "ngram",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(j), F.col("ngram")), F.lit(m))
+                    for j in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    candidates = (
+        probe_bits.join(F.broadcast(bitset), "bit")
+        .groupBy("doc_id", "ngram")
+        .agg(F.count("*").alias("bits_hit"))
+        .filter(F.col("bits_hit") == k)
+        .select("doc_id", "ngram")
+    )
+    hits = (
+        candidates.join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_ngrams",
+        (F.col("n_hits") * 1.0 / F.col("n_ngrams")).alias("contamination"),
+    )
+
+
+@register(
+    "events_bot_rate",
+    oracle="""
+    WITH per_day AS (
+      SELECT user_id, date_trunc('day', ts) AS day_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           CAST(count(*) AS BIGINT) AS n_active_days,
+           CAST(max(n) AS BIGINT) AS peak_per_day,
+           floor((sum(n) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_per_day,
+           max(n) >= 7 AS is_bot
+    FROM per_day
+    GROUP BY user_id
+    """,
+)
+def events_bot_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic scrub for interaction training logs: per-user
+    request-rate profile (peak and average events per active day, day
+    grain chosen so the fixture's event density exercises both flag
+    branches) with a burst-rate bot flag — the curation gate that keeps
+    scripted/bot sessions out of a behavioral training corpus,
+    complementing events_pii_scrub (content) with a traffic-shape
+    signal. All integer aggregation to the final division, so the flag
+    is engine-exact by construction. Scale shape: two stacked hash-aggs
+    with map-side combine — (user, day) then user — the same profile as
+    any per-entity rollup; no join, no window, and the time grain bounds
+    first-agg group size so no single reducer sees more than one
+    user-day of rows even for a hot bot (at production rates you'd run
+    the same plan at minute grain)."""
+    from dicebox_sensorybatchprocessor_spark.utils import stable_round
+
+    e = load(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_start")
+    ).agg(F.count("*").alias("n"))
+    return per_day.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.count("*").cast("bigint").alias("n_active_days"),
+        F.max("n").cast("bigint").alias("peak_per_day"),
+        stable_round(F.sum("n") * 1.0 / F.count("*"), 6).alias("avg_per_day"),
+        (F.max("n") >= F.lit(7)).alias("is_bot"),
+    )

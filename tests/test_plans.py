@@ -343,3 +343,16 @@ def test_dedup_prefix_fixed_width_key_agg(spark):
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree, tree
+
+
+def test_decontaminate_bloom_broadcasts_bitset(spark):
+    """decontaminate_bloom must probe via a BROADCAST of the integer
+    bitset relation (the whole point of the bloom seam: the corpus is
+    never shuffled on ngram for the membership test), and the follow-up
+    exact verify join must also broadcast (bench set ≪ corpus). No
+    SortMergeJoin anywhere in the final plan."""
+    plan = _plan(spark, "decontaminate_bloom")
+    tree = _final_tree(plan)
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
