@@ -65,6 +65,13 @@ LLM_BLOCK = [
     "text_quality",
     "pipeline_corpus_preprocess",
     "stream_tumbling",
+    # round 5 additions (curation family), baselines re-measured under the
+    # same protocol (scripts/measure_llm_baseline.py, BASELINE.md):
+    "text_unigram_lm_score",
+    "text_token_entropy",
+    "dedup_prefix",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H

@@ -132,3 +132,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text", "n_chars").mapInPandas(
         frames, "doc_id long, frame_no long, frame_key string"
     )
+
+
+def decode_audio(data: bytes) -> tuple[int, int]:
+    """STUB audio decode — deterministic fake derived from md5(data).
+
+    A production build replaces this body with a real decoder (soundfile/
+    ffmpeg); the Spark plumbing around it is unchanged. Returns
+    (sample_rate, n_windows)."""
+    h = hashlib.md5(data).digest()
+    sample_rate = 8000 * (1 + h[0] % 3)  # 8/16/24 kHz
+    n_windows = 1 + h[1] % 4
+    return sample_rate, n_windows
+
+
+@register(
+    "mm_audio_feature",
+    oracle="""
+    SELECT doc_id,
+           8000 * (1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 3) AS sample_rate,
+           g.i AS window_no,
+           round(('0x' || substr(md5(text || '-w' || CAST(g.i AS VARCHAR)), 1, 4))::BIGINT
+                 / 65535.0, 6) AS energy
+    FROM documents, generate_series(1, 4) g(i)
+    WHERE g.i <= 1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 4
+    """,
+)
+def mm_audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing — completes the image/video/audio
+    triple: one binary blob → per-window feature rows (the windowed-
+    energy/MFCC shape), a data-dependent 1→N mapInPandas expansion whose
+    window count and per-window energy come from the decode_audio STUB +
+    a hash-derived energy kernel, so the entire pipeline including the
+    Python side is oracle-checkable in SQL. A real build swaps the two
+    kernels for a codec + FFT at this exact seam; batch iteration,
+    Arrow transfer, output schema, and the blob→rows fan-out are real.
+    Scale shape: map-only (zero shuffle) — feature extraction is
+    embarrassingly parallel and the expansion factor is bounded by the
+    window count, so output partitioning follows input partitioning."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_id, out_sr, out_no, out_en = [], [], [], []
+            for doc_id, blob in zip(batch["doc_id"], batch["audio"]):
+                sample_rate, n_windows = decode_audio(blob)
+                text = blob.decode("utf-8")
+                for i in range(1, n_windows + 1):
+                    out_id.append(doc_id)
+                    out_sr.append(sample_rate)
+                    out_no.append(i)
+                    h4 = hashlib.md5(f"{text}-w{i}".encode()).hexdigest()[:4]
+                    out_en.append(round(int(h4, 16) / 65535.0, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "sample_rate": out_sr,
+                    "window_no": out_no,
+                    "energy": out_en,
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    audio = d.select("doc_id", F.col("text").cast("binary").alias("audio"))
+    return audio.mapInPandas(
+        features, "doc_id long, sample_rate long, window_no long, energy double"
+    )

@@ -356,3 +356,14 @@ def test_decontaminate_bloom_broadcasts_bitset(spark):
     assert tree.count("BroadcastHashJoin") >= 2, tree
     assert "SortMergeJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_audio_feature_map_only(spark):
+    """mm_audio_feature is feature extraction: one ArrowEvalPython-family
+    node (mapInPandas), ZERO Exchange — output partitioning must follow
+    input partitioning, because at 100 TB any shuffle of raw media bytes
+    dwarfs the decode cost itself."""
+    plan = _plan(spark, "mm_audio_feature")
+    tree = _final_tree(plan)
+    assert "Exchange" not in tree, tree
+    assert "MapInPandas" in tree or "ArrowEvalPython" in tree or "PythonMapInArrow" in tree, tree
