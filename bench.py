@@ -72,6 +72,7 @@ LLM_BLOCK = [
     "dedup_prefix",
     "decontaminate_ngram",
     "decontaminate_bloom",
+    "text_quality_composite",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H

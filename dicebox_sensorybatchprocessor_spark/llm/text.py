@@ -505,3 +505,91 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+@register(
+    "text_quality_composite",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(max(tf.tf) AS BIGINT) AS max_tf,
+             CAST(SUM(CAST(round((tf.tf * log2(tf.tf * 1.0)) * 1000000.0, 0)
+                  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(CAST(round((tf.tf * ln(vocab.c * 1.0 / n.total)) * 1000000.0, 0)
+                  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS ll
+      FROM tf JOIN vocab ON tf.token = vocab.token, n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           floor((log2(n_tokens * 1.0) - s / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS token_entropy,
+           floor((ll / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+           floor((max_tf * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS top_token_share,
+           floor((n_types * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0
+             AS type_token_ratio,
+           ((ll / n_tokens) >= -7.0
+            AND (log2(n_tokens * 1.0) - s / n_tokens) >= 4.0
+            AND (max_tf * 1.0 / n_tokens) <= 0.12) AS keep
+    FROM per_doc
+    """,
+)
+def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document quality statistic a curation run gates on —
+    unigram-LM mean log-likelihood, token-distribution entropy,
+    type-token ratio, top-token share — computed in ONE corpus scan and
+    one final keyed aggregation. This is the composition argument for the
+    single-statistic operators (text_unigram_lm_score,
+    text_token_entropy, text_repetition_filter): at 100 TB nobody runs
+    four corpus scans for four signals; the doc-term TF aggregate is
+    computed once, its exchange REUSED for the vocabulary rollup
+    (plan-asserted), the vocabulary probe join broadcasts, and all four
+    statistics fall out of a single groupBy(doc_id) over the joined
+    stream — three exchanges total, none proportional to more than one
+    pass over the corpus. Fixed-point term sums keep every statistic
+    partition- and join-order-invariant; the combined keep gate uses the
+    unrounded values on both engines so the boolean is engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("c"))
+    n = vocab.agg(F.sum("c").cast("bigint").alias("total"))
+    per_doc = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            fixed_point_sum(F.col("tf") * F.log2(F.col("tf") * 1.0), 6).alias("s"),
+            fixed_point_sum(
+                F.col("tf") * F.log(F.col("c") * 1.0 / F.col("total")), 6
+            ).alias("ll"),
+        )
+    )
+    h = F.log2(F.col("n_tokens") * 1.0) - F.col("s") / F.col("n_tokens")
+    avg_ll = F.col("ll") / F.col("n_tokens")
+    top_share = F.col("max_tf") * 1.0 / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        stable_round(h, 6).alias("token_entropy"),
+        stable_round(avg_ll, 6).alias("avg_logprob"),
+        stable_round(top_share, 6).alias("top_token_share"),
+        stable_round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        ((avg_ll >= F.lit(-7.0)) & (h >= F.lit(4.0)) & (top_share <= F.lit(0.12))).alias(
+            "keep"
+        ),
+    )

@@ -367,3 +367,17 @@ def test_audio_feature_map_only(spark):
     tree = _final_tree(plan)
     assert "Exchange" not in tree, tree
     assert "MapInPandas" in tree or "ArrowEvalPython" in tree or "PythonMapInArrow" in tree, tree
+
+
+def test_quality_composite_single_scan(spark):
+    """text_quality_composite must compute all four quality statistics
+    from ONE corpus scan: the TF exchange is reused for the vocabulary
+    rollup, the vocab probe broadcasts, and there is no Window/Sort —
+    the whole point of the composed op vs four separate scans."""
+    plan = _plan(spark, "text_quality_composite")
+    tree = _final_tree(plan)
+    assert tree.count("Scan parquet") == 1, tree
+    assert "ReusedQueryStage" in tree or "ReusedExchange" in plan, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Window" not in tree, tree
