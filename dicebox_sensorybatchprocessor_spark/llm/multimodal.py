@@ -197,3 +197,65 @@ def mm_audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.mapInPandas(
         features, "doc_id long, sample_rate long, window_no long, energy double"
     )
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    SELECT doc_id,
+           1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS src_width,
+           1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS src_height,
+           least(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64, 32) AS dst_width,
+           least(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64, 32) AS dst_height,
+           md5(text || '|resize|'
+               || CAST(least(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64, 32) AS VARCHAR)
+               || 'x'
+               || CAST(least(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64, 32) AS VARCHAR))
+             AS resized_key,
+           least(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64, 32)
+             * least(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64, 32) <= 600
+             AS fits_budget
+    FROM documents
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing — the remaining enumerated multimodal verb
+    (decode ✓ feature-extract ✓ frame-sample ✓ resize): binary blob →
+    decode dims (decode_image STUB) → clamp to a 32×32 edge limit →
+    re-encode key for the resized payload. The resized bytes are a
+    hash-derived stand-in key (a real build swaps in an interpolation
+    kernel + encoder at this exact seam); dims math, the 600-max-pixel
+    budget flag (chosen so the fixture exercises both branches), and the mapInPandas batch path are real. Map-only —
+    at 100 TB resize is the canonical embarrassingly-parallel
+    preprocessing step, and shuffling raw bytes to do it would dominate
+    the kernel cost, so output partitioning must follow input
+    partitioning (zero Exchange, same contract as mm_audio_feature)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {
+                "doc_id": [], "src_width": [], "src_height": [],
+                "dst_width": [], "dst_height": [], "resized_key": [],
+                "fits_budget": [],
+            }
+            for doc_id, blob in zip(batch["doc_id"], batch["img"]):
+                w, h, _ = decode_image(blob)
+                dw, dh = min(w, 32), min(h, 32)
+                text = blob.decode("utf-8")
+                key = hashlib.md5(f"{text}|resize|{dw}x{dh}".encode()).hexdigest()
+                rows["doc_id"].append(doc_id)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["resized_key"].append(key)
+                rows["fits_budget"].append(dw * dh <= 600)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents")
+    imgs = d.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return imgs.mapInPandas(
+        resize,
+        "doc_id long, src_width long, src_height long, dst_width long,"
+        " dst_height long, resized_key string, fits_budget boolean",
+    )

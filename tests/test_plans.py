@@ -381,3 +381,12 @@ def test_quality_composite_single_scan(spark):
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
     assert "Window" not in tree, tree
+
+
+def test_image_resize_map_only(spark):
+    """mm_image_resize must stay map-only (zero Exchange): shuffling raw
+    media bytes to resize them would dominate the kernel cost at scale."""
+    plan = _plan(spark, "mm_image_resize")
+    tree = _final_tree(plan)
+    assert "Exchange" not in tree, tree
+    assert "MapInPandas" in tree or "ArrowEvalPython" in tree or "PythonMapInArrow" in tree, tree
