@@ -1,0 +1,266 @@
+"""DataFrame-level public API for the curation family.
+
+The registry (`all_queries()`) exposes fixture-bound queries for the
+driver contract; THIS module is the library face — each function takes a
+user's own DataFrame and column names and returns a DataFrame, so the
+operators compose into arbitrary pipelines (`quality_signals(my_docs)`
+rather than "the documents fixture"). The registered operators in
+llm/text.py, llm/dedup.py, llm/curation.py, and llm/multimodal.py are
+thin wrappers over these functions, which keeps the two surfaces
+provably identical: every API function is exercised against a DuckDB
+oracle through its registered twin.
+
+Engine-invariant guarantees shared by all functions here:
+- no Python row loops — built-in JVM expressions, or Arrow-batched
+  mapInPandas where a kernel seam is required;
+- partition-order-invariant results (fixed-point sums for float
+  accumulations, md5-keyed determinism for survivorship);
+- scale-shaped plans: corpus-sized relations are never broadcast,
+  vocabulary/benchmark-sized relations always are.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, stable_round
+
+
+def _doc_term_freq(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace doc-term frequency relation: (id, token, tf). The one
+    expensive aggregate every token statistic derives from; consumers
+    that roll it up further reuse its exchange (Spark ReuseExchange)."""
+    toks = df.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_floor: float = -7.0,
+) -> DataFrame:
+    """Corpus-trained unigram-LM mean token log-likelihood per document +
+    keep gate. One corpus scan; vocab and total are rollups of the TF
+    aggregate. Columns: id, n_tokens, avg_logprob, keep."""
+    tf = _doc_term_freq(df, text_col, id_col)
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("c"))
+    n = vocab.agg(F.sum("c").cast("bigint").alias("total"))
+    term_ll = F.col("tf") * F.log(F.col("c") * 1.0 / F.col("total"))
+    per_doc = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            fixed_point_sum(term_ll, 6).alias("ll"),
+        )
+    )
+    avg = F.col("ll") / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        stable_round(avg, 6).alias("avg_logprob"),
+        (avg >= F.lit(keep_floor)).alias("keep"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy + type-token ratio
+    via H = log2(n) − Σc·log2(c)/n (no Window/Sort). Columns: id,
+    n_tokens, n_types, token_entropy, type_token_ratio."""
+    tf = _doc_term_freq(df, text_col, id_col)
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        fixed_point_sum(F.col("tf") * F.log2(F.col("tf") * 1.0), 6).alias("s"),
+    )
+    h = F.log2(F.col("n_tokens") * 1.0) - F.col("s") / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        stable_round(h, 6).alias("token_entropy"),
+        stable_round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_floor: float = -7.0,
+    entropy_floor: float = 4.0,
+    top_share_ceiling: float = 0.12,
+) -> DataFrame:
+    """Every per-document quality statistic in ONE corpus scan: LM mean
+    log-likelihood, token entropy, type-token ratio, top-token share,
+    plus the combined keep gate. Columns: id, n_tokens, n_types,
+    token_entropy, avg_logprob, top_token_share, type_token_ratio,
+    keep."""
+    tf = _doc_term_freq(df, text_col, id_col)
+    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("c"))
+    n = vocab.agg(F.sum("c").cast("bigint").alias("total"))
+    per_doc = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.max("tf").cast("bigint").alias("max_tf"),
+            fixed_point_sum(F.col("tf") * F.log2(F.col("tf") * 1.0), 6).alias("s"),
+            fixed_point_sum(
+                F.col("tf") * F.log(F.col("c") * 1.0 / F.col("total")), 6
+            ).alias("ll"),
+        )
+    )
+    h = F.log2(F.col("n_tokens") * 1.0) - F.col("s") / F.col("n_tokens")
+    avg_ll = F.col("ll") / F.col("n_tokens")
+    top_share = F.col("max_tf") * 1.0 / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        stable_round(h, 6).alias("token_entropy"),
+        stable_round(avg_ll, 6).alias("avg_logprob"),
+        stable_round(top_share, 6).alias("top_token_share"),
+        stable_round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        (
+            (avg_ll >= F.lit(lm_floor))
+            & (h >= F.lit(entropy_floor))
+            & (top_share <= F.lit(top_share_ceiling))
+        ).alias("keep"),
+    )
+
+
+def prefix_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 64,
+) -> DataFrame:
+    """Boilerplate-prefix dedup: normalized head → 16-byte md5 key,
+    deterministic min-id keeper. Columns: id, prefix_key, group_size,
+    keep."""
+    keyed = df.select(
+        id_col,
+        F.md5(
+            F.regexp_replace(
+                F.lower(F.substring(text_col, 1, prefix_len)), r"\s+", " "
+            )
+        ).alias("prefix_key"),
+    )
+    groups = keyed.groupBy("prefix_key").agg(
+        F.min(id_col).alias("_keeper"),
+        F.count("*").alias("group_size"),
+    )
+    return keyed.join(groups, "prefix_key").select(
+        id_col,
+        "prefix_key",
+        "group_size",
+        (F.col(id_col) == F.col("_keeper")).alias("keep"),
+    )
+
+
+def bot_rate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    grain: str = "day",
+    peak_threshold: int = 7,
+) -> DataFrame:
+    """Per-user traffic-shape profile + burst-rate bot flag at the given
+    time grain. Columns: user, total_events, n_active_<grain>s,
+    peak_per_<grain>, avg_per_<grain>, is_bot."""
+    per = df.groupBy(
+        user_col, F.date_trunc(grain, ts_col).alias("_bucket")
+    ).agg(F.count("*").alias("n"))
+    return per.groupBy(user_col).agg(
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.count("*").cast("bigint").alias(f"n_active_{grain}s"),
+        F.max("n").cast("bigint").alias(f"peak_per_{grain}"),
+        stable_round(F.sum("n") * 1.0 / F.count("*"), 6).alias(f"avg_per_{grain}"),
+        (F.max("n") >= F.lit(peak_threshold)).alias("is_bot"),
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token-array column as an array column (strictly
+    JVM; empty array for <n-token inputs rather than sequence(1,0)'s
+    descending [1, 0])."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus_ngrams: DataFrame,
+    bench_ngrams: DataFrame,
+    id_col: str = "doc_id",
+    ngram_col: str = "ngram",
+    via: str = "broadcast",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Benchmark decontamination over pre-exploded distinct (id, ngram)
+    relations: flag every corpus document sharing ≥1 n-gram with the
+    benchmark set, with hit counts and contaminated fraction. `via`:
+    'broadcast' probes the raw bench set (eval-suite-sized); 'bloom'
+    probes a Bloom bitset relation first (broadcastable past the point
+    raw strings are not) and exactly verifies survivors — identical
+    output, no false negatives by construction. Columns: id, n_hits,
+    n_ngrams, contamination."""
+    bench = bench_ngrams.select(ngram_col).distinct()
+    sizes = corpus_ngrams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    if via == "broadcast":
+        candidates = corpus_ngrams
+    elif via == "bloom":
+        from dicebox_sensorybatchprocessor_spark.operators.sketches import _bloom_bits
+
+        n_bench = max(bench.count(), 1)
+        m = max(64, int(math.ceil(-n_bench * math.log(fpp) / (math.log(2) ** 2))))
+        k = max(1, round(m / n_bench * math.log(2)))
+        bitset = _bloom_bits(bench, ngram_col, k, m).select("bit").distinct()
+        probe_bits = corpus_ngrams.select(
+            id_col,
+            ngram_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(j), F.col(ngram_col)), F.lit(m))
+                        for j in range(k)
+                    ]
+                )
+            ).alias("bit"),
+        )
+        candidates = (
+            probe_bits.join(F.broadcast(bitset), "bit")
+            .groupBy(id_col, ngram_col)
+            .agg(F.count("*").alias("bits_hit"))
+            .filter(F.col("bits_hit") == k)
+            .select(id_col, ngram_col)
+        )
+    else:
+        raise ValueError(f"via must be 'broadcast' or 'bloom', got {via!r}")
+    hits = (
+        candidates.join(F.broadcast(bench), ngram_col)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_hits",
+        "n_ngrams",
+        (F.col("n_hits") * 1.0 / F.col("n_ngrams")).alias("contamination"),
+    )

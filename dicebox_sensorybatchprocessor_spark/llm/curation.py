@@ -55,16 +55,11 @@ _MAX_TOKS = 600
 
 
 def _word_ngrams(toks, n: int):
-    """Word n-grams as an array column: strictly JVM (sequence/slice/
-    array_join), guarded so short documents yield an empty array instead
-    of sequence(1, 0)'s descending [1, 0]."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word n-grams as an array column — see api.word_ngrams (the public
+    df-level form this module shares)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.word_ngrams(toks, n)
 
 
 @register(
@@ -100,26 +95,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate — never a corpus self-join; at 100 TB
     the broadcast can be swapped for a bloom filter with the same plan
     shape."""
-    d = load(spark, sf_dir, "documents")
-    ng = (
-        d.select("doc_id", F.explode(_word_ngrams(F.split("text", " "), 3)).alias("ngram"))
-        .distinct()
-        .withColumn("is_bench", F.expr(_BENCH_SPARK))
-    )
-    bench = ng.filter("is_bench").select("ngram").distinct()
-    eval_side = ng.filter(~F.col("is_bench")).select("doc_id", "ngram")
-    sizes = eval_side.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
-    hits = (
-        eval_side.join(F.broadcast(bench), "ngram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_hits",
-        "n_ngrams",
-        (F.col("n_hits") * 1.0 / F.col("n_ngrams")).alias("contamination"),
-    )
+    from dicebox_sensorybatchprocessor_spark import api
+
+    bench, eval_side = _bench_eval_ngrams(spark, sf_dir)
+    return api.decontaminate(eval_side, bench, via="broadcast")
 
 
 @register(
@@ -408,10 +387,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~fpp-sized surviving fraction of corpus n-grams instead of all of
     them — the candidates-gate-the-expensive-step shape shared with
     dedup_near_verified."""
-    import math as _math
+    from dicebox_sensorybatchprocessor_spark import api
 
-    from dicebox_sensorybatchprocessor_spark.operators.sketches import _bloom_bits
+    bench, eval_side = _bench_eval_ngrams(spark, sf_dir)
+    return api.decontaminate(eval_side, bench, via="bloom", fpp=0.01)
 
+
+def _bench_eval_ngrams(spark: SparkSession, sf_dir: str):
+    """Fixture-side derivation shared by the decontaminate twins: distinct
+    word-3-gram relation split into the deterministic bench doc bucket's
+    n-gram set and the eval side (everything else)."""
     d = load(spark, sf_dir, "documents")
     ng = (
         d.select(
@@ -422,44 +407,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = ng.filter("is_bench").select("ngram").distinct()
     eval_side = ng.filter(~F.col("is_bench")).select("doc_id", "ngram")
-    sizes = eval_side.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
-
-    fpp = 0.01
-    n_bench = max(bench.count(), 1)
-    m = max(64, int(_math.ceil(-n_bench * _math.log(fpp) / (_math.log(2) ** 2))))
-    k = max(1, round(m / n_bench * _math.log(2)))
-    bitset = _bloom_bits(bench, "ngram", k, m).select("bit").distinct()
-
-    probe_bits = eval_side.select(
-        "doc_id",
-        "ngram",
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(j), F.col("ngram")), F.lit(m))
-                    for j in range(k)
-                ]
-            )
-        ).alias("bit"),
-    )
-    candidates = (
-        probe_bits.join(F.broadcast(bitset), "bit")
-        .groupBy("doc_id", "ngram")
-        .agg(F.count("*").alias("bits_hit"))
-        .filter(F.col("bits_hit") == k)
-        .select("doc_id", "ngram")
-    )
-    hits = (
-        candidates.join(F.broadcast(bench), "ngram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_hits",
-        "n_ngrams",
-        (F.col("n_hits") * 1.0 / F.col("n_ngrams")).alias("contamination"),
-    )
+    return bench, eval_side
 
 
 @register(
@@ -495,16 +443,6 @@ def events_bot_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-agg group size so no single reducer sees more than one
     user-day of rows even for a hot bot (at production rates you'd run
     the same plan at minute grain)."""
-    from dicebox_sensorybatchprocessor_spark.utils import stable_round
+    from dicebox_sensorybatchprocessor_spark import api
 
-    e = load(spark, sf_dir, "events")
-    per_day = e.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day_start")
-    ).agg(F.count("*").alias("n"))
-    return per_day.groupBy("user_id").agg(
-        F.sum("n").cast("bigint").alias("total_events"),
-        F.count("*").cast("bigint").alias("n_active_days"),
-        F.max("n").cast("bigint").alias("peak_per_day"),
-        stable_round(F.sum("n") * 1.0 / F.count("*"), 6).alias("avg_per_day"),
-        (F.max("n") >= F.lit(7)).alias("is_bot"),
-    )
+    return api.bot_rate(load(spark, sf_dir, "events"), grain="day", peak_threshold=7)

@@ -583,20 +583,6 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a key-sized join back — identical cost profile to dedup_exact, and
     the prefix key is 16 bytes regardless of document length, so the
     shuffle is fixed-width at any corpus size."""
-    d = load(spark, sf_dir, "documents")
-    keyed = d.select(
-        "doc_id",
-        F.md5(
-            F.regexp_replace(F.lower(F.substring("text", 1, 64)), r"\s+", " ")
-        ).alias("prefix_key"),
-    )
-    groups = keyed.groupBy("prefix_key").agg(
-        F.min("doc_id").alias("keeper_doc_id"),
-        F.count("*").alias("group_size"),
-    )
-    return keyed.join(groups, "prefix_key").select(
-        "doc_id",
-        "prefix_key",
-        "group_size",
-        (F.col("doc_id") == F.col("keeper_doc_id")).alias("keep"),
-    )
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.prefix_dedup(load(spark, sf_dir, "documents"))

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, stable_round
 
 # Constant upper bound for character-shingle generation: documents.text is
 # 48..553 chars (FIXTURES.md). DuckDB can't lateral-join generate_series on
@@ -426,28 +425,9 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized (≪ corpus; broadcastable to ~100M terms,
     bucket-join beyond), then one final keyed agg. No Python, no
     window, no all-pairs anything."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("c"))
-    n = vocab.agg(F.sum("c").cast("bigint").alias("total"))
-    term_ll = F.col("tf") * F.log(F.col("c") * 1.0 / F.col("total"))
-    per_doc = (
-        tf.join(vocab, "token")
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            fixed_point_sum(term_ll, 6).alias("ll"),
-        )
-    )
-    avg = F.col("ll") / F.col("n_tokens")
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        stable_round(avg, 6).alias("avg_logprob"),
-        (avg >= F.lit(-7.0)).alias("keep"),
-    )
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.unigram_lm_score(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -487,24 +467,9 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order independence. Complements text_repetition_filter
     (which gates on top-token share) with a whole-distribution
     statistic."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    per_doc = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("bigint").alias("n_tokens"),
-        F.count("*").cast("bigint").alias("n_types"),
-        fixed_point_sum(F.col("tf") * F.log2(F.col("tf") * 1.0), 6).alias("s"),
-    )
-    h = F.log2(F.col("n_tokens") * 1.0) - F.col("s") / F.col("n_tokens")
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        "n_types",
-        stable_round(h, 6).alias("token_entropy"),
-        stable_round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
-            "type_token_ratio"
-        ),
-    )
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.token_entropy(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -557,39 +522,6 @@ def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the corpus. Fixed-point term sums keep every statistic
     partition- and join-order-invariant; the combined keep gate uses the
     unrounded values on both engines so the boolean is engine-exact."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    vocab = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("c"))
-    n = vocab.agg(F.sum("c").cast("bigint").alias("total"))
-    per_doc = (
-        tf.join(vocab, "token")
-        .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.count("*").cast("bigint").alias("n_types"),
-            F.max("tf").cast("bigint").alias("max_tf"),
-            fixed_point_sum(F.col("tf") * F.log2(F.col("tf") * 1.0), 6).alias("s"),
-            fixed_point_sum(
-                F.col("tf") * F.log(F.col("c") * 1.0 / F.col("total")), 6
-            ).alias("ll"),
-        )
-    )
-    h = F.log2(F.col("n_tokens") * 1.0) - F.col("s") / F.col("n_tokens")
-    avg_ll = F.col("ll") / F.col("n_tokens")
-    top_share = F.col("max_tf") * 1.0 / F.col("n_tokens")
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        "n_types",
-        stable_round(h, 6).alias("token_entropy"),
-        stable_round(avg_ll, 6).alias("avg_logprob"),
-        stable_round(top_share, 6).alias("top_token_share"),
-        stable_round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
-            "type_token_ratio"
-        ),
-        ((avg_ll >= F.lit(-7.0)) & (h >= F.lit(4.0)) & (top_share <= F.lit(0.12))).alias(
-            "keep"
-        ),
-    )
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.quality_signals(load(spark, sf_dir, "documents"))

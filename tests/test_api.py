@@ -1,0 +1,73 @@
+"""The df-level public API (api.py) must work on a USER's DataFrame with
+arbitrary column names — not just the fixture tables — and must be
+exactly the code path the registered (oracle-checked) twins run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark import api, load
+from tests.conftest import SF_ORACLE
+
+
+def _renamed_docs(spark):
+    return (
+        load(spark, SF_ORACLE, "documents")
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.col("text").alias("body"),
+        )
+    )
+
+
+def test_quality_signals_custom_columns(spark):
+    out = api.quality_signals(_renamed_docs(spark), text_col="body", id_col="item_id")
+    assert out.columns == [
+        "item_id", "n_tokens", "n_types", "token_entropy", "avg_logprob",
+        "top_token_share", "type_token_ratio", "keep",
+    ]
+    rows = out.collect()
+    assert len(rows) == 500
+    # identical values to the registered twin (same engine code path)
+    twin = {r.doc_id: r.avg_logprob for r in
+            __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+                "text_quality_composite"].fn(spark, SF_ORACLE).collect()}
+    for r in rows:
+        assert twin[r.item_id] == r.avg_logprob
+
+
+def test_prefix_dedup_custom_columns(spark):
+    out = api.prefix_dedup(_renamed_docs(spark), text_col="body", id_col="item_id")
+    assert out.columns == ["item_id", "prefix_key", "group_size", "keep"]
+    assert out.filter("keep").count() == out.select("prefix_key").distinct().count()
+
+
+def test_bot_rate_hour_grain(spark):
+    ev = load(spark, SF_ORACLE, "events").select(
+        F.col("ts").alias("event_time"), F.col("user_id").alias("uid")
+    )
+    out = api.bot_rate(ev, ts_col="event_time", user_col="uid", grain="hour",
+                       peak_threshold=2)
+    assert out.columns == [
+        "uid", "total_events", "n_active_hours", "peak_per_hour",
+        "avg_per_hour", "is_bot",
+    ]
+    flagged = out.filter("is_bot").count()
+    assert 0 < flagged < out.count()
+
+
+def test_decontaminate_routes_agree(spark):
+    docs = _renamed_docs(spark)
+    toks = F.split("body", " ")
+    ng = docs.select(
+        "item_id", F.explode(api.word_ngrams(toks, 3)).alias("g")
+    ).distinct()
+    bench = ng.filter(F.col("item_id") % 29 == 0).select("g").distinct()
+    corpus = ng.filter(F.col("item_id") % 29 != 0)
+    a = api.decontaminate(corpus, bench, id_col="item_id", ngram_col="g",
+                          via="broadcast")
+    b = api.decontaminate(corpus, bench, id_col="item_id", ngram_col="g",
+                          via="bloom")
+    ra = sorted(map(str, a.collect()))
+    rb = sorted(map(str, b.collect()))
+    assert ra == rb and len(ra) > 0
