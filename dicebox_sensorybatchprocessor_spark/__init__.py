@@ -71,7 +71,7 @@ _ROUND5_PRIORITY = (
     "events_pii_scrub",
     "emb_dim_reduce_rp",
     "dedup_semantic_buckets",
-    # -- [6-13] operators written this round (first driver exposure) --
+    # -- [6-14] operators written this round (first driver exposure) --
     "text_unigram_lm_score",
     "text_token_entropy",
     "dedup_prefix",
@@ -80,6 +80,7 @@ _ROUND5_PRIORITY = (
     "mm_audio_feature",
     "text_quality_composite",
     "mm_image_resize",
+    "pipeline_curation_capstone",
     # -- rotating proven-core sentinels (round-5 set) --
     "q1_pricing_summary",
     "join_multiway",

@@ -264,3 +264,126 @@ def decontaminate(
         "n_ngrams",
         (F.col("n_hits") * 1.0 / F.col("n_ngrams")).alias("contamination"),
     )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Distinct k-char shingles per document: (id, s). The relation every
+    shingle-based dedup consumes. Guards the <k-char case explicitly
+    (Spark's sequence auto-steps DOWNWARD when stop < start, which would
+    fabricate shingles for short texts)."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {k} THEN"
+                f" transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> substring({text_col}, i, {k}))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    ).distinct()
+
+
+def minhash_banded_candidates(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    rows: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-MinHash candidate pairs over a (id, shingle) relation with a
+    PORTABLE hash family (md5-prefix), so signatures are engine-
+    reproducible. One aggregation builds all `rows` minhashes; `bands`
+    band keys per doc; candidates come from the band equi-join — linear
+    in corpus size, touching only colliding bands. Columns: doc_a,
+    doc_b, n_band_matches."""
+    rows_per_band = rows // bands
+    mh_cols = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col(shingle_col))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh{j}")
+        for j in range(rows)
+    ]
+    sig = shingles.groupBy(id_col).agg(*mh_cols)
+    bands_df = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{rows_per_band * b + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.b", "bk.band_key")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_band_matches"))
+    )
+
+
+def near_dedup_verified(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    threshold: float = 0.6,
+    rows: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The 100 TB near-dup path end-to-end over a (id, shingle) relation:
+    banded-MinHash candidates → exact Jaccard verification computed ONLY
+    on colliding pairs (the all-pairs shingle join is gated by the
+    candidate set, so cost is O(candidates × shingles-per-doc), not
+    O(corpus²)). Columns: doc_a, doc_b, n_common, jaccard."""
+    cand = minhash_banded_candidates(
+        shingles, id_col=id_col, shingle_col=shingle_col, rows=rows, bands=bands
+    ).select("doc_a", "doc_b")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        cand.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col(f"b.{id_col}"))
+            & (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jaccard = F.col("n_common") * 1.0 / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jaccard >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
+    )

@@ -446,3 +446,69 @@ def events_bot_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.bot_rate(load(spark, sf_dir, "events"), grain="day", peak_threshold=7)
+
+
+@register(
+    "pipeline_curation_capstone",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(max(tf.tf) AS BIGINT) AS max_tf,
+             CAST(SUM(CAST(round((tf.tf * log2(tf.tf * 1.0)) * 1000000.0, 0)
+                  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(CAST(round((tf.tf * ln(vocab.c * 1.0 / n.total)) * 1000000.0, 0)
+                  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS ll
+      FROM tf JOIN vocab ON tf.token = vocab.token, n
+      GROUP BY tf.doc_id
+    ),
+    gate AS (
+      SELECT doc_id, n_tokens FROM per_doc
+      WHERE (ll / n_tokens) >= -7.0
+        AND (log2(n_tokens * 1.0) - s / n_tokens) >= 4.0
+        AND (max_tf * 1.0 / n_tokens) <= 0.12
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.source, g.n_tokens,
+             md5(regexp_replace(lower(substr(d.text, 1, 64)), '\\s+', ' ', 'g')) AS k
+      FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+    ),
+    keepers AS (SELECT k, min(doc_id) AS keeper FROM keyed GROUP BY k)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM keyed JOIN keepers ON keyed.k = keepers.k AND keyed.doc_id = keepers.keeper
+    GROUP BY lang, source
+    """,
+)
+def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-level API composing end-to-end — the capstone written the
+    way a USER of the engine would write it: quality_signals gates the
+    corpus (LM + entropy + top-share in one scan), prefix_dedup keeps
+    one survivor per boilerplate-prefix group, and the result rolls up
+    into the per-(lang, source) token manifest a sampler consumes. Every
+    stage is an api.py function; no stage re-derives a statistic another
+    stage already computed (n_tokens flows from the quality pass to the
+    manifest). Shuffle ledger: TF agg + vocab rollup (reused exchange) +
+    final doc agg from the quality pass, one key-sized agg + join for
+    the dedup, one manifest agg — nothing corpus-quadratic anywhere."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    d = load(spark, sf_dir, "documents")
+    signals = api.quality_signals(d)
+    kept = d.join(
+        signals.filter("keep").select("doc_id", "n_tokens"), "doc_id"
+    )
+    survivors = kept.join(
+        api.prefix_dedup(kept).filter("keep").select("doc_id"), "doc_id"
+    )
+    return survivors.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -461,43 +461,10 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     → equi-join on (band, key). Cost is linear in corpus size; the join
     touches only colliding bands — the LSH property that replaces the
     all-pairs verifier at 100 TB."""
-    sh = _shingles(spark, sf_dir)
-    mh_cols = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15), 16, 10
-            ).cast("bigint")
-        ).alias(f"mh{j}")
-        for j in range(_MH_ROWS)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mh_cols)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.concat_ws(
-                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
-                        ).alias("band_key"),
-                    )
-                    for b in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_band_matches"))
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.minhash_banded_candidates(
+        _shingles(spark, sf_dir), rows=_MH_ROWS, bands=_MH_BANDS
     )
 
 
@@ -532,23 +499,10 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 and sf0.1 — the fixture dup families sit at j ≈ 0.99, where the
     4-band × 2-row miss probability is ~1.6e-7 per pair), making this the
     strongest candidates-don't-lose-recall artifact in the repo."""
-    cand = dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jaccard = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jaccard >= 0.6)
-        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.near_dedup_verified(
+        _shingles(spark, sf_dir), threshold=0.6, rows=_MH_ROWS, bands=_MH_BANDS
     )
 
 

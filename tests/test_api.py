@@ -71,3 +71,22 @@ def test_decontaminate_routes_agree(spark):
     ra = sorted(map(str, a.collect()))
     rb = sorted(map(str, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_near_dedup_verified_custom_columns(spark):
+    """The banded→verified dedup path must run on a user relation with
+    arbitrary id/shingle column names and find the fixture's known
+    near-dup families (nonempty, symmetric-free, ordered pairs)."""
+    docs = _renamed_docs(spark)
+    sh = api.char_shingles(docs, text_col="body", id_col="item_id")
+    assert sh.columns == ["item_id", "s"]
+    pairs = api.near_dedup_verified(sh, id_col="item_id")
+    rows = pairs.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= 0.6
+    # candidates from the banded stage must cover every verified pair
+    cand = {(r.doc_a, r.doc_b) for r in
+            api.minhash_banded_candidates(sh, id_col="item_id").collect()}
+    assert {(r.doc_a, r.doc_b) for r in rows} <= cand
