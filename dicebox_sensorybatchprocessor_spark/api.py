@@ -387,3 +387,22 @@ def near_dedup_verified(
         .filter(jaccard >= threshold)
         .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
     )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    part_margin: int = 100,
+) -> DataFrame:
+    """Global top-k most-similar pairs by exact cosine over an
+    (id, array<float> vector) relation. Routes automatically: dense
+    broadcast index + partition-wise BLAS matmul under the byte budget,
+    BucketedRandomProjection-LSH candidates + exact rerank beyond it (a
+    driver-side materialization that would fail at 100× scale is never
+    attempted). Columns: id_a, id_b, cosine."""
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as _sim
+
+    e = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    return _sim._cosine_topk(e, k=k, part_margin=part_margin)

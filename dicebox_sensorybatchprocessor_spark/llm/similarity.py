@@ -43,7 +43,7 @@ _PART_M = 100
 _INDEX_BYTE_BUDGET = 256 << 20
 
 
-def _cosine_topk_lsh(e: DataFrame) -> DataFrame:
+def _cosine_topk_lsh(e: DataFrame, k: int = _TOPK) -> DataFrame:
     """Scale path for sim_cosine_topk: normalize → BucketedRandomProjection
     LSH candidate pairs within a radius → *exact* cosine rerank → top-k.
     For unit vectors ||a−b||² = 2·(1−cos), so radius 1.1 keeps every
@@ -82,7 +82,7 @@ def _cosine_topk_lsh(e: DataFrame) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(_TOPK)
+        .limit(k)
     )
 
 
@@ -114,13 +114,22 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.27 s → 0.04 s at sf0.1). Each partition emits only its top-M raw
     pairs, so the shuffle into the global top-k is O(M × partitions)
     regardless of input size."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _cosine_topk(e)
+
+
+def _cosine_topk(e: DataFrame, k: int = _TOPK, part_margin: int = _PART_M) -> DataFrame:
+    """Core of sim_cosine_topk over any (vec_id, embedding) relation —
+    also the engine behind api.cosine_topk. Reads the byte budget from
+    the module global at call time (tests pin it to force the LSH
+    route)."""
     import numpy as np
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    spark = e.sparkSession
     n_rows = e.count()
     dim = len(e.select("embedding").first()["embedding"])
     if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
-        return _cosine_topk_lsh(e)
+        return _cosine_topk_lsh(e, k=k)
     pdf = e.toPandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
@@ -139,7 +148,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and emission is O(M) instead of O(rows × k)
             sims[b_ids[None, :] <= vids[:, None]] = -np.inf
             flat = sims.ravel()
-            m = min(_PART_M, flat.size)
+            m = min(part_margin, flat.size)
             top = np.argpartition(-flat, m - 1)[:m]
             # per-row top-k floor (ADVICE r2): every row's k raw-closest
             # pairs survive regardless of how many closer pairs other rows
@@ -147,7 +156,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # can never be pruned partition-locally; only rounding-tie
             # reordering at the cut remains (documented, ~0 probability
             # for continuous similarities)
-            kk = min(_TOPK, sims.shape[1])
+            kk = min(k, sims.shape[1])
             row_top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             row_flat = (
                 np.arange(sims.shape[0])[:, None] * sims.shape[1] + row_top
@@ -167,7 +176,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(_TOPK)
+        .limit(k)
     )
 
 

@@ -90,3 +90,17 @@ def test_near_dedup_verified_custom_columns(spark):
     cand = {(r.doc_a, r.doc_b) for r in
             api.minhash_banded_candidates(sh, id_col="item_id").collect()}
     assert {(r.doc_a, r.doc_b) for r in rows} <= cand
+
+
+def test_cosine_topk_custom_columns_and_k(spark):
+    """api.cosine_topk on a renamed embedding relation with k=5 must be a
+    prefix of the registered op's top-10 (same exact routing core)."""
+    ten = [(r.id_a, r.id_b, r.cosine) for r in
+           __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+               "sim_cosine_topk"].fn(spark, SF_ORACLE).collect()]
+    e = load(spark, SF_ORACLE, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    )
+    five = [(r.id_a, r.id_b, r.cosine) for r in
+            api.cosine_topk(e, id_col="vid", vec_col="v", k=5).collect()]
+    assert five == ten[:5]
