@@ -73,6 +73,7 @@ LLM_BLOCK = [
     "decontaminate_ngram",
     "decontaminate_bloom",
     "text_quality_composite",
+    "pipeline_curation_capstone",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H
@@ -370,7 +371,12 @@ def main() -> None:
                 continue
             fn = specs[name].fn
             fn(spark, sf_dir).toPandas()  # warm-up
-            runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), 3)
+            # Streaming entries run a full availableNow query lifecycle
+            # per sample and show bimodal state-store timing (~0.85 s vs
+            # ~1.1 s across processes at identical floor sentinel), so
+            # they get 5 samples where pure-batch plans settle in 3.
+            n_runs = 5 if name.startswith("stream_") else 3
+            runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), n_runs)
             bests[name] = _best(runs)
             meds[name] = _median(runs)
         return bests, meds

@@ -390,3 +390,19 @@ def test_image_resize_map_only(spark):
     tree = _final_tree(plan)
     assert "Exchange" not in tree, tree
     assert "MapInPandas" in tree or "ArrowEvalPython" in tree or "PythonMapInArrow" in tree, tree
+
+
+def test_curation_capstone_plan_ledger(spark):
+    """pipeline_curation_capstone's shuffle/scan ledger: the quality pass
+    reuses the TF exchange (one statistics scan), the corpus re-scan for
+    the gate join and the prefix key are bounded (≤4 total scans — at
+    100 TB you'd checkpoint the gated subset instead), and nothing is
+    cartesian or Python-evaluated. The gate join legitimately sorts/
+    merges: both sides are corpus-sized at scale, so SMJ on doc_id is
+    the correct physical choice, not a regression."""
+    plan = _plan(spark, "pipeline_curation_capstone")
+    tree = _final_tree(plan)
+    assert tree.count("Scan parquet") <= 4, tree
+    assert "ReusedQueryStage" in tree or "ReusedExchange" in plan, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "EvalPython" not in tree, tree
