@@ -220,8 +220,20 @@ def decontaminate(
     probes a Bloom bitset relation first (broadcastable past the point
     raw strings are not) and exactly verifies survivors — identical
     output, no false negatives by construction. Columns: id, n_hits,
-    n_ngrams, contamination."""
+    n_ngrams, contamination.
+
+    Both inputs are defensively deduplicated here rather than by
+    docstring contract (ADVICE r5): explode-based callers naturally
+    produce duplicate (id, ngram) rows, and on the bloom route each
+    duplicate would contribute its own k exploded bit rows, making
+    bits_hit == 2k fail the == k filter and silently DROP a genuinely
+    contaminated n-gram — a false negative in a safety gate. The dedup
+    also keeps n_hits/n_ngrams consistently distinct-n-gram-based on
+    both routes."""
     bench = bench_ngrams.select(ngram_col).distinct()
+    corpus_ngrams = corpus_ngrams.select(id_col, ngram_col).dropDuplicates(
+        [id_col, ngram_col]
+    )
     sizes = corpus_ngrams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
     if via == "broadcast":
         candidates = corpus_ngrams
@@ -298,7 +310,16 @@ def minhash_banded_candidates(
     reproducible. One aggregation builds all `rows` minhashes; `bands`
     band keys per doc; candidates come from the band equi-join — linear
     in corpus size, touching only colliding bands. Columns: doc_a,
-    doc_b, n_band_matches."""
+    doc_b, n_band_matches.
+
+    ``rows`` must divide evenly into ``bands`` — a silent floor division
+    would compute minhashes the bands never consume and deliver a
+    different recall profile than the caller asked for (ADVICE r5)."""
+    if rows % bands != 0:
+        raise ValueError(
+            f"rows ({rows}) must be a multiple of bands ({bands}); "
+            f"{rows % bands} trailing minhash rows would be ignored"
+        )
     rows_per_band = rows // bands
     mh_cols = [
         F.min(

@@ -127,6 +127,10 @@ def _cosine_topk(e: DataFrame, k: int = _TOPK, part_margin: int = _PART_M) -> Da
 
     spark = e.sparkSession
     n_rows = e.count()
+    if n_rows == 0:
+        # Reachable via api.cosine_topk on a user relation (ADVICE r5):
+        # first() would return None below and TypeError out of len().
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(e.select("embedding").first()["embedding"])
     if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
         return _cosine_topk_lsh(e, k=k)

@@ -36,21 +36,36 @@ _SCRATCH_DIRS: list[str] = []
 _SCRATCH_CACHE: dict[tuple[str, str], tuple[str, bool]] = {}
 
 
+# tmpfs is typically capped at 50% of RAM and competes with executor
+# memory; below this free headroom NEW scratch dirs route to disk instead
+# (checked per mkdtemp, so a large staged write mid-run flips subsequent
+# dirs to disk rather than exhausting the mount). ADVICE r5.
+_SHM_MIN_FREE_BYTES = int(
+    os.environ.get("SBP_SCRATCH_SHM_MIN_FREE", 8 * (1 << 30))
+)
+
+
 def _scratch_base() -> str | None:
     """Base directory for scratch dirs. Default: a tmpfs mount when one is
-    writable (/dev/shm on Linux) — every scratch consumer here is ephemeral
-    test state (streaming checkpoints/WALs, staged replay inputs, sink
-    read-back dirs) that is reaped at process exit, and putting it on disk
-    just charges fsync latency to every state-store commit (measured ~10%
-    of stream_tumbling's micro-batch at sf0.1). Production checkpoints go
-    to durable shared storage, which is a deployment setting, not this
+    writable (/dev/shm on Linux) AND has at least _SHM_MIN_FREE_BYTES free
+    (os.statvfs, re-checked on every call) — every scratch consumer here is
+    ephemeral test state (streaming checkpoints/WALs, staged replay inputs,
+    sink read-back dirs) that is reaped at process exit, and putting it on
+    disk just charges fsync latency to every state-store commit (measured
+    ~10% of stream_tumbling's micro-batch at sf0.1). Production checkpoints
+    go to durable shared storage, which is a deployment setting, not this
     harness's concern. Override with SBP_SCRATCH_BASE=<dir> (set it to
     /tmp to force disk); None falls back to tempfile's default."""
     env = os.environ.get("SBP_SCRATCH_BASE")
     if env:
         return env
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        return "/dev/shm"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+                return "/dev/shm"
+        except OSError:
+            pass
     return None
 
 

@@ -92,6 +92,52 @@ def test_near_dedup_verified_custom_columns(spark):
     assert {(r.doc_a, r.doc_b) for r in rows} <= cand
 
 
+def test_decontaminate_duplicate_rows_no_false_negative(spark):
+    """ADVICE r5 (medium): duplicate (id, ngram) rows in corpus_ngrams made
+    the bloom route count 2k exploded bits per duplicated n-gram and drop
+    it from the candidate set — a silent false negative. Both routes must
+    now return the distinct-input answer for duplicated input."""
+    docs = _renamed_docs(spark)
+    toks = F.split("body", " ")
+    ng = docs.select(
+        "item_id", F.explode(api.word_ngrams(toks, 3)).alias("g")
+    ).distinct()
+    bench = ng.filter(F.col("item_id") % 29 == 0).select("g").distinct()
+    corpus = ng.filter(F.col("item_id") % 29 != 0)
+    doubled = corpus.unionAll(corpus)  # the natural explode-caller hazard
+    expected = sorted(map(str, api.decontaminate(
+        corpus, bench, id_col="item_id", ngram_col="g", via="broadcast"
+    ).collect()))
+    assert len(expected) > 0
+    for via in ("broadcast", "bloom"):
+        got = sorted(map(str, api.decontaminate(
+            doubled, bench, id_col="item_id", ngram_col="g", via=via
+        ).collect()))
+        assert got == expected, f"via={via} diverges on duplicated input"
+
+
+def test_minhash_banded_rejects_uneven_rows(spark):
+    """ADVICE r5: rows % bands != 0 silently ignored trailing minhash rows
+    (rows=10, bands=4 used only 8) — must now be a ValueError."""
+    import pytest
+
+    docs = _renamed_docs(spark)
+    sh = api.char_shingles(docs, text_col="body", id_col="item_id")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        api.minhash_banded_candidates(sh, id_col="item_id", rows=10, bands=4)
+
+
+def test_cosine_topk_empty_input(spark):
+    """ADVICE r5: an empty relation crashed with TypeError on
+    first()-returns-None; must return an empty (id_a, id_b, cosine) df."""
+    e = load(spark, SF_ORACLE, "embeddings").filter("vec_id < 0").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    )
+    out = api.cosine_topk(e, id_col="vid", vec_col="v", k=5)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_cosine_topk_custom_columns_and_k(spark):
     """api.cosine_topk on a renamed embedding relation with k=5 must be a
     prefix of the registered op's top-10 (same exact routing core)."""
