@@ -1,12 +1,14 @@
-"""DataFrame-level public API for the curation family.
+"""DataFrame-level public API for the curation, analytics, and
+streaming families.
 
 The registry (`all_queries()`) exposes fixture-bound queries for the
 driver contract; THIS module is the library face — each function takes a
 user's own DataFrame and column names and returns a DataFrame, so the
 operators compose into arbitrary pipelines (`quality_signals(my_docs)`
 rather than "the documents fixture"). The registered operators in
-llm/text.py, llm/dedup.py, llm/curation.py, and llm/multimodal.py are
-thin wrappers over these functions, which keeps the two surfaces
+llm/text.py, llm/dedup.py, llm/curation.py, llm/multimodal.py,
+operators/analytics.py, operators/windows.py, and streaming/streams.py
+are thin wrappers over these functions, which keeps the two surfaces
 provably identical: every API function is exercised against a DuckDB
 oracle through its registered twin.
 
@@ -408,6 +410,227 @@ def near_dedup_verified(
         .filter(jaccard >= threshold)
         .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
     )
+
+
+# --- analytics family (round 6: df-level faces of operators/analytics.py
+# and operators/windows.py cores, per VERDICT r5 #2) ----------------------
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization over any (user, ts) relation: lag → gap
+    flag → running sum = session id → per-session rollup. One shuffle on
+    the user column; session ids are dense per user starting at 0.
+    Columns: user, session_id, n_events, session_start, session_end."""
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy(user_col).orderBy(ts_col)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = epoch - F.lag(epoch, 1).over(w_order)
+    threshold = gap_minutes * 60_000_000
+    flagged = df.select(
+        user_col,
+        ts_col,
+        F.when(gap > threshold, 1).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return numbered.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def retention_cohort(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix over any (user, ts) relation: users grouped
+    by first-active period at the given grain ('day', 'week', or 'month'),
+    counted on every later period offset. Two shuffles (first-period agg
+    on user, then the cohort×offset agg); the first-period table is one
+    row per user, broadcast into the join at any realistic cardinality.
+    Columns: cohort_<grain>, <grain>_offset, n_users."""
+    per = df.select(user_col, F.date_trunc(grain, ts_col).alias("_period"))
+    first = per.groupBy(user_col).agg(F.min("_period").alias("_cohort"))
+    if grain == "day":
+        offset = F.datediff(F.to_date("_period"), F.to_date("_cohort"))
+    elif grain == "week":
+        # both sides are week-truncated, so the day diff is divisible by 7
+        offset = (
+            F.datediff(F.to_date("_period"), F.to_date("_cohort")) / 7
+        ).cast("int")
+    elif grain == "month":
+        offset = F.months_between(
+            F.to_date("_period"), F.to_date("_cohort")
+        ).cast("int")
+    else:
+        raise ValueError(f"grain must be day/week/month, got {grain!r}")
+    return (
+        per.join(first, user_col)
+        .groupBy(
+            F.col("_cohort").alias(f"cohort_{grain}"),
+            offset.alias(f"{grain}_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel over any (user, ts, type) relation: stage
+    i counts users whose stage-i event happened strictly AFTER their
+    first stage-(i-1) event (time-ordered, not mere co-occurrence). Each
+    stage is a filter + per-user min + join against the monotonically
+    shrinking previous stage — linear scans, no self-join explosion.
+    Columns: stage_order, stage, n_users."""
+    if not stages:
+        raise ValueError("stages must name at least one event type")
+    prev: DataFrame | None = None
+    outs: list[DataFrame] = []
+    for i, stage_name in enumerate(stages):
+        cur = df.filter(F.col(type_col) == stage_name)
+        if prev is not None:
+            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col("_t"))
+        reached = cur.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        outs.append(
+            reached.agg(
+                F.lit(i + 1).alias("stage_order"),
+                F.lit(stage_name).alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        prev = reached
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("stage_order")
+
+
+def gap_islands(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands over any (user, ts, type) relation: maximal runs
+    of consecutive same-type rows per user via the row_number-difference
+    trick (two windows over the SAME partition/order — Catalyst collapses
+    them into one sort), then one aggregate per island. The total-order
+    tiebreaker pins island composition deterministically. Columns: user,
+    type, run_start, run_len."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    w_type = Window.partitionBy(user_col, type_col).orderBy(ts_col, tiebreak_col)
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    return (
+        df.select(user_col, type_col, ts_col, tiebreak_col)
+        .withColumn("_grp", grp)
+        .groupBy(user_col, type_col, "_grp")
+        .agg(F.min(ts_col).alias("run_start"), F.count("*").alias("run_len"))
+        .drop("_grp")
+    )
+
+
+# --- streaming family (round 6: df-level stream builders over the
+# streaming/streams.py cores) ----------------------------------------------
+
+
+def replay_stream(
+    spark,
+    batches: list[DataFrame],
+    name: str = "api_replay",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stage a user's batch DataFrames as ordered parquet files and return
+    an unbounded file-source stream replaying them in list order (one
+    file per element, strictly increasing mtimes → deterministic
+    micro-batch composition with maxFilesPerTrigger=1). The test/backfill
+    face of a production message-bus source: swap for
+    ``spark.readStream.format("kafka")`` at the documented seam in
+    streaming/streams.py without touching anything downstream."""
+    from dicebox_sensorybatchprocessor_spark.streaming.streams import _stage_files
+
+    if not batches:
+        raise ValueError("need at least one batch DataFrame to replay")
+    staged = _stage_files(spark, batches, name)
+    reader = spark.readStream.schema(batches[0].schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(staged)
+
+
+def windowed_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+    group_cols: tuple[str, ...] = (),
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Watermarked time-windowed aggregation over any streaming DataFrame
+    — the §2.8 tumbling/sliding core over arbitrary columns. ``window``
+    is the window length, ``slide`` (optional) makes it sliding,
+    ``watermark`` (e.g. "1 hour") bounds state and enables append-mode
+    emission of closed windows; default aggregate is count(*). Returns a
+    streaming DataFrame with a ``window`` struct column — pass to
+    run_stream or your own writeStream. State shape: one state-store
+    entry per open (window × keys) group; the watermark is what keeps
+    that bounded on an unbounded stream."""
+    s = stream.withWatermark(ts_col, watermark) if watermark else stream
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return s.groupBy(win.alias("window"), *group_cols).agg(
+        *(aggs or [F.count("*").alias("n_events")])
+    )
+
+
+def session_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: tuple[str, ...] = (),
+    aggs: list[Column] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-windowed aggregation (gap-based, per key) over any
+    streaming DataFrame — the streaming twin of :func:`sessionize`.
+    Returns a streaming DataFrame with a ``session_window`` struct
+    column (start, end = last event + gap)."""
+    s = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return s.groupBy(
+        F.session_window(ts_col, gap).alias("session_window"), *group_cols
+    ).agg(*(aggs or [F.count("*").alias("n_events")]))
+
+
+def run_stream(
+    df: DataFrame, mode: str = "complete", name: str = "api_stream"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with trigger(availableNow)
+    into a memory sink and return the sink contents as a batch DataFrame
+    — the backfill/test execution face (a resident deployment calls
+    ``df.writeStream`` itself with a durable checkpoint instead)."""
+    from dicebox_sensorybatchprocessor_spark.streaming.streams import _run_to_table
+
+    return _run_to_table(df.sparkSession, df, name, mode)
 
 
 def cosine_topk(

@@ -45,19 +45,12 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later day offset — the canonical activation/retention matrix.
     Two shuffles (first-day agg on user_id, then the cohort×offset agg);
     the first-day table is one row per user, so Catalyst broadcasts it
-    into the join at any realistic cardinality."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        ev.join(first, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff(F.to_date("day"), F.to_date("cohort_day")).alias("day_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
-    )
+    into the join at any realistic cardinality. Thin wrapper over
+    api.retention_cohort (round 6) so the df-level face shares this
+    oracle."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.retention_cohort(load(spark, sf_dir, "events"), grain="day")
 
 
 @register(
@@ -91,39 +84,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's first event (time-ordered, not mere co-occurrence). Each stage
     is a filter + per-user min + broadcast-sized join — linear scans, no
     self-join explosion, the shape that holds at 100 TB because stage
-    tables shrink monotonically."""
+    tables shrink monotonically. Thin wrapper over api.funnel (round 6)
+    so arbitrary stage lists share this oracle."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
-        F.min("ts").alias("t0")
-    )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-
-    def stage(df: DataFrame, order: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(order).alias("stage_order"),
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_users"),
-        )
-
-    return (
-        stage(s, 1, "signup")
-        .unionByName(stage(v, 2, "view"))
-        .unionByName(stage(p, 3, "purchase"))
-        .orderBy("stage_order")
-    )
+    return api.funnel(ev, ["signup", "view", "purchase"])
 
 
 @register(
@@ -208,17 +174,12 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     user via the row_number-difference trick (two window passes over the
     SAME partition/order — Catalyst collapses them into one sort), then
     one aggregate per island. The total-order tiebreaker (ts, event_id)
-    pins island composition deterministically on both engines."""
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
-    return (
-        ev.withColumn("grp", grp)
-        .groupBy("user_id", "event_type", "grp")
-        .agg(F.min("ts").alias("run_start"), F.count("*").alias("run_len"))
-        .drop("grp")
-    )
+    pins island composition deterministically on both engines. Thin
+    wrapper over api.gap_islands (round 6) so arbitrary (user, ts, type)
+    relations share this oracle."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.gap_islands(load(spark, sf_dir, "events"))
 
 
 @register(

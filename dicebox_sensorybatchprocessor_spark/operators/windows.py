@@ -229,25 +229,12 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (30-minute inactivity gap): lag →
     gap flag → running sum = session id → per-session rollup. One shuffle
     on user_id; the same sessions must fall out of the streaming
-    session_window operator (§2.8 batch-equivalence)."""
-    ev = load(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts")
-    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
-    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = epoch - F.lag(epoch, 1).over(w_order)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        F.when(gap > 1800000000, 1).otherwise(0).alias("new_session"),
-    )
-    numbered = flagged.withColumn(
-        "session_id", F.sum("new_session").over(w_run).cast("bigint")
-    )
-    return numbered.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-    )
+    session_window operator (§2.8 batch-equivalence). Thin wrapper over
+    api.sessionize (round 6) so arbitrary (user, ts) relations share
+    this oracle."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
 
 
 @register(

@@ -282,12 +282,22 @@ def sink_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window × event_type aggregation over the stream;
-    must equal the batch events_tumbling exactly (batch-equivalence)."""
+    must equal the batch events_tumbling exactly (batch-equivalence).
+    The window/agg core is api.windowed_stream (round 6), so a user's
+    own stream shares this oracle-checked plan."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     spark = _streaming_session(spark, one_shot=True)
     stream = _events_stream(spark, _events_dir(spark, sf_dir))
-    agg = stream.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
-        F.count("*").alias("n_events"),
-        fixed_point_sum(F.col("value"), 6).alias("sum_value"),
+    agg = api.windowed_stream(
+        stream,
+        ts_col="ts",
+        window="1 hour",
+        group_cols=("event_type",),
+        aggs=[
+            F.count("*").alias("n_events"),
+            fixed_point_sum(F.col("value"), 6).alias("sum_value"),
+        ],
     )
     out = _run_to_table(spark, agg, "tumbling", "complete")
     return out.select(
@@ -307,12 +317,13 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h length, 15 min slide): each event lands in 4
-    windows; the oracle expands the same 4 windows per event."""
+    windows; the oracle expands the same 4 windows per event. Core:
+    api.windowed_stream with a slide (round 6)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     spark = _streaming_session(spark, one_shot=True)
     stream = _events_stream(spark, _events_dir(spark, sf_dir))
-    agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
-        F.count("*").alias("n_events")
-    )
+    agg = api.windowed_stream(stream, ts_col="ts", window="1 hour", slide="15 minutes")
     out = _run_to_table(spark, agg, "sliding", "complete")
     return out.select(F.col("window.start").alias("win_start"), "n_events")
 
@@ -344,12 +355,16 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window (30-minute gap) per user. The oracle is the batch
     gap-sessionization (sessionize_batch) — Spark's session_window end is
     last-event + gap, which the oracle mirrors. This is the §5.2
-    batch-equivalence check binding the two sessionizers together."""
+    batch-equivalence check binding the two sessionizers together.
+    Core: api.session_stream (round 6), the streaming twin of
+    api.sessionize."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     spark = _streaming_session(spark, one_shot=True)
     stream = _events_stream(spark, _events_dir(spark, sf_dir))
-    agg = stream.groupBy(
-        F.session_window("ts", "30 minutes"), F.col("user_id")
-    ).agg(F.count("*").alias("n_events"))
+    agg = api.session_stream(
+        stream, ts_col="ts", gap="30 minutes", group_cols=("user_id",)
+    )
     out = _run_to_table(spark, agg, "session", "complete")
     return out.select(
         "user_id",
@@ -396,11 +411,13 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir(prefix="sbp_wm_out_")
 
     def run_once() -> None:
+        from dicebox_sensorybatchprocessor_spark import api
+
         stream = _events_stream(spark, staged)
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour"))
-            .agg(F.count("*").alias("n_events"))
+        # api.windowed_stream with a watermark (round 6): the bounded-state
+        # append-mode form a user's own late-data stream runs.
+        agg = api.windowed_stream(
+            stream, ts_col="ts", window="1 hour", watermark="1 hour"
         )
 
         def persist(batch_df: DataFrame, batch_id: int) -> None:

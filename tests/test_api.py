@@ -92,6 +92,124 @@ def test_near_dedup_verified_custom_columns(spark):
     assert {(r.doc_a, r.doc_b) for r in rows} <= cand
 
 
+def _renamed_events(spark, sf=SF_ORACLE):
+    return load(spark, sf, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("ts").alias("event_time"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("etype"),
+    )
+
+
+def test_sessionize_custom_columns(spark):
+    out = api.sessionize(
+        _renamed_events(spark), ts_col="event_time", user_col="uid", gap_minutes=30
+    )
+    assert out.columns == [
+        "uid", "session_id", "n_events", "session_start", "session_end",
+    ]
+    # identical sessions to the registered (oracle-checked) twin
+    twin = sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end)
+        for r in __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+            "sessionize_batch"].fn(spark, SF_ORACLE).collect()
+    )
+    got = sorted(
+        (r.uid, r.session_id, r.n_events, r.session_start, r.session_end)
+        for r in out.collect()
+    )
+    assert got == twin
+
+
+def test_retention_cohort_week_grain(spark):
+    out = api.retention_cohort(
+        _renamed_events(spark), ts_col="event_time", user_col="uid", grain="week"
+    )
+    assert out.columns == ["cohort_week", "week_offset", "n_users"]
+    rows = out.collect()
+    assert len(rows) > 0 and all(r.week_offset >= 0 for r in rows)
+    # offset-0 cohort sizes sum to the distinct-user count
+    n_users = _renamed_events(spark).select("uid").distinct().count()
+    assert sum(r.n_users for r in rows if r.week_offset == 0) == n_users
+
+
+def test_funnel_custom_columns_and_stages(spark):
+    ev = _renamed_events(spark)
+    out = api.funnel(
+        ev, ["view", "purchase"], ts_col="event_time", user_col="uid",
+        type_col="etype",
+    ).collect()
+    assert [r.stage for r in out] == ["view", "purchase"]
+    assert out[0].n_users >= out[1].n_users > 0  # funnels only narrow
+    # default-stage funnel matches the registered twin exactly
+    twin = [(r.stage_order, r.stage, r.n_users) for r in
+            __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+                "events_funnel"].fn(spark, SF_ORACLE).collect()]
+    got = [(r.stage_order, r.stage, r.n_users) for r in api.funnel(
+        ev, ["signup", "view", "purchase"], ts_col="event_time",
+        user_col="uid", type_col="etype").collect()]
+    assert got == twin
+
+
+def test_gap_islands_custom_columns(spark):
+    ev = _renamed_events(spark)
+    out = api.gap_islands(
+        ev, ts_col="event_time", user_col="uid", type_col="etype",
+        tiebreak_col="eid",
+    )
+    assert out.columns == ["uid", "etype", "run_start", "run_len"]
+    # islands partition the rows: run lengths sum to the row count
+    total = out.agg(F.sum("run_len")).first()[0]
+    assert total == ev.count()
+
+
+def test_stream_builders_match_batch(spark):
+    """replay_stream → windowed_stream → run_stream on a USER relation
+    (renamed columns, sf0.001) must equal the identical batch aggregate —
+    the §5.2 batch-equivalence check for the df-level stream face."""
+    from tests.conftest import SF_SMOKE
+
+    ev = _renamed_events(spark, SF_SMOKE).select("eid", "event_time", "etype")
+    stream = api.replay_stream(spark, [ev], name="api_replay_test")
+    agg = api.windowed_stream(
+        stream, ts_col="event_time", window="1 hour", group_cols=("etype",)
+    )
+    got = sorted(
+        (r.window.start, r.etype, r.n_events)
+        for r in api.run_stream(agg, mode="complete", name="api_ws").collect()
+    )
+    want = sorted(
+        (r.win.start, r.etype, r.n_events)
+        for r in ev.groupBy(
+            F.window("event_time", "1 hour").alias("win"), "etype"
+        ).agg(F.count("*").alias("n_events")).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_matches_batch_sessionize(spark):
+    """api.session_stream sessions (start, end−gap=last event) must agree
+    with api.sessionize on the same user relation."""
+    from tests.conftest import SF_SMOKE
+
+    ev = _renamed_events(spark, SF_SMOKE).select("event_time", "uid")
+    stream = api.replay_stream(spark, [ev], name="api_sess_test")
+    agg = api.session_stream(
+        stream, ts_col="event_time", gap="30 minutes", group_cols=("uid",)
+    )
+    got = sorted(
+        (r.uid, r.session_window.start, r.n_events)
+        for r in api.run_stream(agg, mode="complete", name="api_ss").collect()
+    )
+    want = sorted(
+        (r.uid, r.session_start, r.n_events)
+        for r in api.sessionize(
+            ev, ts_col="event_time", user_col="uid", gap_minutes=30
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_decontaminate_duplicate_rows_no_false_negative(spark):
     """ADVICE r5 (medium): duplicate (id, ngram) rows in corpus_ngrams made
     the bloom route count 2k exploded bits per duplicated n-gram and drop
