@@ -412,6 +412,57 @@ def near_dedup_verified(
     )
 
 
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    lm_floor: float = -7.0,
+    entropy_floor: float = 4.0,
+    top_share_ceiling: float = 0.12,
+    prefix_len: int = 64,
+    materialize: bool = False,
+) -> DataFrame:
+    """The end-to-end curation composition (the registered
+    pipeline_curation_capstone): quality_signals gates the corpus (LM +
+    entropy + top-share in one scan), prefix_dedup keeps one survivor
+    per boilerplate-prefix group, and the result rolls up into the
+    per-group token manifest a sampler consumes. Statistics flow between
+    stages (n_tokens from the quality pass feeds the manifest) instead
+    of being re-derived. Columns: *group_cols, n_docs, total_tokens.
+
+    ``materialize=True`` is the 100 TB seam the plan-ledger test
+    documents (tests/test_plans.py): the gated subset is checkpointed
+    (lineage cut + stored partitions) so the dedup stage's two consumers
+    (key derivation and survivor join) re-read the typically ~10×-smaller
+    gated stage instead of re-running the gate join over the full corpus
+    scan twice. Local mode uses localCheckpoint (executor-local storage);
+    a production deployment would point this boundary at durable storage
+    (df.checkpoint with a checkpoint dir, or an explicit parquet stage) —
+    the plan downstream of the boundary is identical either way."""
+    signals = quality_signals(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        lm_floor=lm_floor,
+        entropy_floor=entropy_floor,
+        top_share_ceiling=top_share_ceiling,
+    )
+    kept = df.join(signals.filter("keep").select(id_col, "n_tokens"), id_col)
+    if materialize:
+        kept = kept.localCheckpoint(eager=True)
+    survivors = kept.join(
+        prefix_dedup(kept, text_col=text_col, id_col=id_col, prefix_len=prefix_len)
+        .filter("keep")
+        .select(id_col),
+        id_col,
+    )
+    return survivors.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 # --- analytics family (round 6: df-level faces of operators/analytics.py
 # and operators/windows.py cores, per VERDICT r5 #2) ----------------------
 

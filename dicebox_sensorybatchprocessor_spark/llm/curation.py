@@ -497,18 +497,10 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage already computed (n_tokens flows from the quality pass to the
     manifest). Shuffle ledger: TF agg + vocab rollup (reused exchange) +
     final doc agg from the quality pass, one key-sized agg + join for
-    the dedup, one manifest agg — nothing corpus-quadratic anywhere."""
+    the dedup, one manifest agg — nothing corpus-quadratic anywhere.
+    The whole composition is api.curation_pipeline (round 6), whose
+    ``materialize=True`` option is the checkpoint-the-gated-subset seam
+    a 100 TB run would enable (see the api docstring)."""
     from dicebox_sensorybatchprocessor_spark import api
 
-    d = load(spark, sf_dir, "documents")
-    signals = api.quality_signals(d)
-    kept = d.join(
-        signals.filter("keep").select("doc_id", "n_tokens"), "doc_id"
-    )
-    survivors = kept.join(
-        api.prefix_dedup(kept).filter("keep").select("doc_id"), "doc_id"
-    )
-    return survivors.groupBy("lang", "source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-    )
+    return api.curation_pipeline(load(spark, sf_dir, "documents"))

@@ -41,6 +41,13 @@ OPS = (
     "text_token_entropy",
     "dedup_prefix",
     "events_bot_rate",  # needs events; staged alongside
+    # The composed pipeline (round 6, VERDICT r5 #5): its manifest is
+    # exactly amplification-INVARIANT — quality signals depend only on
+    # text and corpus-relative frequencies (both preserved by xN copies),
+    # and prefix_dedup keeps one survivor per distinct prefix key — so
+    # the x16 run must reproduce the x1 rows bit-for-bit while scanning
+    # 16x the corpus. That is the scan-ledger-holds-under-blowup proof.
+    "pipeline_curation_capstone",
 )
 
 
@@ -89,10 +96,17 @@ def main() -> None:
     base_docs = load(spark, sf_dir, "documents").count()
     results: dict[str, dict] = {op: {} for op in OPS}
     rows_base: dict[str, int] = {}
+    capstone_sigs: dict[int, list[str]] = {}
     for amp in (1, 4, 16):
         staged = sf_dir if amp == 1 else _stage_amplified(spark, sf_dir, amp)
         for op in OPS:
             df = specs[op].fn(spark, staged)
+            if op == "pipeline_curation_capstone":
+                # manifest VALUES must be amplification-invariant (the
+                # keeper doc_id differs across amps, but it never reaches
+                # the manifest) — capture the full tiny result for the
+                # bit-equality check below
+                capstone_sigs[amp] = sorted(map(str, df.collect()))
             df.count()  # warm (first run pays file listing + codegen)
             best = None
             for _ in range(2):
@@ -133,6 +147,9 @@ def main() -> None:
             results["events_bot_rate"][f"x{a}"]["rows"]
             == results["events_bot_rate"]["x1"]["rows"]
             for a in (4, 16)
+        ),
+        "capstone_manifest_invariant": all(
+            capstone_sigs[a] == capstone_sigs[1] for a in (4, 16)
         ),
         # sub-quadratic wall growth: x16 data in far less than 16^2/16=16x
         # the x1 time would indicate a quadratic term; require <= 16x with
