@@ -3,13 +3,25 @@
 BASELINE.md at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Protocol: one global warm-up pass over all headline queries (JVM JIT /
-codegen caches / parquet footers — the steady state a resident Spark
-service runs in), then per-query warm wall-clock reported as BOTH
-best-of-3 and median-of-3 (ADVICE r2: the median makes the comparison
-basis symmetric with single-warm-run baselines; the best tracks
-round-over-round drift). Results are fetched with Arrow (toPandas), the
-columnar analogue of DuckDB's ``.df()`` fetch used for the baseline.
+Protocol (round 6, VERDICT r5 #3 — ONE uniform rule): one global warm-up
+pass over all headline queries (JVM JIT / codegen caches / parquet
+footers — the steady state a resident Spark service runs in), then
+per-query warm wall-clock over a UNIFORM 5 samples for every entry in
+the headline / llm / sql blocks (streaming entries always needed 5 —
+bimodal state-store timing; now every block gets the same count so
+cross-block ratios stay comparable), reported as BOTH best-of-n and
+median-of-n. The expensive amplified skew block keeps its smaller
+sample counts; every entry's n is recorded in ``n_samples``. Results
+are fetched with Arrow (toPandas), the columnar analogue of DuckDB's
+``.df()`` fetch used for the baseline.
+
+Round-over-round regression flagging (VERDICT r5 #4): the previous
+round's driver artifact (BENCH_r{N}.json, highest N with a parsed
+block) is compared entry-by-entry; anything >25% slower than last round
+(and >20 ms absolute, to ignore job-floor jitter) lands in
+``regressions`` together with the two floor sentinels, so environmental
+drift (floor moved too) is distinguishable from a plan regression
+(floor flat, query slower) without judge archaeology.
 
 Secondary block: ``llm_queries`` times representative north-star
 operators (dedup / similarity / text pipeline / streaming) so a perf
@@ -213,7 +225,7 @@ def _skew_block(spark, sf_dir: str) -> dict[str, float]:
         )
         for variant, fn in ((f"{base}_plain", plain), (f"{base}_salted", salted)):
             fn().toPandas()  # warm-up
-            out[variant] = _best(_timed_runs(lambda: fn().toPandas(), 3))
+            out[variant] = _best(_timed_runs(lambda: fn().toPandas(), _N_SKEW_BATCH))
     return out
 
 
@@ -309,8 +321,67 @@ def _skew_stream_block(spark, sf_dir: str) -> dict[str, float]:
         ("stream_static_join_skew_plain", stream_plain),
         ("stream_static_join_skew_salted", stream_salted),
     ):
-        out[variant] = _best(_timed_runs(lambda: fn().toPandas(), 2))
+        out[variant] = _best(_timed_runs(lambda: fn().toPandas(), _N_SKEW_STREAM))
     return out
+
+
+# Uniform per-query sample count for the headline/llm/sql blocks.
+_N_SAMPLES = 5
+# Skew-block samples (amplified x64 fixtures — a full 5-sample sweep would
+# triple the bench wall-clock for a block whose point is the plain-vs-
+# salted RATIO, which is stable at these counts).
+_N_SKEW_BATCH = 3
+_N_SKEW_STREAM = 2
+
+
+def _load_prev_round(repo_dir: str) -> tuple[str | None, dict]:
+    """Most recent driver BENCH artifact with a parsed block: the
+    round-over-round comparison base for regression flagging."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, path)
+    if best is None:
+        return None, {}
+    try:
+        with open(best[1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+    except (OSError, json.JSONDecodeError):
+        return best[1], {}
+    return os.path.basename(best[1]), parsed
+
+
+def _flag_regressions(
+    prev: dict, cur_blocks: dict[str, dict[str, float]]
+) -> list[dict]:
+    """Entries >25% slower than the previous round's best-of (and >20 ms
+    absolute). The caller attaches floor sentinels so a uniform
+    environmental shift is visible next to any flagged entry."""
+    out: list[dict] = []
+    for block, cur in cur_blocks.items():
+        prev_block = prev.get(block) or {}
+        for name, cur_s in cur.items():
+            prev_s = prev_block.get(name)
+            if prev_s is None or prev_s <= 0:
+                continue
+            if cur_s > 1.25 * prev_s and cur_s - prev_s > 0.02:
+                out.append(
+                    {
+                        "query": name,
+                        "block": block,
+                        "prev_s": prev_s,
+                        "cur_s": cur_s,
+                        "ratio": round(cur_s / prev_s, 2),
+                    }
+                )
+    return sorted(out, key=lambda r: -r["ratio"])
 
 
 def _timed_runs(fn, runs: int) -> list[float]:
@@ -359,7 +430,7 @@ def main() -> None:
     for name in headline:
         fn = specs[name].fn
         fn(spark, sf_dir).toPandas()  # per-query warm-up (plan-local caches)
-        runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), 3)
+        runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), _N_SAMPLES)
         timings[name] = _best(runs)
         medians[name] = _median(runs)
 
@@ -371,12 +442,7 @@ def main() -> None:
                 continue
             fn = specs[name].fn
             fn(spark, sf_dir).toPandas()  # warm-up
-            # Streaming entries run a full availableNow query lifecycle
-            # per sample and show bimodal state-store timing (~0.85 s vs
-            # ~1.1 s across processes at identical floor sentinel), so
-            # they get 5 samples where pure-batch plans settle in 3.
-            n_runs = 5 if name.startswith("stream_") else 3
-            runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), n_runs)
+            runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), _N_SAMPLES)
             bests[name] = _best(runs)
             meds[name] = _median(runs)
         return bests, meds
@@ -409,6 +475,32 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 4)
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_name, prev = _load_prev_round(repo_dir)
+    if prev.get("sf") != sf:
+        prev = {}  # cross-scale comparison would flag noise, not plans
+    regressions = _flag_regressions(
+        prev,
+        {
+            "queries": timings,
+            "llm_queries": llm_timings,
+            "sql_queries": sql_timings,
+        },
+    )
+    regression_ctx = {
+        "vs": prev_name,
+        "prev_floors": prev.get("floor_measured_s"),
+        "cur_floors": floors,
+        "rule": ">25% slower than previous round's best-of AND >20ms absolute",
+    }
+    n_samples = {
+        "headline": _N_SAMPLES,
+        "llm_queries": _N_SAMPLES,
+        "sql_queries": _N_SAMPLES,
+        "skew_batch": _N_SKEW_BATCH,
+        "skew_stream": _N_SKEW_STREAM,
+    }
     # Compact driver-facing summary + full-detail repo file (VERDICT r4
     # #2: the driver keeps only the LAST 2000 chars of stdout, and round
     # 4's single fat JSON line pushed the headline block out of that
@@ -422,13 +514,16 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": timings,
-        "queries_median_of_3": medians,
-        "total_median_of_3": round(sum(medians.values()), 4),
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 4),
         "floor_measured_s": floors,
+        "n_samples": n_samples,
+        "regressions": regressions,
+        "regression_check": regression_ctx,
         "llm_queries": llm_timings,
-        "llm_queries_median_of_3": llm_medians,
+        "llm_queries_median": llm_medians,
         "sql_queries": sql_timings,
-        "sql_queries_median_of_3": sql_medians,
+        "sql_queries_median": sql_medians,
         "streaming_steady_state": steady,
         "skew_queries": skew_timings,
         "skew_note": (
@@ -445,10 +540,17 @@ def main() -> None:
             "do-NOT-salt-windows datapoint"
         ),
         "protocol_note": (
-            "warm-up pass + best-of-3 AND median-of-3 per query; "
-            "BASELINE.md DuckDB numbers for the LLM block were "
-            "re-measured under the identical protocol (ADVICE r2: "
-            "symmetric comparison basis)"
+            "UNIFORM rule (round 6): warm-up pass + best-of-5 AND "
+            "median-of-5 for EVERY entry in the headline/llm/sql blocks "
+            "(the former streaming-only 5-sample exception is now the "
+            "rule); skew block keeps smaller counts (amplified x64 "
+            "fixtures), recorded per entry in n_samples. BASELINE.md "
+            "DuckDB numbers were re-measured under the identical "
+            "protocol. Scratch (streaming checkpoints/WALs, staged "
+            "replay inputs) lives on tmpfs (/dev/shm) since round 5 "
+            "with a free-space guard since round 6 — streaming timings "
+            "measure tmpfs, not disk fsync; pre-r5 streaming numbers "
+            "are not directly comparable (ADVICE r5)"
         ),
         "floor_note": (
             "local-mode job floor ~0.05s/query (spark.range(1) toPandas, "
@@ -469,8 +571,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": timings,
-        "total_median_of_3": detail["total_median_of_3"],
+        "total_median": detail["total_median"],
         "floor_measured_s": floors,
+        "n_samples": n_samples,
+        "regressions": regressions,
         "llm_queries": llm_timings,
         "sql_queries": sql_timings,
         "streaming_steady_state": steady,
@@ -480,7 +584,7 @@ def main() -> None:
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guard on the driver's 2000-char tail capture: shed verbose
     # sub-blocks (kept in bench_detail.json) before the headline block.
-    for shed in ("skew_queries", "streaming_steady_state", "sql_queries", "llm_queries"):
+    for shed in ("skew_queries", "streaming_steady_state", "sql_queries", "regressions", "llm_queries"):
         if len(line) <= 1900:
             break
         compact.pop(shed, None)
