@@ -243,8 +243,12 @@ def _skew_stream_block(spark, sf_dir: str) -> dict[str, float]:
     lifecycle). ×64 matches the batch pair — at ×16 the availableNow
     lifecycle's fixed cost (~1.4 s) masks the join-stage skew and plain
     ties salted; at ×64 the hot reducer is the visible straggler
-    ((7+1)/8 stage tail) and salting wins ~5-10% wall (the join-stage
-    margin is larger; the lifecycle fixed cost still dilutes it)."""
+    ((7+1)/8 stage tail) and salting wins ~15-35% wall depending on
+    machine regime (scripts/profile_stream_skew.py decomposition: the
+    addBatch salting margin is ~23% — identical to the batch join's —
+    the lifecycle overhead is only ~0.2 s, and the ceiling is the
+    non-skewed 38M-row scan share; salt_n=8 is the sweet spot, 16
+    regresses on dim explosion — NOTES.md round 6)."""
     from pyspark.sql import functions as F
 
     from dicebox_sensorybatchprocessor_spark.io import load

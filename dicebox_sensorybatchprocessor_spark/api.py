@@ -599,6 +599,134 @@ def gap_islands(
     )
 
 
+# --- dataset-carving family (round 6: df-level faces of
+# operators/sampling.py and llm/corpus.py cores) ---------------------------
+
+
+def hash_bucket(col: Column, salt: str, n: int) -> Column:
+    """Deterministic bucket in [0, n) from a portable md5-prefix hash
+    (identical bit pattern in DuckDB via the same hex-prefix trick) —
+    the randomness source for every carving operator here: assignment
+    is a pure function of (salt, value), so it is stable under
+    repartitioning, appends, and reruns, unlike randomSplit/sample
+    whose seeded RNG shifts with partitioning."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
+    )
+    return F.pmod(h.cast("bigint"), F.lit(n))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+    salt: str = "split",
+) -> DataFrame:
+    """Reproducible dataset split over any relation: adds a ``split``
+    column assigning each row by hash(id) against cumulative integer
+    weights. A row's split never changes across reruns or appends; the
+    predicate is scan-pushable (no shuffle)."""
+    total = sum(w for _, w in weights)
+    if total <= 0 or any(w < 0 for _, w in weights):
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    bucket = hash_bucket(F.col(id_col), salt, total)
+    expr = None
+    acc = 0
+    for name, w in weights:
+        acc += w
+        expr = F.when(bucket < acc, name) if expr is None else expr.when(bucket < acc, name)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.2,
+    salt: str = "strat",
+    granularity: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep ``rates[stratum]``
+    (fraction, resolved at 1/granularity) of each stratum, default_rate
+    elsewhere. The keep-predicate is a pure per-row filter pushed to the
+    scan; membership is reproducible row-wise, so incremental reruns
+    over appended data never resample old rows."""
+    rate_expr = F.lit(int(round(default_rate * granularity)))
+    for k, v in (rates or {}).items():
+        rate_expr = F.when(
+            F.col(strata_col) == k, int(round(v * granularity))
+        ).otherwise(rate_expr)
+    return df.filter(hash_bucket(F.col(id_col), salt, granularity) < rate_expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    partition_col: str = "lang",
+    capacity: int = 4096,
+) -> DataFrame:
+    """Sequence packing over any (id, length) relation: concatenate rows
+    per partition key in id order and chunk the stream into fixed-size
+    bins; each row is assigned to the bin where it starts. Returns the
+    row-level assignment (partition, id, len, start_off, bin_id) — roll
+    up on (partition, bin_id) for the manifest. One window + linear;
+    partitioned by ``partition_col`` so no task owns a global order (at
+    100 TB that is the shard/curriculum key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start_off = F.sum(len_col).over(w) - F.col(len_col)
+    return df.select(
+        partition_col,
+        id_col,
+        len_col,
+        start_off.alias("start_off"),
+        F.floor(start_off / capacity).alias("bin_id"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    temperature: float = 2.0,
+    accept_c: float = 0.35,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted group rebalancing: per-group acceptance rate
+    accept_c / w^(1/T) capped at 1 (w = the group's row share), applied
+    via a deterministic content-keyed uniform — low-share groups keep
+    (nearly) everything, high-share groups are downsampled toward
+    w^(1/T)-proportional mixing. Returns df + (n_docs, rate, keep). The
+    rates table is a tiny broadcast join; the accept predicate is a pure
+    per-row expression; the whole sample is reproducible bit-for-bit
+    under any partitioning."""
+    total = df.count()  # one driver scalar (the normalizing mass)
+    shares = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w_share = F.col("n_docs") * 1.0 / total
+    # T=2 keeps the exact sqrt form the oracle mirrors (pow(x, .5) is not
+    # guaranteed bit-identical to sqrt across engines)
+    denom = F.sqrt(w_share) if temperature == 2.0 else F.pow(w_share, 1.0 / temperature)
+    rates = shares.select(
+        group_col, "n_docs", F.least(F.lit(1.0), accept_c / denom).alias("rate")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 1152921504606846976.0
+    )
+    return df.join(F.broadcast(rates), group_col).withColumn("keep", u < F.col("rate"))
+
+
 # --- streaming family (round 6: df-level stream builders over the
 # streaming/streams.py cores) ----------------------------------------------
 

@@ -136,10 +136,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_C = 0.35
 # Uniform [0,1) from a 60-bit md5 prefix of the doc content key — content-
 # keyed, so resampling after repartition/shuffle keeps the same docs.
-_U_SPARK = (
-    "conv(substring(md5(concat('mix|', cast(doc_id as string))), 1, 15), 16, 10)"
-    " / 1152921504606846976.0"
-)
+# (Engine side lives in api.temperature_mix since round 6.)
 _U_DUCK = (
     "('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     " / 1152921504606846976.0"
@@ -173,21 +170,18 @@ def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources are downsampled toward sqrt-proportional mixing. The rates
     table is a tiny broadcast join; the accept predicate is a pure
     per-row expression that pushes into the scan, and the whole sample is
-    reproducible bit-for-bit under any partitioning."""
-    d = load(spark, sf_dir, "documents")
-    total = d.count()  # driver scalar: one count, analogous to the sketches' claims
-    shares = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    rates = shares.select(
-        "source",
-        "n_docs",
-        F.least(F.lit(1.0), _TEMP_C / F.sqrt(F.col("n_docs") * 1.0 / total)).alias("rate"),
+    reproducible bit-for-bit under any partitioning. Thin wrapper over
+    api.temperature_mix (round 6), which returns the row-level keep flag
+    this rollup counts."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    mixed = api.temperature_mix(
+        load(spark, sf_dir, "documents"), temperature=2.0, accept_c=_TEMP_C
     )
-    u = F.expr(_U_SPARK)
     return (
-        d.join(F.broadcast(rates), "source")
-        .groupBy("source", "n_docs", "rate")
+        mixed.groupBy("source", "n_docs", "rate")
         .agg(
-            F.sum(F.when(u < F.col("rate"), 1).otherwise(0))
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
             .cast("bigint")
             .alias("n_kept")
         )

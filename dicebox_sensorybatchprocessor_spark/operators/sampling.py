@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
@@ -30,13 +30,9 @@ from dicebox_sensorybatchprocessor_spark.registry import register
 _PACK_CAPACITY = 4096  # chars per packed sequence bin
 
 
-def _bucket(col, salt: str, n: int):
-    """Deterministic bucket in [0, n): portable across Spark and DuckDB."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10)
-    return F.pmod(h.cast("bigint"), F.lit(n))
-
-
 def _bucket_sql(expr: str, salt: str, n: int) -> str:
+    """DuckDB mirror of api.hash_bucket (the engine side moved to api.py
+    in round 6)."""
     return f"('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT % {n}"
 
 
@@ -58,13 +54,12 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test split keyed on hash(doc_id): a document's
     split assignment is a pure function of its id — stable under
     repartitioning, appends, and reruns (unlike randomSplit, whose
-    assignment shifts with partitioning). One scan, one aggregate."""
-    d = load(spark, sf_dir, "documents")
-    bucket = _bucket(F.col("doc_id"), "split", 100)
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
-    return d.groupBy(split.alias("split")).agg(
+    assignment shifts with partitioning). One scan, one aggregate. Thin
+    wrapper over api.hash_split (round 6)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    d = api.hash_split(load(spark, sf_dir, "documents"))
+    return d.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.countDistinct("lang").alias("n_langs"),
@@ -86,10 +81,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation. The keep-predicate is a scan-pushed filter (no shuffle at
     all), and membership is reproducible row-wise, so incremental reruns
     over appended data never resample old rows (the property sampleBy's
-    seeded-RNG-per-partition approach loses)."""
+    seeded-RNG-per-partition approach loses). Thin wrapper over
+    api.stratified_sample (round 6)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     d = load(spark, sf_dir, "documents")
-    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
-    return d.filter(_bucket(F.col("doc_id"), "strat", 100) < rate).select("doc_id", "lang")
+    return api.stratified_sample(
+        d, rates={"en": 0.5}, default_rate=0.2
+    ).select("doc_id", "lang")
 
 
 @register(
@@ -114,17 +113,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation used to build fixed-budget training sequences: one window
     (cumulative length) + one aggregate, linear, partitioned by ``lang``
     so no single task owns a global order — at 100 TB the partition key
-    is the shard key and each shard packs independently."""
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    is the shard key and each shard packs independently. Thin wrapper
+    over api.pack_sequences (round 6), which returns the row-level bin
+    assignment this manifest rolls up."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    pos = api.pack_sequences(
+        load(spark, sf_dir, "documents"), capacity=_PACK_CAPACITY
     )
-    start_off = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off")
-    pos = d.select("lang", "doc_id", "n_chars", start_off)
-    return pos.groupBy(
-        "lang",
-        F.floor(F.col("start_off") / _PACK_CAPACITY).alias("bin_id"),
-    ).agg(
+    return pos.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("first_doc"),

@@ -163,6 +163,76 @@ def test_gap_islands_custom_columns(spark):
     assert total == ev.count()
 
 
+def test_hash_split_custom_columns_and_weights(spark):
+    docs = _renamed_docs(spark)
+    out = api.hash_split(docs, id_col="item_id", weights=(("a", 50), ("b", 50)))
+    rows = out.groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in rows}
+    assert set(counts) == {"a", "b"} and sum(counts.values()) == 500
+    # assignment is a pure function of id: repartitioning changes nothing
+    again = api.hash_split(
+        docs.repartition(13), id_col="item_id", weights=(("a", 50), ("b", 50))
+    )
+    assert sorted(map(str, again.select("item_id", "split").collect())) == sorted(
+        map(str, out.select("item_id", "split").collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="weights"):
+        api.hash_split(docs, id_col="item_id", weights=(("a", 0),))
+
+
+def test_stratified_sample_rates(spark):
+    docs = load(spark, SF_ORACLE, "documents").select(
+        F.col("doc_id").alias("item_id"), F.col("lang").alias("language")
+    )
+    out = api.stratified_sample(
+        docs, id_col="item_id", strata_col="language",
+        rates={"en": 1.0, "zh": 0.0}, default_rate=0.3,
+    )
+    langs = {r.language for r in out.select("language").distinct().collect()}
+    assert "zh" not in langs
+    n_en = docs.filter("language = 'en'").count()
+    assert out.filter("language = 'en'").count() == n_en  # rate 1.0 keeps all
+
+
+def test_pack_sequences_row_level(spark):
+    docs = load(spark, SF_ORACLE, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        F.col("n_chars").alias("length"),
+        F.col("source").alias("shard"),
+    )
+    out = api.pack_sequences(
+        docs, id_col="item_id", len_col="length", partition_col="shard",
+        capacity=1000,
+    )
+    assert out.columns == ["shard", "item_id", "length", "start_off", "bin_id"]
+    assert out.count() == docs.count()  # every row assigned
+    # bins respect the capacity: a row's start offset sits inside its bin
+    bad = out.filter(
+        (F.col("start_off") < F.col("bin_id") * 1000)
+        | (F.col("start_off") >= (F.col("bin_id") + 1) * 1000)
+    ).count()
+    assert bad == 0
+
+
+def test_temperature_mix_rebalances(spark):
+    docs = _renamed_docs(spark).withColumn(
+        "origin", F.when(F.col("item_id") % 10 < 8, "big").otherwise("small")
+    )
+    out = api.temperature_mix(
+        docs, id_col="item_id", group_col="origin", temperature=2.0,
+        accept_c=0.35,
+    )
+    kept = {r.origin: r.n for r in
+            out.filter("keep").groupBy("origin").agg(F.count("*").alias("n")).collect()}
+    rates = {r.origin: r.rate for r in
+             out.select("origin", "rate").distinct().collect()}
+    # low-share group keeps a higher fraction than the high-share group
+    assert rates["small"] > rates["big"]
+    assert kept["big"] < docs.filter("origin = 'big'").count()
+
+
 def test_stream_builders_match_batch(spark):
     """replay_stream → windowed_stream → run_stream on a USER relation
     (renamed columns, sf0.001) must equal the identical batch aggregate —
