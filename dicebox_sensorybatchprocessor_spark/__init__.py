@@ -50,21 +50,94 @@ _OPERATOR_MODULES = (
 # Driver-facing query order. The driver's correctness harness checks the
 # FIRST 50 registered queries each round (CORRECTNESS_r0N.json == exactly
 # list(all_queries())[:50]), so ordering is the verification budget.
-# Rounds 1-4 verified all 185 then-registered queries (r1 49/50 with the
-# since-fixed agg_approx_distinct; r2/r3/r4 50/50). Round 5's window:
-# [1-5] the llm/curation operators that round 4 wrote but never wired
-# into _OPERATOR_MODULES (VERDICT r4 #1 — their only gap is driver
-# visibility); [6-8] the three operators written this round
-# (text_unigram_lm_score, text_token_entropy, dedup_prefix); then
-# rotating proven-core sentinels per VERDICT r4 #5 (a set not used as
-# sentinels in r4); then the full streaming surface — streams.py's
-# harness is being touched this round for the stream_tumbling
-# cost-trend work (VERDICT r4 #3), so every query sharing that code
-# path gets a fresh external row; then proven-core rotation drawn from
-# queries whose last green row is oldest (r1/r2). The last 3 entries of
-# the r4-planned 50 (fn_struct, udaf_grouped via rotation tail) fall to
-# 51+ — all have green rows from earlier rounds.
-_ROUND5_PRIORITY = (
+#
+# The driver window size the rotation below is planned against.
+DRIVER_WINDOW = 50
+
+# Round-7 window (VERDICT r6 Next #1 — the rotation task r5 planned and
+# r6 failed to execute). Composition, in order:
+#   [1-30]  the 30 queries whose backing module was refactored in round 6
+#           AFTER their last driver row (VERDICT r6 "What's missing #1"
+#           names the full list): similarity (7, llm/similarity.py,
+#           commit 44710bb), windows (9, operators/windows.py, 44710bb),
+#           analytics (9, operators/analytics.py, 44710bb — the other 4
+#           analytics queries sat in the r6 window and so already carry
+#           post-refactor rows), corpus (3, llm/corpus.py), sampling
+#           (2, operators/sampling.py + api.py carving work, 31b7231).
+#   [31-38] queries whose backing code is touched IN round 7: the
+#           dq/maintenance/dedup-cluster families gaining df-level API
+#           twins (VERDICT r6 Next #4) and the registered queries backed
+#           by the api.py functions fixed per ADVICE r6 (funnel '_t'
+#           collision -> events_funnel; hash_split zero-weight ->
+#           split_train_val_test).
+#   [39-50] oldest-green rotation: 12 queries whose last driver row is
+#           round 1 (relational filters / joins / global agg — see
+#           NOTES.md "driver-window rotation schedule" for the r8/r9
+#           slices that cover the remainder of the r1-r3 backlog).
+# Pre-validated with scripts/simulate_window.py; tests/
+# test_window_rotation.py enforces "touched since last round => in
+# window" from git history, so this list can no longer silently rot.
+# Entries 51+ keep the round-5 ordering as a stable tail (the
+# all_queries() loop skips duplicates).
+_ROUND7_PRIORITY = (
+    # -- [1-7] similarity family (llm/similarity.py touched r6) --
+    "sim_cosine_topk",
+    "sim_knn_query",
+    "vec_norm",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "emb_label_centroid_dist",
+    "emb_label_margin",
+    # -- [8-16] windows family (operators/windows.py touched r6) --
+    "win_rank",
+    "win_lag_lead",
+    "win_first_last",
+    "win_frame_rows",
+    "win_frame_range",
+    "win_topk_group",
+    "win_distribution",
+    "win_running_distinct",
+    "sessionize_batch",
+    # -- [17-25] analytics family (operators/analytics.py touched r6) --
+    "agg_histogram",
+    "agg_mode",
+    "agg_rollup_incremental",
+    "events_session_stats",
+    "events_anomaly_zscore",
+    "orders_market_basket",
+    "parts_abc_pareto",
+    "orders_backlog_aging",
+    "supplier_scorecard",
+    # -- [26-28] corpus family (llm/corpus.py touched r6) --
+    "dedup_incremental",
+    "corpus_sample_temperature",
+    "emb_quantize_int8",
+    # -- [29-30] sampling family (operators/sampling.py + api touched r6) --
+    "sample_stratified",
+    "pack_sequences",
+    # -- [31-38] round-7-touched: df-level API extension + ADVICE fixes --
+    "dq_profile",
+    "dq_constraints",
+    "maintenance_compact",
+    "cdc_snapshot_diff",
+    "dedup_clusters",
+    "dedup_survivors",
+    "events_funnel",
+    "split_train_val_test",
+    # -- [39-50] oldest-green rotation (last driver row: round 1) --
+    "filter_cmp",
+    "filter_in",
+    "filter_between",
+    "filter_like",
+    "filter_null",
+    "cond_case",
+    "cast_try",
+    "join_inner",
+    "join_left",
+    "join_anti",
+    "agg_global",
+    "topk_orders",
+    # ---- 51+: stable tail (round-5 ordering; duplicates skipped) ----
     # -- [1-5] curation ops newly wired into the registry --
     "decontaminate_ngram",
     "text_repetition_filter",
@@ -241,14 +314,14 @@ _ROUND5_PRIORITY = (
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
     the full registry, reordered so the driver's 50-query correctness
-    window covers not-yet-verified operators first (see _ROUND5_PRIORITY).
-    Keys are the SURVEY.md §2 operator IDs."""
+    window covers refactor-touched and oldest-verified operators first
+    (see _ROUND7_PRIORITY). Keys are the SURVEY.md §2 operator IDs."""
     import importlib
 
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     ordered: dict[str, QuerySpec] = {}
-    for name in _ROUND5_PRIORITY:
+    for name in _ROUND7_PRIORITY:
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():
