@@ -338,18 +338,45 @@ _N_SKEW_BATCH = 3
 _N_SKEW_STREAM = 2
 
 
+def _completed_round(repo_dir: str) -> int | None:
+    """Highest round number with a ``round N: ...`` boundary commit —
+    i.e. the last COMPLETED round. None if git/history is unavailable."""
+    import re
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%s"],
+            cwd=repo_dir,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    rounds = [int(m.group(1)) for m in re.finditer(r"^round (\d+):", out, re.M)]
+    return max(rounds) if rounds else None
+
+
 def _load_prev_round(repo_dir: str) -> tuple[str | None, dict]:
-    """Most recent driver BENCH artifact with a parsed block: the
-    round-over-round comparison base for regression flagging."""
+    """Most recent driver BENCH artifact from a COMPLETED round: the
+    round-over-round comparison base for regression flagging. The driver
+    writes the current round's own BENCH_r{N}.json into the worktree
+    before the round-boundary commit, so a plain highest-numbered pick
+    would self-compare on any re-run within the round (ADVICE r6) —
+    artifacts newer than the last boundary commit are excluded."""
     import glob
     import re
 
+    ceiling = _completed_round(repo_dir)
     best: tuple[int, str] | None = None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
         n = int(m.group(1))
+        if ceiling is not None and n > ceiling:
+            continue
         if best is None or n > best[0]:
             best = (n, path)
     if best is None:

@@ -551,13 +551,20 @@ def funnel(
     Columns: stage_order, stage, n_users."""
     if not stages:
         raise ValueError("stages must name at least one event type")
+    # Project down to the three referenced columns before joining: the
+    # per-stage join otherwise drags every user column alongside the
+    # internal prev-stage timestamp, and a user column that happened to
+    # share its name would make the ts > prev comparison ambiguous
+    # (ADVICE r6). The prefixed internal name is belt-and-braces on top.
+    df = df.select(user_col, type_col, ts_col)
+    prev_t = "__sbp_funnel_prev_t"
     prev: DataFrame | None = None
     outs: list[DataFrame] = []
     for i, stage_name in enumerate(stages):
         cur = df.filter(F.col(type_col) == stage_name)
         if prev is not None:
-            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col("_t"))
-        reached = cur.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col(prev_t))
+        reached = cur.groupBy(user_col).agg(F.min(ts_col).alias(prev_t))
         outs.append(
             reached.agg(
                 F.lit(i + 1).alias("stage_order"),
@@ -625,10 +632,16 @@ def hash_split(
     """Reproducible dataset split over any relation: adds a ``split``
     column assigning each row by hash(id) against cumulative integer
     weights. A row's split never changes across reruns or appends; the
-    predicate is scan-pushable (no shuffle)."""
+    predicate is scan-pushable (no shuffle).
+
+    Every weight must be strictly positive: a zero-weight split name
+    would silently never appear in the output, which reads like a
+    hashing bug (ADVICE r6) — drop the entry instead of zeroing it."""
     total = sum(w for _, w in weights)
-    if total <= 0 or any(w < 0 for _, w in weights):
-        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    if total <= 0 or any(w <= 0 for _, w in weights):
+        raise ValueError(
+            f"weights must be strictly positive (omit unwanted splits): {weights}"
+        )
     bucket = hash_bucket(F.col(id_col), salt, total)
     expr = None
     acc = 0
@@ -673,10 +686,17 @@ def pack_sequences(
     row-level assignment (partition, id, len, start_off, bin_id) — roll
     up on (partition, bin_id) for the manifest. One window + linear;
     partitioned by ``partition_col`` so no task owns a global order (at
-    100 TB that is the shard/curriculum key)."""
+    100 TB that is the shard/curriculum key).
+
+    Determinism: rows are ordered by (id, len). If ``id_col`` is unique
+    per partition key (the normal manifest case) the packing is fully
+    reproducible; with duplicate ids the len tiebreak still fixes the
+    order up to rows identical in (partition, id, len), whose start_off
+    assignments are interchangeable — the output *relation* stays
+    deterministic either way (ADVICE r6)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(partition_col).orderBy(id_col).rowsBetween(
+    w = Window.partitionBy(partition_col).orderBy(id_col, len_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     start_off = F.sum(len_col).over(w) - F.col(len_col)

@@ -96,7 +96,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pos AS (
       SELECT lang, doc_id, n_chars,
-             SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id, n_chars
                                 ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
       FROM documents
     )
