@@ -64,16 +64,19 @@ DRIVER_WINDOW = 50
 #           analytics queries sat in the r6 window and so already carry
 #           post-refactor rows), corpus (3, llm/corpus.py), sampling
 #           (2, operators/sampling.py + api.py carving work, 31b7231).
-#   [31-38] queries whose backing code is touched IN round 7: the
-#           dq/maintenance/dedup-cluster families gaining df-level API
-#           twins (VERDICT r6 Next #4) and the registered queries backed
-#           by the api.py functions fixed per ADVICE r6 (funnel '_t'
-#           collision -> events_funnel; hash_split zero-weight ->
-#           split_train_val_test).
-#   [39-50] oldest-green rotation: 12 queries whose last driver row is
-#           round 1 (relational filters / joins / global agg — see
-#           NOTES.md "driver-window rotation schedule" for the r8/r9
-#           slices that cover the remainder of the r1-r3 backlog).
+#   [31-47] queries whose backing code is touched IN round 7: the
+#           dq/maintenance families gaining df-level API twins (VERDICT
+#           r6 Next #4), the ENTIRE llm/dedup.py registry (the module
+#           hosts the new connected-components/keep-one API seam, so
+#           every query it defines goes stale together — the module
+#           granularity the staleness ledger uses), and the registered
+#           queries backed by the api.py functions fixed per ADVICE r6
+#           (funnel '_t' collision -> events_funnel; hash_split
+#           zero-weight -> split_train_val_test).
+#   [48-50] oldest-green rotation: 3 of the round-1-stale relational/
+#           join sentinels (see NOTES.md "driver-window rotation
+#           schedule" for the r8/r9 slices covering the rest of the
+#           r1-r3 backlog the dedup-family fronting displaced).
 # Pre-validated with scripts/simulate_window.py; tests/
 # test_window_rotation.py enforces "touched since last round => in
 # window" from git history, so this list can no longer silently rot.
@@ -115,27 +118,27 @@ _ROUND7_PRIORITY = (
     # -- [29-30] sampling family (operators/sampling.py + api touched r6) --
     "sample_stratified",
     "pack_sequences",
-    # -- [31-38] round-7-touched: df-level API extension + ADVICE fixes --
+    # -- [31-47] round-7-touched: df-level API extension + ADVICE fixes --
     "dq_profile",
     "dq_constraints",
     "maintenance_compact",
     "cdc_snapshot_diff",
-    "dedup_clusters",
     "dedup_survivors",
+    "dedup_clusters",
+    "dedup_near_verified",
+    "dedup_minhash_banded",
+    "dedup_prefix",
+    "dedup_exact",
+    "dedup_near",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
     "events_funnel",
     "split_train_val_test",
-    # -- [39-50] oldest-green rotation (last driver row: round 1) --
+    # -- [48-50] oldest-green rotation (last driver row: round 1) --
     "filter_cmp",
-    "filter_in",
-    "filter_between",
-    "filter_like",
-    "filter_null",
-    "cond_case",
-    "cast_try",
     "join_inner",
-    "join_left",
-    "join_anti",
-    "agg_global",
     "topk_orders",
     # ---- 51+: stable tail (round-5 ordering; duplicates skipped) ----
     # -- [1-5] curation ops newly wired into the registry --

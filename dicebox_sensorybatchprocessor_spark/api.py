@@ -849,3 +849,228 @@ def cosine_topk(
 
     e = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     return _sim._cosine_topk(e, k=k, part_margin=part_margin)
+
+
+# --- dq / maintenance / cluster-survivorship family (round 7: df-level
+# faces of operators/quality.py, operators/maintenance.py, and the
+# llm/dedup.py connected-components core) ----------------------------------
+
+
+def profile(
+    df: DataFrame,
+    table_name: str = "table",
+    key_cols: tuple[str, ...] = (),
+    categorical_cols: tuple[str, ...] = (),
+    numeric_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Single-pass, single-row quality profile of any relation: row
+    count; per key column non-null + distinct counts (completeness and
+    uniqueness); per categorical column distinct cardinality; per
+    numeric column min/max/negative-count; per time column span. Every
+    metric is an aggregate over the SAME scan — one job regardless of
+    how many columns are profiled, which is the difference between a
+    per-batch promotion gate and a per-column job storm at 100 TB.
+    Column names in the output are ``<col>_<metric>``."""
+    aggs = [F.lit(table_name).alias("table_name"), F.count("*").alias("n_rows")]
+    for c in key_cols:
+        aggs.append(F.count(c).alias(f"{c}_nonnull"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+    for c in categorical_cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+    for c in numeric_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+        aggs.append(
+            F.sum(F.when(F.col(c) < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}_negative")
+        )
+    for c in ts_cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.agg(*aggs)
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity probe: child rows whose key has no match in
+    parent, as a left-anti join against the DISTINCT parent keys — the
+    anti-join side reduces to a key list (broadcastable far past the
+    point the parent table itself is not), and only the child's own
+    columns survive, so arbitrary name overlap between the two relations
+    is safe."""
+    pk = parent.select(F.col(parent_key).alias("__sbp_fk_pk")).distinct()
+    return child.join(
+        pk, F.col(child_key) == F.col("__sbp_fk_pk"), "left_anti"
+    )
+
+
+def check_constraints(
+    checks: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """Constraint validation as a one-row-per-check report over named
+    violating-row relations (compose with ``fk_violations`` / filters):
+    (constraint_name, n_violations). Each check is an independent scalar
+    aggregate branch Spark schedules concurrently; a CI gate promotes
+    the batch iff every n_violations is 0."""
+    if not checks:
+        raise ValueError("checks must name at least one constraint")
+    outs = [
+        df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+        for name, df in checks
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _parquet_dir_stats(root: str) -> tuple[int, int]:
+    """(file count, total bytes) of the parquet files under root — the
+    two directory listings a compaction planner performs."""
+    import os
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    (the post-streaming-ingest state — one file per micro-batch) into
+    ``ceil(total_bytes / target_file_bytes)`` files at dest_path.
+    Driver-side work is two directory listings; the data movement is one
+    scan + one round-robin repartition write — no shuffle keyed on data
+    values, so the rewrite streams at disk bandwidth on any cluster
+    size. Returns {n_files_before, n_files_after, total_bytes,
+    n_output_files_planned} for the maintenance ledger."""
+    n_before, total_bytes = _parquet_dir_stats(src_path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(dest_path)
+    n_after, _ = _parquet_dir_stats(dest_path)
+    return {
+        "n_files_before": n_before,
+        "n_files_after": n_after,
+        "total_bytes": total_bytes,
+        "n_output_files_planned": n_out,
+    }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    tracked_cols: tuple[str, ...],
+) -> DataFrame:
+    """Row-level snapshot reconciliation: full outer join of two table
+    versions on the (non-null) primary key, classified by null side and
+    tracked-column row-hash inequality. Returns the changed rows only:
+    (*key_cols, change_type ∈ {insert, update, delete}) — roll up for
+    the CDC summary, or join back for the changed payloads. The row
+    hash uses a canonical string encoding (identical across engines),
+    and the diff cost is ONE co-partitioned join: at scale both
+    snapshots are bucketed on the key and the exchange disappears,
+    which is why CDC pipelines bucket their silver tables."""
+    keys = list(key_cols)
+    if not keys or not tracked_cols:
+        raise ValueError("snapshot_diff needs at least one key and one tracked column")
+    o = old.select(*keys, *tracked_cols).alias("o")
+    n = new.select(*keys, *tracked_cols).alias("n")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
+
+    def row_hash(side: str) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"{side}.{c}").cast("string") for c in tracked_cols]
+            )
+        )
+
+    change = (
+        F.when(F.col(f"o.{keys[0]}").isNull(), "insert")
+        .when(F.col(f"n.{keys[0]}").isNull(), "delete")
+        .when(row_hash("o") != row_hash("n"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+                for k in keys
+            ],
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "u", b_col: str = "v"
+) -> DataFrame:
+    """Connected components over any undirected pair relation
+    (orientation and duplicates irrelevant) — the grouping step a dedup
+    pipeline needs after pair generation: A~B and B~C must collapse
+    {A,B,C} even when A~C was never emitted. Runs the alternating
+    large-star/small-star algorithm (O(log n) rounds on any graph shape,
+    including high-diameter paths where min-label propagation needs
+    O(diameter) rounds); per round the only driver-side value is the
+    convergence count. Columns: (node, component_id) where component_id
+    is the component's minimum node id; only nodes appearing in a pair
+    are returned — see ``keep_one_per_cluster`` for singleton
+    completion over a full relation."""
+    from dicebox_sensorybatchprocessor_spark.llm.dedup import _connected_components
+
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    labels, _rounds = _connected_components(edges)
+    return labels.select(
+        F.col("u").alias("node"), F.col("label").alias("component_id")
+    )
+
+
+def keep_one_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """End of the dedup story (candidates → verify → components →
+    survivors): given a relation and its near-dup pair graph, label
+    every row with its duplicate cluster and keep exactly one survivor
+    per cluster. Rows with no edge are their own singleton cluster; the
+    survivor is the deterministic minimum id, so survivorship is
+    reproducible under any partitioning. Adds (cluster_id, cluster_size,
+    keep) to df's columns. ``id_col`` must be unique (it names the
+    cluster); the label relation is edge-node-sized — tiny next to the
+    corpus — so the assignment join broadcasts at scale."""
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs, *pair_cols)
+    lab = labels.select(
+        F.col("node").alias(id_col), F.col("component_id").alias("__sbp_comp")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        df.join(lab, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col(id_col)))
+        .drop("__sbp_comp")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )

@@ -411,14 +411,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncation. The DuckDB oracle is the exact closed form: a
     recursive CTE over the same edge set. Driver-side work is ONE scalar
     (the convergence count) per round — the label table itself never
-    leaves the executors."""
+    leaves the executors. Thin wrapper over api.connected_components
+    (round 7); see dedup_survivors for the full keep-one story."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    labels, _rounds = _connected_components(edges)
+    labels = api.connected_components(pairs, "doc_a", "doc_b")
     w = Window.partitionBy("cluster_id")
     return labels.select(
-        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+        F.col("node").alias("doc_id"), F.col("component_id").alias("cluster_id")
     ).withColumn("cluster_size", F.count("*").over(w))
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jp
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM jp
+    ),
+    reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS keep
+    FROM alldocs
+    """,
+    cache_plan=False,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dup story over the full corpus: verified
+    Jaccard pairs (the dedup_near_verified production path) → connected
+    components → singleton completion over every document → one
+    deterministic min-id survivor per cluster. This is the relation a
+    curation pipeline actually filters on (`WHERE keep`); emitting it —
+    rather than the pair list — is what makes A~B~C collapse to one
+    survivor instead of two. Thin wrapper over api.keep_one_per_cluster
+    (round 7); the label relation is edge-node-sized, so the assignment
+    join broadcasts at 100 TB while the corpus never self-joins."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    pairs = dedup_near_verified(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return api.keep_one_per_cluster(docs, pairs, id_col="doc_id")
 
 
 _MH_ROWS = 8  # minhash rows; 4 bands x 2 rows

@@ -19,7 +19,6 @@ healthy between queries:
 
 from __future__ import annotations
 
-import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,16 +29,6 @@ from dicebox_sensorybatchprocessor_spark.registry import register
 from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
 
 _TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual lake target file size
-
-
-def _dir_stats(root: str) -> tuple[int, int]:
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    return len(files), sum(os.path.getsize(f) for f in files)
 
 
 @register(
@@ -62,7 +51,9 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     listings (what a real compaction job's planner does); all data
     movement is one scan + one round-robin repartition write, no shuffle
     keyed on data values, so the rewrite streams at disk bandwidth on any
-    cluster size."""
+    cluster size. Thin wrapper over api.compact_parquet (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     # Fragmented input staged once per (process, sf_dir); the compaction
     # rewrite below runs per invocation — that IS the operator under test.
     tmp, fresh = scratch_dir_cached("sbp_compact_", cache_key=sf_dir)
@@ -70,10 +61,7 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     if fresh:
         ev.repartition(64).write.mode("overwrite").parquet(frag)
-    n_before, total_bytes = _dir_stats(frag)
-    n_out = max(1, math.ceil(total_bytes / _TARGET_FILE_BYTES))
-    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(compact)
-    n_after, _ = _dir_stats(compact)
+    stats = api.compact_parquet(spark, frag, compact, _TARGET_FILE_BYTES)
     factor = F.lit(1000000.0)
     return (
         spark.read.parquet(compact)
@@ -85,7 +73,10 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / factor
             ).alias("sum_value"),
         )
-        .withColumn("compacted_to_fewer_files", F.lit(bool(n_after < n_before)))
+        .withColumn(
+            "compacted_to_fewer_files",
+            F.lit(bool(stats["n_files_after"] < stats["n_files_before"])),
+        )
     )
 
 
@@ -140,7 +131,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned join — at scale both snapshots are bucketed on the key
     and the join is exchange-free, which is why CDC pipelines bucket
     their silver tables. Value compare uses a canonical string encoding
-    identical on both engines."""
+    identical on both engines. Thin wrapper over api.snapshot_diff
+    (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     o = load(spark, sf_dir, "orders")
     old_snap = o.filter(
         F.expr(_OLD_SNAP.format(ts="TIMESTAMP_NTZ"))
@@ -150,33 +144,13 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.expr(_NEW_PRICE).alias("o_totalprice"),
     )
-
-    def row_hash(side: str):
-        return F.md5(
-            F.concat_ws(
-                "|",
-                F.col(f"{side}.o_orderstatus").cast("string"),
-                F.col(f"{side}.o_totalprice").cast("string"),
-            )
-        )
-
-    j = old_snap.alias("o").join(
-        new_snap.alias("n"),
-        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
-        "full_outer",
-    )
-    change = (
-        F.when(F.col("o.o_orderkey").isNull(), "insert")
-        .when(F.col("n.o_orderkey").isNull(), "delete")
-        .when(row_hash("o") != row_hash("n"), "update")
-        .otherwise("unchanged")
-    )
     return (
-        j.select(
-            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
-            change.alias("change_type"),
+        api.snapshot_diff(
+            old_snap,
+            new_snap,
+            key_cols=("o_orderkey",),
+            tracked_cols=("o_orderstatus", "o_totalprice"),
         )
-        .filter(F.col("change_type") != "unchanged")
         .groupBy("change_type")
         .agg(
             F.count("*").alias("n_rows"),

@@ -46,20 +46,16 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueness (distinct vs row count), categorical cardinality, numeric
     range + sign violations, event-time span. One scan, one aggregate —
     the profile a 100 TB lake computes per batch promotion, not one job
-    per column."""
-    ev = load(spark, sf_dir, "events")
-    return ev.agg(
-        F.lit("events").alias("table_name"),
-        F.count("*").alias("n_rows"),
-        F.count("event_id").alias("event_id_nonnull"),
-        F.count_distinct("event_id").alias("event_id_distinct"),
-        F.count_distinct("user_id").alias("user_id_distinct"),
-        F.count_distinct("event_type").alias("event_type_distinct"),
-        F.min("value").alias("value_min"),
-        F.max("value").alias("value_max"),
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("bigint").alias("value_negative"),
-        F.min("ts").alias("ts_min"),
-        F.max("ts").alias("ts_max"),
+    per column. Thin wrapper over api.profile (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.profile(
+        load(spark, sf_dir, "events"),
+        table_name="events",
+        key_cols=("event_id",),
+        categorical_cols=("user_id", "event_type"),
+        numeric_cols=("value",),
+        ts_cols=("ts",),
     )
 
 
@@ -100,41 +96,38 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe. The report unions five scalar aggregates — each an
     independent branch Spark schedules concurrently — and a CI gate
     promotes the batch iff every n_violations is 0 (the pass flag is
-    derivable, kept out of the output so the oracle stays pure SQL)."""
+    derivable, kept out of the output so the oracle stays pure SQL).
+    Thin wrapper over api.fk_violations + api.check_constraints
+    (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     lineitem = load(spark, sf_dir, "lineitem")
     events = load(spark, sf_dir, "events")
-
-    def check(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("constraint_name"),
-            F.count("*").cast("bigint").alias("n_violations"),
-        )
-
-    checks = [
-        check(
-            "orders_custkey_fk",
-            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
-        ),
-        check(
-            "lineitem_orderkey_fk",
-            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
-        ),
-        check(
-            "lineitem_discount_domain",
-            lineitem.filter((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)),
-        ),
-        check(
-            "orders_status_domain",
-            orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
-        ),
-        check(
-            "events_props_json",
-            events.filter(F.get_json_object("props", "$.k").isNull()),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+    return api.check_constraints(
+        [
+            (
+                "orders_custkey_fk",
+                api.fk_violations(orders, customer, "o_custkey", "c_custkey"),
+            ),
+            (
+                "lineitem_orderkey_fk",
+                api.fk_violations(lineitem, orders, "l_orderkey", "o_orderkey"),
+            ),
+            (
+                "lineitem_discount_domain",
+                lineitem.filter(
+                    (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.5)
+                ),
+            ),
+            (
+                "orders_status_domain",
+                orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+            ),
+            (
+                "events_props_json",
+                events.filter(F.get_json_object("props", "$.k").isNull()),
+            ),
+        ]
+    )

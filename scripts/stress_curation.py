@@ -159,11 +159,37 @@ def main() -> None:
             for op in OPS
         ),
     }
+    # Checkpoint-seam A/B (VERDICT r6 #6): price curation_pipeline's
+    # materialize boundary at x1 and x16 so the "at 100 TB you'd
+    # checkpoint the gated subset" docstring claim carries measured
+    # numbers. materialize=True pays an eager localCheckpoint of the
+    # gated subset per run (that IS the operator variant under test);
+    # materialize=False re-runs the gate join for both dedup consumers.
+    from dicebox_sensorybatchprocessor_spark import api
+
+    checkpoint_ab: dict[str, dict[str, float]] = {}
+    for amp in (1, 16):
+        staged = sf_dir if amp == 1 else _stage_amplified(spark, sf_dir, amp)
+        d = load(spark, staged, "documents")
+        entry: dict[str, float] = {}
+        for label, mat in (("checkpoint_off", False), ("checkpoint_on", True)):
+            api.curation_pipeline(d, materialize=mat).count()  # warm
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                api.curation_pipeline(d, materialize=mat).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            entry[label] = round(best, 4)
+        entry["on_off_ratio"] = round(entry["checkpoint_on"] / entry["checkpoint_off"], 3)
+        checkpoint_ab[f"x{amp}"] = entry
+
     out = {
         "sf_dir": sf_dir,
         "base_docs": base_docs,
         "ops": results,
         "checks": checks,
+        "capstone_checkpoint_ab": checkpoint_ab,
         "note": (
             "amplified copies keep original text: dedup_prefix group sizes "
             "grow xN (hot-group reducer exercised), unigram vocabulary stays "
@@ -174,7 +200,11 @@ def main() -> None:
     }
     with open(out_json, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"checks": checks, "x16_secs": {op: results[op]["x16"]["sec"] for op in OPS}}))
+    print(json.dumps({
+        "checks": checks,
+        "x16_secs": {op: results[op]["x16"]["sec"] for op in OPS},
+        "capstone_checkpoint_ab": checkpoint_ab,
+    }))
     assert all(checks.values()), checks
     spark.stop()
 
