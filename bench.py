@@ -544,6 +544,12 @@ def main() -> None:
         n_q = sum(1 for n in timings if n in _DUCKDB_HEADLINE_SF01)
         baseline_ratios = {
             "vs": "BASELINE.md 2026-08-14 best-of-5 (DuckDB, same machine)",
+            "note": (
+                "floor_adjusted = max(spark - headline_floor, 0)/duckdb; "
+                "0.0 means the query is indistinguishable from the "
+                "local-mode job floor (all plan-attributable time below "
+                "measurement resolution)"
+            ),
             "per_query": per_q,
             "aggregate_raw": round(total / base_total, 3),
             "aggregate_floor_adjusted": round(

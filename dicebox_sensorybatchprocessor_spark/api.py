@@ -1074,3 +1074,34 @@ def keep_one_per_cluster(
         .withColumn("cluster_size", F.count("*").over(w))
         .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """One-call near-dup deduplication over any raw-text relation — the
+    whole story the family's pieces audit separately: char k-shingles →
+    banded-MinHash candidates (portable hash family, linear cost) →
+    exact Jaccard verification gated to colliding pairs → connected
+    components → singleton completion → deterministic min-id survivor.
+    Adds (cluster_id, cluster_size, keep) to df's columns; filter
+    ``keep`` for the deduped corpus. Cost profile at 100 TB: one shingle
+    aggregation, one band equi-join touching only collisions, a
+    candidate-gated verify, O(log n) component rounds on the (tiny) pair
+    graph, and an edge-node-sized assignment join — the corpus never
+    self-joins. Registered twin: dedup_survivors (oracle = recursive-CTE
+    closed form over the exact all-pairs graph, so a candidate-recall
+    loss would surface as an oracle mismatch)."""
+    sh = char_shingles(df, text_col=text_col, id_col=id_col, k=k)
+    pairs = near_dedup_verified(
+        sh, id_col=id_col, threshold=threshold, rows=rows, bands=bands
+    )
+    return keep_one_per_cluster(
+        df, pairs.select("doc_a", "doc_b"), id_col=id_col
+    )

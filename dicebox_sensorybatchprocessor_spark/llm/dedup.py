@@ -456,14 +456,19 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic min-id survivor per cluster. This is the relation a
     curation pipeline actually filters on (`WHERE keep`); emitting it —
     rather than the pair list — is what makes A~B~C collapse to one
-    survivor instead of two. Thin wrapper over api.keep_one_per_cluster
-    (round 7); the label relation is edge-node-sized, so the assignment
-    join broadcasts at 100 TB while the corpus never self-joins."""
+    survivor instead of two. Thin wrapper over api.dedup_pipeline
+    (round 7) — the one-call raw-text-to-survivors composition whose
+    stages (char_shingles, minhash_banded_candidates,
+    near_dedup_verified, keep_one_per_cluster) this family audits
+    separately; the label relation is edge-node-sized, so the
+    assignment join broadcasts at 100 TB while the corpus never
+    self-joins."""
     from dicebox_sensorybatchprocessor_spark import api
 
-    pairs = dedup_near_verified(spark, sf_dir).select("doc_a", "doc_b")
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    return api.keep_one_per_cluster(docs, pairs, id_col="doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return api.dedup_pipeline(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "cluster_id", "cluster_size", "keep"
+    )
 
 
 _MH_ROWS = 8  # minhash rows; 4 bands x 2 rows

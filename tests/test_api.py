@@ -488,3 +488,23 @@ def test_decontaminate_duplicate_heavy_sf01(spark):
             tripled, bench, id_col="doc_id", ngram_col="g", via=via
         ).collect()))
         assert got == expected, f"via={via} diverges on tripled sf0.1 input"
+
+
+def test_dedup_pipeline_one_call_matches_twin(spark):
+    """api.dedup_pipeline (raw text -> survivors in one call) on a USER
+    relation with renamed columns must reproduce the registered
+    (oracle-checked) dedup_survivors twin exactly, keep the input's own
+    columns, and actually drop near-duplicates."""
+    out = api.dedup_pipeline(_renamed_docs(spark), text_col="body", id_col="item_id")
+    assert out.columns == ["item_id", "body", "cluster_id", "cluster_size", "keep"]
+    got = sorted(
+        (r.item_id, r.cluster_id, r.cluster_size, r.keep) for r in out.collect()
+    )
+    twin = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+        for r in __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+            "dedup_survivors"].fn(spark, SF_ORACLE).collect()
+    )
+    assert got == twin
+    n_dropped = sum(1 for _, _, _, keep in got if not keep)
+    assert n_dropped > 0  # the fixture's dup families collapse

@@ -428,3 +428,50 @@ def test_curation_capstone_materialized_route(spark):
     tree = _final_tree(plan)
     assert tree.count("Scan parquet") == 0, tree
     assert "ExistingRDD" in tree, tree
+
+
+def test_dq_profile_one_scan_no_joins(spark):
+    """dq_profile's one-pass claim is a plan property: every metric
+    (completeness, distinct cardinalities, ranges) aggregates over a
+    SINGLE parquet scan — one job per batch promotion, not one per
+    column — and nothing joins."""
+    plan = _plan(spark, "dq_profile")
+    tree = _final_tree(plan)
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_dq_constraints_fk_antijoins_broadcast(spark):
+    """The FK checks must anti-join against a BROADCAST distinct key
+    list (the PK side reduces to keys before shipping), never
+    sort-merge: at 100 TB the child table streams map-side past the
+    broadcast key set."""
+    plan = _plan(spark, "dq_constraints")
+    tree = _final_tree(plan)
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_snapshot_diff_single_join(spark):
+    """cdc_snapshot_diff is ONE full-outer join on the key — no
+    re-scans per change class, no nested loops. (SMJ is the correct
+    physical choice: both snapshots are table-sized; at scale bucketing
+    both sides on the key removes the exchanges.)"""
+    plan = _plan(spark, "cdc_snapshot_diff")
+    tree = _final_tree(plan)
+    assert tree.count("Join") == 1, tree
+    assert "FullOuter" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_dedup_survivors_assignment_is_not_quadratic(spark):
+    """dedup_survivors' corpus-side work must stay linear: the label
+    relation (edge-node-sized) joins onto documents with a hash join —
+    never a cartesian/nested-loop — and the corpus itself never
+    self-joins in the assignment stage (the pair generation upstream is
+    the separately-audited banded path)."""
+    plan = _plan(spark, "dedup_survivors")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "EvalPython" not in tree, tree
