@@ -115,9 +115,11 @@ _ROUND7_PRIORITY = (
     "dedup_incremental",
     "corpus_sample_temperature",
     "emb_quantize_int8",
-    # -- [29-30] sampling family (operators/sampling.py + api touched r6) --
+    # -- [29-31] sampling family (operators/sampling.py + api touched
+    # r6; sample_cap_per_group is NEW in r7) --
     "sample_stratified",
     "pack_sequences",
+    "sample_cap_per_group",
     # -- [31-47] round-7-touched: df-level API extension + ADVICE fixes --
     "dq_profile",
     "dq_constraints",
@@ -136,8 +138,9 @@ _ROUND7_PRIORITY = (
     "dedup_embedding",
     "events_funnel",
     "split_train_val_test",
-    # -- [48-50] oldest-green rotation (last driver row: round 1) --
-    "filter_cmp",
+    # -- [49-50] oldest-green rotation (last driver row: round 1;
+    # filter_cmp fell to the r8 slice when sample_cap_per_group took
+    # its slot) --
     "join_inner",
     "topk_orders",
     # ---- 51+: stable tail (round-5 ordering; duplicates skipped) ----

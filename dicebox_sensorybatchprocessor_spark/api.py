@@ -1105,3 +1105,112 @@ def dedup_pipeline(
     return keep_one_per_cluster(
         df, pairs.select("doc_a", "doc_b"), id_col=id_col
     )
+
+
+# --- similarity-search faces (round 7: df-level knn / ANN candidates
+# over the llm/similarity.py cores) ----------------------------------------
+
+
+def knn_query(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact k-NN by cosine for ONE query vector over any
+    (id, array<float>) relation: the query folds into the plan as a
+    literal array and the dot/norm reduce JVM-side (zip_with +
+    aggregate) — a pure linear scan with a per-partition top-k
+    (TakeOrderedAndProject), the shape that streams over 100 TB with no
+    shuffle beyond the k-row driver merge. Columns: id, *extra_cols,
+    cosine (descending; ties broken by id)."""
+    qvec = [float(x) for x in query_vec]
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    if qnorm == 0.0:
+        raise ValueError("query_vec must be non-zero")
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    embd = F.transform(vec_col, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(embd, qarr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = F.sqrt(F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        df.select(
+            id_col,
+            *extra_cols,
+            F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_candidates_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    radius: float = 8.0,
+    bucket_length: float = 2.0,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbor candidate pairs within a euclidean
+    radius via seeded BucketedRandomProjection LSH — the linear-cost
+    bucket-join path that replaces the O(n²) all-pairs join beyond
+    broadcast scale (pairs come only from colliding hash buckets).
+    Deterministic under the seed. Columns: id_a, id_b, euclid_dist
+    (id_a < id_b). The registered sim_ann_lsh twin wraps this in a
+    recall-vs-exact claim the DuckDB oracle asserts."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = df.select(
+        F.col(id_col).alias("__sbp_id"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, radius, distCol="euclid_dist")
+    return (
+        pairs.filter(F.col("datasetA.__sbp_id") < F.col("datasetB.__sbp_id"))
+        .select(
+            F.col("datasetA.__sbp_id").alias("id_a"),
+            F.col("datasetB.__sbp_id").alias("id_b"),
+            F.round("euclid_dist", 6).alias("euclid_dist"),
+        )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic exact-k per-group cap — the per-source document
+    budget of corpus curation (no source may contribute more than k
+    rows). Rows rank within their group by a content-keyed md5 order
+    and the first k survive. The rank is bit-reproducible under any
+    partitioning/rerun; under appends the relative order of existing
+    rows is unchanged — new rows can displace old survivors at the cut
+    line, but old rows never reshuffle among themselves (a rand()-ranked
+    cap re-deals the whole sample every run). Adds a
+    ``keep`` flag so callers can audit what the cap dropped. One window
+    (= one shuffle on group_col); at 100 TB a skew-heavy group is the
+    hazard — the rank is WindowGroupLimit-eligible when callers filter
+    ``keep`` through a top-k rewrite, and the md5 order costs one hash
+    per row."""
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order_key.asc(), F.col(id_col).asc())
+    return df.withColumn("keep", F.row_number().over(w) <= k)

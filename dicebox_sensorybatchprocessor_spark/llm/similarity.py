@@ -199,26 +199,19 @@ def _cosine_topk(e: DataFrame, k: int = _TOPK, part_margin: int = _PART_M) -> Da
 def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN for one query vector (the min-vec_id embedding): the query is a
     64-element literal array folded JVM-side (zip_with + aggregate) — a
-    pure linear scan with a top-k, the shape that streams over 100 TB."""
+    pure linear scan with a top-k, the shape that streams over 100 TB.
+    Thin wrapper over api.knn_query (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     e = load(spark, sf_dir, "embeddings")
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
-    qvec = [float(x) for x in qrow["embedding"]]
-    qnorm = sum(x * x for x in qvec) ** 0.5
-    qarr = F.array(*[F.lit(x) for x in qvec])
-    embd = F.transform("embedding", lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(embd, qarr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = F.sqrt(F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        e.filter(F.col("vec_id") != qrow["vec_id"])
-        .select(
-            "vec_id",
-            "label",
-            F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(5)
+    return api.knn_query(
+        e.filter(F.col("vec_id") != qrow["vec_id"]),
+        [float(x) for x in qrow["embedding"]],
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        extra_cols=("label",),
     )
 
 
@@ -228,25 +221,18 @@ _ANN_RADIUS = 8.0
 def _ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH candidate pairs within euclidean radius
     (seeded) — the linear path that replaces all-pairs beyond broadcast
-    scale. Shared by sim_ann_lsh (which wraps it in a recall claim)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    scale. Shared by sim_ann_lsh (which wraps it in a recall claim).
+    Thin wrapper over api.ann_candidates_lsh (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding")).alias("features")
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
-    )
-    model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(e, e, _ANN_RADIUS, distCol="euclid_dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("id_a"),
-            F.col("datasetB.vec_id").alias("id_b"),
-            F.round("euclid_dist", 6).alias("euclid_dist"),
-        )
+    return api.ann_candidates_lsh(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        radius=_ANN_RADIUS,
+        bucket_length=2.0,
+        num_tables=4,
+        seed=42,
     )
 
 

@@ -127,3 +127,30 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "sample_cap_per_group",
+    oracle="""
+    SELECT doc_id, source,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ) <= 30 AS keep
+    FROM documents
+    """,
+)
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document budget: no source contributes more than 30
+    docs; survivors are picked by a content-keyed md5 rank, so the cap
+    is bit-reproducible under any partitioning/rerun, and under corpus
+    APPENDS the relative order of existing rows never changes — new
+    rows can displace old survivors at the cut line, but old rows never
+    reshuffle among themselves (the failure mode of a rand()-ranked
+    cap, where every rerun re-deals the whole sample). One window = one
+    shuffle on the group key. Thin wrapper over api.cap_per_group
+    (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return api.cap_per_group(d, group_col="source", id_col="doc_id", k=30)

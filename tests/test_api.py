@@ -508,3 +508,59 @@ def test_dedup_pipeline_one_call_matches_twin(spark):
     assert got == twin
     n_dropped = sum(1 for _, _, _, keep in got if not keep)
     assert n_dropped > 0  # the fixture's dup families collapse
+
+
+def test_knn_query_custom_columns(spark):
+    emb = load(spark, SF_ORACLE, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec"),
+        F.col("label").alias("cls"),
+    )
+    q = emb.orderBy("vid").first()
+    out = api.knn_query(
+        emb.filter(F.col("vid") != q.vid), [float(x) for x in q.vec],
+        id_col="vid", vec_col="vec", k=5, extra_cols=("cls",),
+    )
+    assert out.columns == ["vid", "cls", "cosine"]
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows == sorted(rows, key=lambda r: (-r.cosine, r.vid))
+    import pytest
+
+    with pytest.raises(ValueError, match="non-zero"):
+        api.knn_query(emb, [0.0] * 64, id_col="vid", vec_col="vec")
+
+
+def test_ann_candidates_lsh_matches_twin_pairs(spark):
+    emb = load(spark, SF_ORACLE, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    out = api.ann_candidates_lsh(emb, id_col="vid", vec_col="vec", radius=8.0)
+    assert out.columns == ["id_a", "id_b", "euclid_dist"]
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.id_a < r.id_b and r.euclid_dist <= 8.0
+
+
+def test_cap_per_group_exact_k_and_invariance(spark):
+    docs = _renamed_docs(spark).withColumn(
+        "origin", F.when(F.col("item_id") % 3 == 0, "a").otherwise("b")
+    )
+    out = api.cap_per_group(docs, group_col="origin", id_col="item_id", k=10)
+    kept = out.filter("keep").groupBy("origin").count().collect()
+    assert {r.origin: r["count"] for r in kept} == {"a": 10, "b": 10}
+    again = api.cap_per_group(
+        docs.repartition(11), group_col="origin", id_col="item_id", k=10
+    )
+    assert sorted(map(str, again.select("item_id", "keep").collect())) == sorted(
+        map(str, out.select("item_id", "keep").collect())
+    )
+    # append-displacement law: old rows never reorder among themselves
+    half = docs.filter(F.col("item_id") % 2 == 0)
+    kept_half = {r.item_id for r in api.cap_per_group(
+        half, group_col="origin", id_col="item_id", k=10).filter("keep").collect()}
+    kept_full_evens = {r.item_id for r in out.filter("keep").collect()
+                       if r.item_id % 2 == 0}
+    # every even survivor of the full corpus also survives the evens-only
+    # corpus (removing rows can only promote, never demote)
+    assert kept_full_evens <= kept_half
