@@ -64,19 +64,20 @@ DRIVER_WINDOW = 50
 #           analytics queries sat in the r6 window and so already carry
 #           post-refactor rows), corpus (3, llm/corpus.py), sampling
 #           (2, operators/sampling.py + api.py carving work, 31b7231).
-#   [31-47] queries whose backing code is touched IN round 7: the
+#   [31-49] queries whose backing code is touched IN round 7: the
 #           dq/maintenance families gaining df-level API twins (VERDICT
-#           r6 Next #4), the ENTIRE llm/dedup.py registry (the module
-#           hosts the new connected-components/keep-one API seam, so
-#           every query it defines goes stale together — the module
-#           granularity the staleness ledger uses), and the registered
-#           queries backed by the api.py functions fixed per ADVICE r6
-#           (funnel '_t' collision -> events_funnel; hash_split
-#           zero-weight -> split_train_val_test).
-#   [48-50] oldest-green rotation: 3 of the round-1-stale relational/
-#           join sentinels (see NOTES.md "driver-window rotation
-#           schedule" for the r8/r9 slices covering the rest of the
-#           r1-r3 backlog the dedup-family fronting displaced).
+#           r6 Next #4) plus the NEW dq_drift / sample_cap_per_group /
+#           dedup_survivors operators, the ENTIRE llm/dedup.py registry
+#           (the module hosts the new connected-components/keep-one API
+#           seam, so every query it defines goes stale together — the
+#           module granularity the staleness ledger uses), and the
+#           registered queries backed by the api.py functions fixed per
+#           ADVICE r6 (funnel '_t' collision -> events_funnel;
+#           hash_split zero-weight -> split_train_val_test).
+#   [50]    oldest-green rotation: one round-1-stale sentinel (see
+#           NOTES.md "driver-window rotation schedule" for the r8/r9
+#           slices covering the rest of the r1-r3 backlog the
+#           touched-family fronting displaced).
 # Pre-validated with scripts/simulate_window.py; tests/
 # test_window_rotation.py enforces "touched since last round => in
 # window" from git history, so this list can no longer silently rot.
@@ -123,6 +124,7 @@ _ROUND7_PRIORITY = (
     # -- [31-47] round-7-touched: df-level API extension + ADVICE fixes --
     "dq_profile",
     "dq_constraints",
+    "dq_drift",
     "maintenance_compact",
     "cdc_snapshot_diff",
     "dedup_survivors",
@@ -138,10 +140,9 @@ _ROUND7_PRIORITY = (
     "dedup_embedding",
     "events_funnel",
     "split_train_val_test",
-    # -- [49-50] oldest-green rotation (last driver row: round 1;
-    # filter_cmp fell to the r8 slice when sample_cap_per_group took
-    # its slot) --
-    "join_inner",
+    # -- [50] oldest-green rotation (last driver row: round 1;
+    # filter_cmp and join_inner fell to the r8 slice when
+    # sample_cap_per_group and dq_drift took their slots) --
     "topk_orders",
     # ---- 51+: stable tail (round-5 ordering; duplicates skipped) ----
     # -- [1-5] curation ops newly wired into the registry --

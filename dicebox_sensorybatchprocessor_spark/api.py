@@ -1214,3 +1214,108 @@ def cap_per_group(
     order_key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(order_key.asc(), F.col(id_col).asc())
     return df.withColumn("keep", F.row_number().over(w) <= k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    order_by: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k over any relation — best-k docs per domain by
+    quality score, latest-k events per user, the workhorse selection of
+    corpus curation. ``order_by`` is a list of Columns (or names) that
+    must form a total order within each group for a deterministic
+    result (add the id as the last key). Implemented as row_number +
+    filter, which Spark 3.5+ rewrites to WindowGroupLimit: each map
+    task keeps a k-heap per group BEFORE the shuffle, so the exchange
+    carries O(k x groups) rows, not the whole table — this rewrite is
+    also why rank-window top-k is skew-immune and must NOT be salted
+    (bench.py's win_topk_skew datapoint). Adds ``rank_col`` (1-based
+    BIGINT)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*group_cols).orderBy(*cols)
+    return df.withColumn(
+        rank_col, F.row_number().over(w).cast("bigint")
+    ).filter(F.col(rank_col) <= k)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization over any (id, array<float>)
+    relation: scale = max|v|/127, q_i = clamp(floor(v_i/scale + 0.5),
+    ±127) — the 4x embedding-storage compression of a vector lake.
+    Entirely JVM higher-order functions (zero Python, zero shuffle: a
+    pure map the scan streams through). floor(x + 0.5) instead of
+    round() because engines' round() tie-breaks differ; floor is
+    IEEE-identical, which is what lets the registered twin hash-check
+    the math. Zero vectors (scale 0) are dropped — they have no
+    quantization. Columns: id, scale, q (array<int>), max_abs_err; the
+    reconstruction bound max_abs_err <= scale/2 is the quantizer's
+    guarantee (asserted by the emb_quantize_int8 oracle)."""
+    vd = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    scale = F.expr(
+        f"aggregate(transform({vec_col}, x -> abs(cast(x as double))), "
+        "cast(0.0 as double), (a, x) -> greatest(a, x)) / 127.0"
+    )
+    with_scale = df.select(
+        F.col(id_col), vd.alias("__sbp_v"), scale.alias("scale")
+    ).filter(F.col("scale") > 0)
+    clamp = (
+        "greatest(cast(-127.0 as double), least(cast(127.0 as double), "
+        "floor(x / scale + 0.5)))"
+    )
+    q = F.expr(f"transform(__sbp_v, x -> cast({clamp} as int))")
+    err = F.expr(
+        f"aggregate(transform(__sbp_v, x -> abs(x - scale * {clamp})), "
+        "cast(0.0 as double), (a, x) -> greatest(a, x))"
+    )
+    return with_scale.select(
+        F.col(id_col), F.col("scale"), q.alias("q"), err.alias("max_abs_err")
+    )
+
+
+def profile_drift(
+    profile_a: DataFrame,
+    profile_b: DataFrame,
+    metrics: tuple[str, ...],
+    tolerance: float = 0.2,
+) -> DataFrame:
+    """Batch-over-batch drift gate: compare two single-row ``profile``
+    outputs metric-by-metric and flag relative changes beyond
+    ``tolerance`` — the promotion check that catches a upstream schema/
+    volume break BEFORE a bad batch lands in the lake (row count
+    halved, a categorical cardinality exploding, a numeric range
+    shifting). The named metrics unpivot via stack (pure projection),
+    join on the metric name (five-ish rows — trivially broadcast), and
+    the verdict is arithmetic: rel_change = (b - a)/|a| (NULL when a =
+    0), within_tolerance = |b - a| <= tolerance*|a|. Cost is the two
+    profile scans the caller already paid; this comparison itself
+    touches no data. Columns: metric, value_a, value_b, rel_change,
+    within_tolerance."""
+    if not metrics:
+        raise ValueError("metrics must name at least one profile column")
+
+    def melt(p: DataFrame, side: str) -> DataFrame:
+        stack_args = ", ".join(f"'{m}', cast({m} as double)" for m in metrics)
+        return p.selectExpr(
+            f"stack({len(metrics)}, {stack_args}) as (metric, {side})"
+        )
+
+    j = melt(profile_a, "value_a").join(melt(profile_b, "value_b"), "metric")
+    diff = F.col("value_b") - F.col("value_a")
+    return j.select(
+        "metric",
+        "value_a",
+        "value_b",
+        stable_round(
+            diff / F.expr("nullif(abs(value_a), 0.0)"), 6
+        ).alias("rel_change"),
+        (F.abs(diff) <= F.lit(tolerance) * F.abs(F.col("value_a"))).alias(
+            "within_tolerance"
+        ),
+    )

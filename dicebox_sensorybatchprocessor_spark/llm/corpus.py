@@ -219,21 +219,15 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the value hash, so the driver's oracle gate asserts the
     quantizer's accuracy guarantee, not just its output shape.
     floor(x + 0.5) is used instead of round() because the two engines'
-    round() tie-break conventions differ; floor is IEEE-identical."""
-    e = load(spark, sf_dir, "embeddings")
-    vd = F.expr("transform(embedding, x -> cast(x as double))")
-    scale = F.expr(
-        "aggregate(transform(embedding, x -> abs(cast(x as double))), "
-        "cast(0.0 as double), (a, x) -> greatest(a, x)) / 127.0"
+    round() tie-break conventions differ; floor is IEEE-identical. Thin
+    wrapper over api.quantize_int8 (round 7), which also returns the
+    quantized vectors themselves; this claim view keeps the
+    hash-checkable scalar columns."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    out = api.quantize_int8(
+        load(spark, sf_dir, "embeddings"), id_col="vec_id", vec_col="embedding"
     )
-    with_scale = e.select("vec_id", vd.alias("v"), scale.alias("scale")).filter(
-        F.col("scale") > 0
-    )
-    err = F.expr(
-        "aggregate(transform(v, x -> abs(x - scale * "
-        "greatest(cast(-127.0 as double), least(cast(127.0 as double), floor(x / scale + 0.5))))), "
-        "cast(0.0 as double), (a, x) -> greatest(a, x))"
-    )
-    return with_scale.select("vec_id", "scale", err.alias("max_abs_err")).withColumn(
+    return out.select("vec_id", "scale", "max_abs_err").withColumn(
         "within_half_step", F.col("max_abs_err") <= F.col("scale") * 0.5000001
     )

@@ -131,3 +131,70 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@register(
+    "dq_drift",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS user_id_distinct,
+             CAST(count(DISTINCT event_type) AS DOUBLE) AS event_type_distinct,
+             CAST(min(value) AS DOUBLE) AS value_min,
+             CAST(max(value) AS DOUBLE) AS value_max,
+             CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS value_negative
+      FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS user_id_distinct,
+             CAST(count(DISTINCT event_type) AS DOUBLE) AS event_type_distinct,
+             CAST(min(value) AS DOUBLE) AS value_min,
+             CAST(max(value) AS DOUBLE) AS value_max,
+             CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS value_negative
+      FROM events WHERE event_id % 2 = 1
+    ),
+    m AS (
+      SELECT 'n_rows' AS metric, a.n_rows AS value_a, b.n_rows AS value_b FROM a, b
+      UNION ALL SELECT 'user_id_distinct', a.user_id_distinct, b.user_id_distinct FROM a, b
+      UNION ALL SELECT 'event_type_distinct', a.event_type_distinct, b.event_type_distinct FROM a, b
+      UNION ALL SELECT 'value_min', a.value_min, b.value_min FROM a, b
+      UNION ALL SELECT 'value_max', a.value_max, b.value_max FROM a, b
+      UNION ALL SELECT 'value_negative', a.value_negative, b.value_negative FROM a, b
+    )
+    SELECT metric, value_a, value_b,
+           round((value_b - value_a) / nullif(abs(value_a), 0.0), 6) AS rel_change,
+           abs(value_b - value_a) <= 0.2 * abs(value_a) AS within_tolerance
+    FROM m
+    """,
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch profile drift: two deterministic ingest batches
+    (even/odd event_id — the fixture stand-in for consecutive
+    promotions) are profiled with the SAME single-pass api.profile and
+    compared metric-by-metric; a metric whose relative change exceeds
+    20% fails the within_tolerance gate. This is the check that catches
+    a halved row count or an exploding categorical cardinality BEFORE
+    promotion. Thin wrapper over api.profile + api.profile_drift
+    (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    ev = load(spark, sf_dir, "events")
+    prof = lambda batch: api.profile(  # noqa: E731 — two batches, one recipe
+        batch,
+        categorical_cols=("user_id", "event_type"),
+        numeric_cols=("value",),
+    )
+    return api.profile_drift(
+        prof(ev.filter(F.col("event_id") % 2 == 0)),
+        prof(ev.filter(F.col("event_id") % 2 == 1)),
+        metrics=(
+            "n_rows",
+            "user_id_distinct",
+            "event_type_distinct",
+            "value_min",
+            "value_max",
+            "value_negative",
+        ),
+        tolerance=0.2,
+    )

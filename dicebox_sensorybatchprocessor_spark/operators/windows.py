@@ -189,17 +189,18 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (row_number + filter) — the BASELINE.md
     win_topk_group headline. Spark 3.5+ rewrites this to a WindowGroupLimit
-    (per-partition top-k heap) before the full window sort."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).cast("bigint").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
+    (per-partition top-k heap) before the full window sort. Thin wrapper
+    over api.top_k_per_group (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return api.top_k_per_group(
+        o,
+        group_cols=("o_custkey",),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
     )
 
 

@@ -564,3 +564,58 @@ def test_cap_per_group_exact_k_and_invariance(spark):
     # every even survivor of the full corpus also survives the evens-only
     # corpus (removing rows can only promote, never demote)
     assert kept_full_evens <= kept_half
+
+
+def test_top_k_per_group_matches_twin_and_group_limits(spark):
+    o = load(spark, SF_ORACLE, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    out = api.top_k_per_group(
+        o, group_cols=("cust",), order_by=[F.col("price").desc(), F.col("okey")],
+        k=3, rank_col="r",
+    )
+    assert out.columns == ["cust", "okey", "price", "r"]
+    per_group = out.groupBy("cust").count().agg(F.max("count")).first()[0]
+    assert per_group <= 3
+    twin = sorted(
+        (r.o_custkey, r.o_orderkey, r.rn)
+        for r in __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+            "win_topk_group"].fn(spark, SF_ORACLE).collect()
+    )
+    got = sorted((r.cust, r.okey, r.r) for r in out.collect())
+    assert got == twin
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    emb = load(spark, SF_ORACLE, "embeddings").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")
+    )
+    out = api.quantize_int8(emb, id_col="vid", vec_col="vec")
+    assert out.columns == ["vid", "scale", "q", "max_abs_err"]
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert all(-127 <= x <= 127 for x in r.q)
+        assert r.max_abs_err <= r.scale * 0.5000001
+
+
+def test_profile_drift_gate(spark):
+    """A fabricated 2x volume shift must fail the tolerance gate while
+    identical batches pass it; metric set and arithmetic are
+    column-name agnostic."""
+    docs = _renamed_docs(spark)
+    p_full = api.profile(docs, key_cols=("item_id",))
+    p_half = api.profile(docs.filter(F.col("item_id") % 2 == 0), key_cols=("item_id",))
+    drift = {r.metric: r for r in api.profile_drift(
+        p_full, p_half, metrics=("n_rows", "item_id_distinct"), tolerance=0.2
+    ).collect()}
+    assert not drift["n_rows"].within_tolerance  # 500 -> ~250 is a breach
+    assert drift["n_rows"].rel_change < -0.4
+    same = api.profile_drift(p_full, p_full, metrics=("n_rows",)).first()
+    assert same.within_tolerance and same.rel_change == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        api.profile_drift(p_full, p_half, metrics=())
