@@ -1319,3 +1319,60 @@ def profile_drift(
             "within_tolerance"
         ),
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer build — the index half of the non-LSH ANN
+    scale path: a seeded KMeans assigns every vector to a cell, returned
+    as df + ``cell`` plus the (tiny, driver-side) center list. Built
+    ONCE at ingest; at 100 TB ``cell`` is written as a partition column
+    so a probe's cell filter becomes partition pruning and a query
+    touches ~nprobe/n_cells of the data. Deterministic under the
+    seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__sbp_feat", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__sbp_feat", predictionCol="cell"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__sbp_feat")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 8,
+    k: int = 5,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """IVF probe: rank the quantizer cells by distance to the query
+    (driver-side arithmetic over the tiny center list), scan only the
+    ``nprobe`` nearest, brute-force exact cosine within them
+    (api.knn_query). The recall/probe trade-off is the caller's dial:
+    nprobe = n_cells degrades gracefully to the exact linear scan.
+    Columns: id, *extra_cols, cosine."""
+    qvec = [float(x) for x in query_vec]
+    order = sorted(
+        range(len(centers)),
+        key=lambda i: sum((c - q) ** 2 for c, q in zip(centers[i], qvec)),
+    )
+    probe_cells = order[: min(nprobe, len(centers))]
+    return knn_query(
+        assigned.filter(F.col("cell").isin(probe_cells)),
+        qvec,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        extra_cols=extra_cols,
+    )

@@ -329,53 +329,32 @@ def ivf_measured_overlap(spark: SparkSession, sf_dir: str) -> tuple[int, int, Da
     """(measured IVF∩exact overlap, topk, exact top-k DataFrame) for the
     sim_ann_ivf configuration — exposed so the test suite can pin the
     measured recall exactly while the driver-facing claim keeps its
-    drift margin."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    drift margin. Thin wrapper over api.ivf_index / api.ivf_probe /
+    api.knn_query (round 7)."""
+    from dicebox_sensorybatchprocessor_spark import api
 
-    k, nprobe, topk = 16, 8, 5
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", array_to_vector(F.col("embedding")).alias("features")
-    )
-    model = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell").fit(e)
-    assigned = model.transform(e)
+    n_cells, nprobe, topk = 16, 8, 5
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    assigned, centers = api.ivf_index(e, vec_col="embedding", n_cells=n_cells, seed=42)
 
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
-    qnorm = sum(x * x for x in qvec) ** 0.5
-    centers = model.clusterCenters()
-
-    def _dist2(c) -> float:
-        return sum((float(a) - b) ** 2 for a, b in zip(c, qvec))
-
-    probe_cells = sorted(range(k), key=lambda i: _dist2(centers[i]))[:nprobe]
-
-    qarr = F.array(*[F.lit(x) for x in qvec])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding"), qarr, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    ivf_top = api.ivf_probe(
+        assigned.filter(F.col("vec_id") != qrow["vec_id"]),
+        centers,
+        qvec,
+        id_col="vec_id",
+        vec_col="embedding",
+        nprobe=nprobe,
+        k=topk,
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    scored = F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine")
-    ivf_top = (
-        assigned.filter(F.col("cell").isin(probe_cells))
-        .filter(F.col("vec_id") != qrow["vec_id"])
-        .select("vec_id", scored)
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(topk)
-    )
-    exact_top = (
-        e.filter(F.col("vec_id") != qrow["vec_id"])
-        .select("vec_id", "label", scored)
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(topk)
+    exact_top = api.knn_query(
+        e.filter(F.col("vec_id") != qrow["vec_id"]),
+        qvec,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=topk,
+        extra_cols=("label",),
     )
     n_overlap = exact_top.join(ivf_top, "vec_id", "left_semi").count()
     return n_overlap, topk, exact_top
