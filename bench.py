@@ -100,6 +100,9 @@ LLM_BLOCK = [
     "decontaminate_bloom",
     "text_quality_composite",
     "pipeline_curation_capstone",
+    # round 7: the full dedup story (pairs -> components -> survivors);
+    # DuckDB baseline = its recursive-CTE oracle (BASELINE.md 08-14 row)
+    "dedup_survivors",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H
@@ -115,6 +118,7 @@ SQL_BLOCK = [
     "sql_q21_sole_blame",
     "join_interval_chunked",
     "cdc_snapshot_diff",
+    "dq_drift",  # round 7: batch-over-batch profile drift gate
 ]
 
 

@@ -34,8 +34,12 @@ def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _spark_labels(spark, edges: list[tuple[int, int]]):
+    # driver_budget_edges=0 forces the distributed star loop — these
+    # property tests exist to exercise the SCALE path, not the
+    # small-graph driver union-find route (which is itself tested for
+    # route equivalence below).
     df = spark.createDataFrame(edges, "u long, v long")
-    labels, rounds = _connected_components(df)
+    labels, rounds = _connected_components(df, driver_budget_edges=0)
     return {r["u"]: r["label"] for r in labels.collect()}, rounds
 
 
@@ -72,3 +76,48 @@ def test_shapes_ring_star_disjoint(spark):
     expect.update({100 + i: 100 for i in range(8)})
     expect.update({1000: 1000, 2000: 1000})
     assert got == expect
+
+
+def test_keep_one_per_cluster_matches_union_find(spark):
+    """api.keep_one_per_cluster over a random pair graph and a SUPERSET
+    node relation must agree with the exact union-find oracle:
+    cluster_id = component min (self for singletons), exactly one
+    keeper per cluster (the min id), sizes consistent."""
+    import collections
+
+    from dicebox_sensorybatchprocessor_spark import api
+
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    edges = [e for e in edges if e[0] != e[1]]
+    want = _union_find_labels(edges)
+    df = spark.createDataFrame([(i,) for i in range(n)], "item long")
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    out = api.keep_one_per_cluster(df, pairs, id_col="item", pair_cols=("a", "b"))
+    rows = {r.item: r for r in out.collect()}
+    assert len(rows) == n  # singleton completion covers every node
+    for i in range(n):
+        expect = want.get(i, i)
+        assert rows[i].cluster_id == expect
+        assert rows[i].keep == (i == expect)
+    sizes = collections.Counter(r.cluster_id for r in rows.values())
+    for i in range(n):
+        assert rows[i].cluster_size == sizes[rows[i].cluster_id]
+
+
+def test_driver_and_distributed_routes_agree(spark):
+    """The size-gated driver union-find route (default budget) and the
+    distributed star loop (budget forced to 0) must produce identical
+    label relations — the invariant that makes the routing a pure
+    performance decision."""
+    rng = random.Random(99)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    driver_labels, driver_rounds = _connected_components(df)
+    dist_labels, _ = _connected_components(df, driver_budget_edges=0)
+    assert driver_rounds == 0  # small graph takes the driver route
+    assert sorted(map(tuple, driver_labels.collect())) == sorted(
+        map(tuple, dist_labels.collect())
+    )
