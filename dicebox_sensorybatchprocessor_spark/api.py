@@ -1,5 +1,5 @@
-"""DataFrame-level public API for the curation, analytics, and
-streaming families.
+"""DataFrame-level public API for the curation, analytics, streaming,
+dq/maintenance, cluster-survivorship, and similarity families.
 
 The registry (`all_queries()`) exposes fixture-bound queries for the
 driver contract; THIS module is the library face — each function takes a
@@ -1086,24 +1086,56 @@ def dedup_pipeline(
     threshold: float = 0.6,
 ) -> DataFrame:
     """One-call near-dup deduplication over any raw-text relation — the
-    whole story the family's pieces audit separately: char k-shingles →
-    banded-MinHash candidates (portable hash family, linear cost) →
-    exact Jaccard verification gated to colliding pairs → connected
-    components → singleton completion → deterministic min-id survivor.
-    Adds (cluster_id, cluster_size, keep) to df's columns; filter
-    ``keep`` for the deduped corpus. Cost profile at 100 TB: one shingle
-    aggregation, one band equi-join touching only collisions, a
-    candidate-gated verify, O(log n) component rounds on the (tiny) pair
-    graph, and an edge-node-sized assignment join — the corpus never
-    self-joins. Registered twin: dedup_survivors (oracle = recursive-CTE
-    closed form over the exact all-pairs graph, so a candidate-recall
-    loss would surface as an oracle mismatch)."""
-    sh = char_shingles(df, text_col=text_col, id_col=id_col, k=k)
+    whole story the family's pieces audit separately: EXACT-duplicate
+    collapse (sha256 text key → min-id representative) → char k-shingles
+    over the representatives only → banded-MinHash candidates (portable
+    hash family, linear cost) → exact Jaccard verification gated to
+    colliding pairs → connected components → expansion back over every
+    row → deterministic min-id survivor. Adds (cluster_id, cluster_size,
+    keep) to df's columns; filter ``keep`` for the deduped corpus.
+
+    The exact-collapse pre-stage (round 7) is what makes the pipeline
+    survive boilerplate-heavy corpora: pairwise verification costs
+    |group|²/2 verified pairs per identical text, so a 100 TB corpus
+    where one template appears a million times would otherwise spend
+    ~5·10¹¹ pair verifications on literally identical rows. Collapsing
+    first makes near-dup cost scale with DISTINCT texts; semantics are
+    unchanged because identical texts have Jaccard 1 ≥ any threshold
+    (same component) and cross-group Jaccard depends only on the text —
+    measured on the ×16-amplified sf0.1 stress: 890 s → the
+    representative-sized cost, identical survivor set
+    (scripts/stress_curation.py). Remaining cost profile at 100 TB: one
+    text-hash aggregation + one key-sized rep join, one shingle
+    aggregation over distinct texts, one band equi-join touching only
+    collisions, a candidate-gated verify, O(log n) component rounds on
+    the (tiny) pair graph, and an edge-node-sized label join — the
+    corpus never self-joins. Registered twin: dedup_survivors (oracle =
+    recursive-CTE closed form over the exact all-pairs graph, so a
+    candidate-recall loss OR a collapse-semantics error would surface
+    as an oracle mismatch)."""
+    from pyspark.sql import Window
+
+    ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
+    gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
+    rep_df = df.join(
+        gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
+    )
+    sh = char_shingles(rep_df, text_col=text_col, id_col=id_col, k=k)
     pairs = near_dedup_verified(
         sh, id_col=id_col, threshold=threshold, rows=rows, bands=bands
     )
-    return keep_one_per_cluster(
-        df, pairs.select("doc_a", "doc_b"), id_col=id_col
+    labels = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    lab = labels.select(
+        F.col("node").alias("__sbp_rep"), F.col("component_id").alias("__sbp_comp")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        ck.join(gmin, "__sbp_ck")
+        .join(lab, "__sbp_rep", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col("__sbp_rep")))
+        .drop("__sbp_ck", "__sbp_rep", "__sbp_comp")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
     )
 
 

@@ -184,12 +184,41 @@ def main() -> None:
         entry["on_off_ratio"] = round(entry["checkpoint_on"] / entry["checkpoint_off"], 3)
         checkpoint_ab[f"x{amp}"] = entry
 
+    # Survivor-count invariance (round 7): amplified copies keep the
+    # original TEXT, so every x1 duplicate-cluster of size s becomes a
+    # size-s*N cluster at xN — and dedup_survivors must still keep
+    # EXACTLY one survivor per cluster, i.e. the kept-count is
+    # amplification-INVARIANT. This exercises the whole pipeline under
+    # blowup: hot band buckets (N identical signatures share every
+    # band), N^2/2 verified pairs per dup family, and the CC routing on
+    # a pair graph ~N^2 bigger than x1's.
+    from dicebox_sensorybatchprocessor_spark import api
+
+    survivors: dict[str, dict[str, float]] = {}
+    kept_counts: dict[int, int] = {}
+    for amp in (1, 16):
+        staged = sf_dir if amp == 1 else _stage_amplified(spark, sf_dir, amp)
+        d = load(spark, staged, "documents").select("doc_id", "text")
+        t0 = time.perf_counter()
+        out_df = api.dedup_pipeline(d, text_col="text", id_col="doc_id")
+        kept = out_df.filter("keep").count()
+        survivors[f"x{amp}"] = {
+            "kept": kept,
+            "total": out_df.count(),
+            "sec": round(time.perf_counter() - t0, 4),
+        }
+        kept_counts[amp] = kept
+    checks["survivor_count_amplification_invariant"] = (
+        kept_counts[16] == kept_counts[1]
+    )
+
     out = {
         "sf_dir": sf_dir,
         "base_docs": base_docs,
         "ops": results,
         "checks": checks,
         "capstone_checkpoint_ab": checkpoint_ab,
+        "dedup_survivors_blowup": survivors,
         "note": (
             "amplified copies keep original text: dedup_prefix group sizes "
             "grow xN (hot-group reducer exercised), unigram vocabulary stays "

@@ -645,3 +645,30 @@ def test_ivf_index_probe_recall(spark):
     )
     overlap = {r.vid for r in probed.collect()} & {r.vid for r in exact.collect()}
     assert len(overlap) >= 3  # the sim_ann_ivf margin; measured 5/5
+
+
+def test_dedup_pipeline_exact_collapse_equivalence(spark):
+    """The round-7 exact-collapse pre-stage must be a pure performance
+    change: on a duplicate-heavy corpus (every text tripled under fresh
+    ids) the collapsed pipeline must produce the identical
+    (id, cluster_id, cluster_size, keep) relation as the direct
+    all-rows formulation, and each x1 cluster's survivor count must be
+    unchanged by the duplication."""
+    base = _renamed_docs(spark)
+    tripled = base.withColumn(
+        "rep", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    ).select((F.col("item_id") * 3 + F.col("rep")).alias("item_id"), "body")
+    fast = api.dedup_pipeline(tripled, text_col="body", id_col="item_id")
+    # direct formulation: shingle every row, verify, survive
+    sh = api.char_shingles(tripled, text_col="body", id_col="item_id")
+    pairs = api.near_dedup_verified(sh, id_col="item_id")
+    direct = api.keep_one_per_cluster(
+        tripled, pairs.select("doc_a", "doc_b"), id_col="item_id"
+    )
+    key = lambda r: (r.item_id, r.cluster_id, r.cluster_size, r.keep)  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, direct.collect()))
+    # survivor count is amplification-invariant vs the unduplicated base
+    n_base = api.dedup_pipeline(base, text_col="body", id_col="item_id").filter(
+        "keep"
+    ).count()
+    assert fast.filter("keep").count() == n_base
