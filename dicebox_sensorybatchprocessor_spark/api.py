@@ -1045,6 +1045,19 @@ def connected_components(
     )
 
 
+def _reject_column_collisions(df: DataFrame, reserved: tuple[str, ...], op: str) -> None:
+    """The survivorship/cap faces ADD columns via withColumn, which
+    silently REPLACES an existing column of the same name — turning a
+    user relation that already carries e.g. a 'keep' flag into wrong
+    answers with no error. Fail loudly instead."""
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash}; rename them — "
+            f"these names are produced by the operator"
+        )
+
+
 def keep_one_per_cluster(
     df: DataFrame,
     pairs: DataFrame,
@@ -1062,6 +1075,9 @@ def keep_one_per_cluster(
     corpus — so the assignment join broadcasts at scale."""
     from pyspark.sql import Window
 
+    _reject_column_collisions(
+        df, ("cluster_id", "cluster_size", "keep", "__sbp_comp"), "keep_one_per_cluster"
+    )
     labels = connected_components(pairs, *pair_cols)
     lab = labels.select(
         F.col("node").alias(id_col), F.col("component_id").alias("__sbp_comp")
@@ -1115,6 +1131,11 @@ def dedup_pipeline(
     as an oracle mismatch)."""
     from pyspark.sql import Window
 
+    _reject_column_collisions(
+        df,
+        ("cluster_id", "cluster_size", "keep", "__sbp_ck", "__sbp_rep", "__sbp_comp"),
+        "dedup_pipeline",
+    )
     ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
     gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
     rep_df = df.join(
@@ -1243,6 +1264,7 @@ def cap_per_group(
     per row."""
     from pyspark.sql import Window
 
+    _reject_column_collisions(df, ("keep",), "cap_per_group")
     order_key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(order_key.asc(), F.col(id_col).asc())
     return df.withColumn("keep", F.row_number().over(w) <= k)
@@ -1268,6 +1290,7 @@ def top_k_per_group(
     BIGINT)."""
     from pyspark.sql import Window
 
+    _reject_column_collisions(df, (rank_col,), "top_k_per_group")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(*group_cols).orderBy(*cols)
     return df.withColumn(
@@ -1394,6 +1417,8 @@ def ivf_probe(
     (api.knn_query). The recall/probe trade-off is the caller's dial:
     nprobe = n_cells degrades gracefully to the exact linear scan.
     Columns: id, *extra_cols, cosine."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     qvec = [float(x) for x in query_vec]
     order = sorted(
         range(len(centers)),

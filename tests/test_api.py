@@ -672,3 +672,27 @@ def test_dedup_pipeline_exact_collapse_equivalence(spark):
         "keep"
     ).count()
     assert fast.filter("keep").count() == n_base
+
+
+def test_reserved_column_collisions_rejected(spark):
+    """The survivorship/cap/top-k faces ADD columns via withColumn, which
+    silently REPLACES same-named user columns — must be a loud error."""
+    import pytest
+
+    docs = _renamed_docs(spark)
+    with_keep = docs.withColumn("keep", F.lit(True))
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="keep_one_per_cluster"):
+        api.keep_one_per_cluster(with_keep, pairs, id_col="item_id")
+    with pytest.raises(ValueError, match="dedup_pipeline"):
+        api.dedup_pipeline(with_keep, text_col="body", id_col="item_id")
+    with pytest.raises(ValueError, match="cap_per_group"):
+        api.cap_per_group(with_keep, group_col="body", id_col="item_id")
+    with pytest.raises(ValueError, match="top_k_per_group"):
+        api.top_k_per_group(
+            docs.withColumn("rn", F.lit(1)), ("body",), ["item_id"], 3
+        )
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vid", "vec"])
+    with pytest.raises(ValueError, match="nprobe"):
+        api.ivf_probe(emb.withColumn("cell", F.lit(0)), [[0.0, 0.0]], [1.0, 0.0],
+                      id_col="vid", vec_col="vec", nprobe=0)

@@ -475,3 +475,23 @@ def test_dedup_survivors_assignment_is_not_quadratic(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "EvalPython" not in tree, tree
+
+
+def test_cap_per_group_single_exchange(spark):
+    """sample_cap_per_group is ONE shuffle (the group-key window);
+    the md5 rank must not introduce a second exchange or any join."""
+    plan = _plan(spark, "sample_cap_per_group")
+    tree = _final_tree(plan)
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_dq_drift_two_profile_scans_tiny_join(spark):
+    """dq_drift pays exactly the two batch-profile scans; the metric
+    unpivot join is metric-count-sized (broadcast, never sort-merge) and
+    nothing is cartesian."""
+    plan = _plan(spark, "dq_drift")
+    tree = _final_tree(plan)
+    assert tree.count("Scan parquet") == 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
