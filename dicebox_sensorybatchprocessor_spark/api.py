@@ -384,7 +384,14 @@ def near_dedup_verified(
     banded-MinHash candidates → exact Jaccard verification computed ONLY
     on colliding pairs (the all-pairs shingle join is gated by the
     candidate set, so cost is O(candidates × shingles-per-doc), not
-    O(corpus²)). Columns: doc_a, doc_b, n_common, jaccard."""
+    O(corpus²)). Columns: doc_a, doc_b, n_common, jaccard.
+
+    Boilerplate caveat: the PAIR LIST itself is |group|²/2 rows per set
+    of identical texts — intrinsic to the output contract, not the
+    plan. On duplicate-heavy corpora collapse exact duplicates first
+    and run this over distinct-text representatives (what
+    ``dedup_pipeline`` does; measured 890 s → 14 s at ×16 duplication
+    in scripts/stress_curation.py)."""
     cand = minhash_banded_candidates(
         shingles, id_col=id_col, shingle_col=shingle_col, rows=rows, bands=bands
     ).select("doc_a", "doc_b")
