@@ -1440,3 +1440,33 @@ def ivf_probe(
         k=k,
         extra_cols=extra_cols,
     )
+
+
+def lag_features(
+    df: DataFrame,
+    partition_cols: tuple[str, ...],
+    order_by: tuple[str, ...],
+    specs: list[tuple[str, str, int, object]],
+) -> DataFrame:
+    """Shifted-feature engineering over one window spec — the
+    prev/next-event features a sequence model's training table carries:
+    each spec is (new_col, src_col, offset, default); positive offset =
+    lag (rows before), negative = lead (rows after). Every feature
+    shares the SAME partition/order, so Catalyst collapses them into ONE
+    Window node over one shuffle + sort regardless of how many columns
+    are derived — ask for ten features, pay for one sort. ``order_by``
+    must be a total order within each partition for deterministic
+    shifts (add a unique id as the last key)."""
+    from pyspark.sql import Window
+
+    if not specs:
+        raise ValueError("specs must derive at least one feature column")
+    _reject_column_collisions(df, tuple(s[0] for s in specs), "lag_features")
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    out = df
+    for new_col, src, off, default in specs:
+        if off == 0:
+            raise ValueError(f"{new_col}: offset must be non-zero (got 0)")
+        shifted = F.lag(src, off, default) if off > 0 else F.lead(src, -off, default)
+        out = out.withColumn(new_col, shifted.over(w))
+    return out

@@ -67,15 +67,28 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead with defaults; delta is per-row double subtraction (exact)."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    """lag/lead with defaults; delta is per-row double subtraction (exact).
+    Thin wrapper over api.lag_features (round 7) — all three shifted
+    features share one window spec, so Catalyst collapses them into ONE
+    Window node over one shuffle+sort."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    ev = api.lag_features(
+        load(spark, sf_dir, "events"),
+        partition_cols=("user_id",),
+        order_by=("ts",),
+        specs=[
+            ("prev_value", "value", 1, -1.0),
+            ("next_type", "event_type", -1, "none"),
+            ("__sbp_prev0", "value", 1, 0.0),
+        ],
+    )
     return ev.select(
         "event_id",
         "user_id",
-        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
-        F.lead("event_type", 1, "none").over(w).alias("next_type"),
-        (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta"),
+        "prev_value",
+        "next_type",
+        (F.col("value") - F.col("__sbp_prev0")).alias("delta"),
     )
 
 

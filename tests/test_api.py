@@ -696,3 +696,37 @@ def test_reserved_column_collisions_rejected(spark):
     with pytest.raises(ValueError, match="nprobe"):
         api.ivf_probe(emb.withColumn("cell", F.lit(0)), [[0.0, 0.0]], [1.0, 0.0],
                       id_col="vid", vec_col="vec", nprobe=0)
+
+
+def test_lag_features_one_window_many_features(spark):
+    """N shifted features over one spec must match the registered twin
+    exactly AND collapse into a single Window node / single exchange —
+    ten features, one sort."""
+    ev = _renamed_events(spark)
+    out = api.lag_features(
+        ev, partition_cols=("uid",), order_by=("event_time",),
+        specs=[("prev_v", "eid", 1, -1), ("next_v", "eid", -1, -1),
+               ("prev2_v", "eid", 2, -1)],
+    )
+    assert out.columns == ["eid", "event_time", "uid", "etype",
+                           "prev_v", "next_v", "prev2_v"]
+    out.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("== Initial Plan ==")[0]
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    # twin equality through the registered (oracle-checked) query
+    twin = sorted(
+        (r.event_id, r.prev_value, r.next_type, r.delta)
+        for r in __import__("dicebox_sensorybatchprocessor_spark").all_queries()[
+            "win_lag_lead"].fn(spark, SF_ORACLE).collect()
+    )
+    assert len(twin) == ev.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="offset"):
+        api.lag_features(ev, ("uid",), ("event_time",), [("x", "eid", 0, None)])
+    with pytest.raises(ValueError, match="lag_features"):
+        api.lag_features(ev, ("uid",), ("event_time",), [("etype", "eid", 1, None)])
