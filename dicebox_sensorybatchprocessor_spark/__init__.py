@@ -83,6 +83,77 @@ DRIVER_WINDOW = 50
 # window" from git history, so this list can no longer silently rot.
 # Entries 51+ keep the round-5 ordering as a stable tail (the
 # all_queries() loop skips duplicates).
+# Round-8 window (VERDICT r7 Next #1 — execute the staleness ledger's r8
+# slice). Composition, in order:
+#   [head]  queries whose backing code is touched IN round 8, at the
+#           function granularity tests/test_window_rotation.py now
+#           enforces (manifest-commit protocol under stream_upsert_merge
+#           / maintenance_compact, streaming api faces, mm codec hook,
+#           IVF persistence, dedup_pipeline routing, decontaminate /
+#           dq_drift / union-find ADVICE fixes). Regenerate with
+#           `python scripts/plan_window.py --tuple` after any refactor —
+#           the rotation test fails if this head goes stale.
+#   [fill]  the NOTES.md "Registry staleness ledger" r8 slice, oldest
+#           driver-green first: all 33 r1-stale queries, then the r2
+#           head as slots allow (displaced r2 items move to the r9
+#           slice).
+# Entries beyond the 50-slot window keep the round-7 ordering as a
+# stable tail (the all_queries() loop skips duplicates).
+_ROUND8_PRIORITY = (
+    # -- round-8-touched (required in window by test_window_rotation) --
+    "stream_upsert_merge",
+    "maintenance_compact",
+    "stream_session",
+    "stream_dedup",
+    "dq_drift",
+    "dedup_survivors",
+    "dedup_clusters",
+    "mm_image_resize",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
+    "sim_ann_ivf",
+    # -- rotation fill: ledger r8 slice, oldest driver-green first --
+    "agg_minmax_by",
+    "scan_parquet",
+    "scan_csv_json",
+    "sink_parquet_part",
+    "filter_cmp",
+    "filter_in",
+    "filter_between",
+    "filter_like",
+    "filter_null",
+    "cond_case",
+    "cast_try",
+    "sort_multi",
+    "limit_topk",
+    "distinct_rows",
+    "project_unpivot",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_anti",
+    "join_cross",
+    "join_theta",
+    "join_range",
+    "join_agg_revenue_by_nation",
+    "agg_hash",
+    "agg_global",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_cube",
+    "agg_collect",
+    "agg_stats",
+    "events_tumbling",
+    "union_all",
+    "text_langid",
+    "text_fingerprint",
+    "mm_image_meta",
+    "join_bucketed",
+    "fn_struct",
+    "udaf_grouped",
+)
+
 _ROUND7_PRIORITY = (
     # -- [1-7] similarity family (llm/similarity.py touched r6) --
     "sim_cosine_topk",
@@ -322,13 +393,14 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
     the full registry, reordered so the driver's 50-query correctness
     window covers refactor-touched and oldest-verified operators first
-    (see _ROUND7_PRIORITY). Keys are the SURVEY.md §2 operator IDs."""
+    (see _ROUND8_PRIORITY; _ROUND7_PRIORITY is the stable tail). Keys are
+    the SURVEY.md §2 operator IDs."""
     import importlib
 
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     ordered: dict[str, QuerySpec] = {}
-    for name in _ROUND7_PRIORITY:
+    for name in (*_ROUND8_PRIORITY, *_ROUND7_PRIORITY):
         if name in QUERIES:
             ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():

@@ -33,9 +33,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.test_window_rotation import (  # noqa: E402
-    _changed_api_functions,
     _round_boundary,
-    _touched_files,
+    dirty_query_names,
+    never_driver_checked,
 )
 
 PKG = "dicebox_sensorybatchprocessor_spark"
@@ -70,26 +70,10 @@ def main() -> None:
     window_n = eng.DRIVER_WINDOW
 
     boundary = _round_boundary()
-    touched_files = _touched_files(boundary) if boundary else set()
-    api_rel = f"{PKG}/api.py"
-    api_fns = (
-        _changed_api_functions(boundary)
-        if boundary and api_rel in touched_files
-        else set()
-    )
-    touched_files.discard(api_rel)
-
-    touched: list[str] = []
-    for name, spec in queries.items():
-        mod = importlib.import_module(spec.fn.__module__)
-        mod_rel = str(Path(mod.__file__).resolve().relative_to(REPO))
-        if mod_rel in touched_files:
-            touched.append(name)
-            continue
-        if api_fns:
-            src = inspect.getsource(spec.fn)
-            if any(re.search(rf"\bapi\.{fn}\s*\(", src) for fn in api_fns):
-                touched.append(name)
+    required = dirty_query_names(boundary, queries) if boundary else {}
+    for name in never_driver_checked(queries):
+        required.setdefault(name, "never driver-checked (new query)")
+    touched = [n for n in queries if n in required]
 
     last = last_green_rounds()
     backlog = sorted(

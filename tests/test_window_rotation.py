@@ -1,4 +1,4 @@
-"""Self-enforcing driver-window rotation (VERDICT r6 Next #2).
+"""Self-enforcing driver-window rotation (VERDICT r6 Next #2, refined r8).
 
 The driver's correctness harness re-checks only the FIRST
 ``DRIVER_WINDOW`` registered queries each round, so any query whose
@@ -7,25 +7,53 @@ evidence until it rotates back into the window. Rounds 5 and 6 both
 planned that rotation in a hand-maintained tuple; round 6 forgot to
 execute it. This test turns the plan into a red/green invariant:
 
-    every registered query whose backing module — or whose underlying
-    df-level api.py function — was touched since the last round-boundary
-    commit MUST appear in the first DRIVER_WINDOW positions of
-    ``all_queries()``.
+    every registered query whose backing CODE — the query function
+    itself, or any top-level function it (transitively) calls that
+    changed — was touched since the last round-boundary commit MUST
+    appear in the first DRIVER_WINDOW positions of ``all_queries()``,
+    and so must every query that has never had a driver CORRECTNESS row.
 
-"Touched" is computed from git (committed + working tree), so the test
-fails the moment a refactor lands without the matching reorder of
-``_ROUND7_PRIORITY`` — no judge archaeology required.
+Granularity (r8 refinement): r7 used module granularity ("any change to
+streams.py fronts all 16 streaming queries"). That made the invariant
+and NOTES.md's staleness ledger mutually unsatisfiable the moment a
+round must both rotate a 33-query stale backlog in AND touch wide
+modules (round 8 does exactly that: manifest-commit protocol in
+streams.py/maintenance.py, codec hook in multimodal.py, IVF persistence
+in similarity.py). Evidence staleness is a property of the code a query
+actually executes, not of the file it lives in, so dirtiness is now
+computed per top-level function and propagated through a conservative
+global call-graph fixpoint:
+
+  * seed: every top-level function whose span intersects the new-side
+    diff lines of ``git diff -U0 <boundary>`` (committed AND working
+    tree);
+  * any changed line OUTSIDE every top-level function span (imports,
+    module constants, class bodies, decorator wiring) marks the whole
+    module dirty — the module-granularity fallback survives for
+    non-function-scoped edits;
+  * fixpoint: a function becomes dirty if its source references a dirty
+    function's bare name as a call (``\\bNAME\\s*(``), across ALL
+    package modules — this subsumes r7's api.py special case (query
+    sources call ``api.NAME(...)``) and additionally follows
+    helper-to-helper chains and brand-new helper modules. Name
+    collisions over-approximate; over-fronting is safe, under-fronting
+    is the bug this test exists to prevent.
 
 Infrastructure modules (registry.py, session.py, io.py, __init__.py,
-utils.py) are exempt: a change there affects all 199 queries equally and
-is covered by the full local oracle sweep, not by window ordering.
+utils.py) are exempt: a change there affects all registered queries
+equally and is covered by the full local oracle sweep, not by window
+ordering.
+
+``scripts/plan_window.py`` imports :func:`dirty_query_names` so the
+generator and the enforcing test cannot drift apart.
 """
 
 from __future__ import annotations
 
 import ast
+import glob
 import importlib
-import inspect
+import json
 import re
 import subprocess
 import sys
@@ -69,26 +97,123 @@ def _touched_files(boundary: str) -> set[str]:
     return {p for p in out.splitlines() if p.endswith(".py")} - _INFRA
 
 
-def _changed_api_functions(boundary: str) -> set[str]:
-    """Top-level api.py function names whose bodies overlap the new-side
-    line ranges of ``git diff -U0 boundary -- api.py``."""
-    api_rel = f"{PKG}/api.py"
-    diff = _git("diff", "-U0", boundary, "--", api_rel)
-    changed_lines: set[int] = set()
+def _changed_new_lines(boundary: str, rel: str) -> set[int]:
+    """New-side line numbers touched by ``git diff -U0 boundary -- rel``.
+    Pure deletions (``+N,0`` hunks) conservatively mark line N."""
+    diff = _git("diff", "-U0", boundary, "--", rel)
+    changed: set[int] = set()
     for m in re.finditer(r"^@@ -\S+ \+(\d+)(?:,(\d+))? @@", diff, re.M):
         start = int(m.group(1))
         count = int(m.group(2)) if m.group(2) is not None else 1
-        changed_lines.update(range(start, start + max(count, 1)))
-    if not changed_lines:
-        return set()
-    tree = ast.parse((REPO / api_rel).read_text())
-    names: set[str] = set()
+        changed.update(range(start, start + max(count, 1)))
+    return changed
+
+
+def _top_level_functions(rel: str) -> dict[str, tuple[int, int, str]]:
+    """name -> (start_line, end_line, source) for every top-level
+    (sync/async) function in the package file, decorators included."""
+    path = REPO / rel
+    if not path.exists():  # deleted file: nothing to attribute
+        return {}
+    text = path.read_text()
+    tree = ast.parse(text)
+    lines = text.splitlines()
+    out: dict[str, tuple[int, int, str]] = {}
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            span = range(node.lineno, (node.end_lineno or node.lineno) + 1)
-            if changed_lines.intersection(span):
-                names.add(node.name)
-    return names
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            end = node.end_lineno or node.lineno
+            out[node.name] = (start, end, "\n".join(lines[start - 1 : end]))
+    return out
+
+
+def _package_files() -> list[str]:
+    return [
+        str(p.relative_to(REPO))
+        for p in (REPO / PKG).rglob("*.py")
+        if "__pycache__" not in p.parts
+    ]
+
+
+def dirty_query_names(boundary: str, queries) -> dict[str, str]:
+    """Registered query names whose backing code changed since
+    ``boundary`` (value = human-readable reason), per the granularity
+    rules in the module docstring."""
+    touched = _touched_files(boundary)
+    if not touched:
+        return {}
+
+    # -- seed dirt from diffs ------------------------------------------
+    dirty: dict[tuple[str, str], str] = {}  # (rel, fn_name) -> reason
+    module_wide: dict[str, str] = {}  # rel -> reason
+    for rel in touched:
+        fns = _top_level_functions(rel)
+        changed = _changed_new_lines(boundary, rel)
+        if not changed and not fns:
+            continue
+        covered: set[int] = set()
+        for name, (s, e, _src) in fns.items():
+            span = set(range(s, e + 1))
+            covered |= span
+            if changed & span:
+                dirty[(rel, name)] = f"{rel}:{name} changed"
+        if changed - covered:
+            module_wide[rel] = f"{rel} changed outside function bodies"
+
+    for rel, reason in module_wide.items():
+        for name in _top_level_functions(rel):
+            dirty.setdefault((rel, name), reason)
+
+    # -- global call-graph fixpoint ------------------------------------
+    all_fns = {
+        (rel, name): src
+        for rel in _package_files()
+        if rel not in _INFRA
+        for name, (_s, _e, src) in _top_level_functions(rel).items()
+    }
+    while True:
+        names = {n for (_r, n) in dirty}
+        if not names:
+            break
+        pat = re.compile(
+            r"\b(" + "|".join(re.escape(n) for n in sorted(names)) + r")\s*\("
+        )
+        grew = False
+        for key, src in all_fns.items():
+            if key in dirty:
+                continue
+            m = pat.search(src)
+            if m:
+                dirty[key] = f"{key[0]}:{key[1]} calls dirty {m.group(1)}"
+                grew = True
+        if not grew:
+            break
+
+    # -- attribute to registered queries -------------------------------
+    out: dict[str, str] = {}
+    for qname, spec in queries.items():
+        mod = sys.modules.get(spec.fn.__module__) or importlib.import_module(
+            spec.fn.__module__
+        )
+        mod_rel = str(Path(mod.__file__).resolve().relative_to(REPO))
+        if mod_rel in module_wide:
+            out[qname] = module_wide[mod_rel]
+        elif (mod_rel, spec.fn.__name__) in dirty:
+            out[qname] = dirty[(mod_rel, spec.fn.__name__)]
+    return out
+
+
+def never_driver_checked(queries) -> set[str]:
+    """Registered query names with no row in any CORRECTNESS_r*.json."""
+    seen: set[str] = set()
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(path)))
+        except (OSError, json.JSONDecodeError):
+            continue
+    return {n for n in queries if n not in seen}
 
 
 def test_touched_queries_are_inside_driver_window() -> None:
@@ -100,29 +225,13 @@ def test_touched_queries_are_inside_driver_window() -> None:
     queries = eng.all_queries()
     window = set(list(queries)[: eng.DRIVER_WINDOW])
 
-    touched = _touched_files(boundary)
-    api_rel = f"{PKG}/api.py"
-    api_fns = _changed_api_functions(boundary) if api_rel in touched else set()
-    touched.discard(api_rel)  # handled at function granularity below
-
-    must_front: dict[str, str] = {}
-    for name, spec in queries.items():
-        mod = sys.modules.get(spec.fn.__module__) or importlib.import_module(
-            spec.fn.__module__
-        )
-        mod_rel = str(Path(mod.__file__).resolve().relative_to(REPO))
-        if mod_rel in touched:
-            must_front[name] = mod_rel
-            continue
-        if api_fns:
-            src = inspect.getsource(spec.fn)
-            if any(re.search(rf"\bapi\.{fn}\s*\(", src) for fn in api_fns):
-                must_front[name] = f"{api_rel}:{'/'.join(sorted(api_fns))}"
+    must_front = dirty_query_names(boundary, queries)
+    for qname in never_driver_checked(queries):
+        must_front.setdefault(qname, "never driver-checked (new query)")
 
     stragglers = {n: why for n, why in must_front.items() if n not in window}
     assert not stragglers, (
         f"{len(stragglers)} queries touched since round boundary "
         f"{boundary[:9]} are OUTSIDE the first {eng.DRIVER_WINDOW} driver "
-        f"slots — front them in _ROUND7_PRIORITY (or its successor): "
-        f"{stragglers}"
+        f"slots — front them in the priority tuple: {stragglers}"
     )
