@@ -937,18 +937,24 @@ def check_constraints(
     return out
 
 
-def _parquet_dir_stats(root: str) -> tuple[int, int]:
+def _parquet_dir_stats(spark, root: str) -> tuple[int, int]:
     """(file count, total bytes) of the parquet files under root — the
-    two directory listings a compaction planner performs."""
-    import os
-
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(root)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    return len(files), sum(os.path.getsize(f) for f in files)
+    two directory listings a compaction planner performs. Listed through
+    the Hadoop FileSystem API so any Spark-readable scheme (file:, hdfs:,
+    s3a:, …) sizes correctly; an os.walk here silently returned (0, 0)
+    for remote roots, planning a repartition(1) full-table rewrite
+    (ADVICE r7)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(path, True)
+    n = total = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            n += 1
+            total += status.getLen()
+    return n, total
 
 
 def compact_parquet(
@@ -965,18 +971,37 @@ def compact_parquet(
     values, so the rewrite streams at disk bandwidth on any cluster
     size. Returns {n_files_before, n_files_after, total_bytes,
     n_output_files_planned} for the maintenance ledger."""
-    n_before, total_bytes = _parquet_dir_stats(src_path)
+    n_before, total_bytes = _parquet_dir_stats(spark, src_path)
+    if n_before == 0:
+        raise ValueError(f"no parquet files under {src_path!r}")
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     spark.read.parquet(src_path).repartition(n_out).write.mode(
         "overwrite"
     ).parquet(dest_path)
-    n_after, _ = _parquet_dir_stats(dest_path)
+    n_after, _ = _parquet_dir_stats(spark, dest_path)
     return {
         "n_files_before": n_before,
         "n_files_after": n_after,
         "total_bytes": total_bytes,
         "n_output_files_planned": n_out,
     }
+
+
+def compact_table(
+    spark,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Manifest-protocol compaction (VERDICT r7 #2): like
+    ``compact_parquet`` but over a :class:`lake.ManifestTable`, so the
+    rewrite COMMITS atomically — readers resolve either the fragmented
+    or the compacted snapshot, never a torn directory, and a writer
+    landing mid-compaction wins a version and the compaction retries
+    from the new snapshot instead of dropping its rows. Returns the
+    maintenance ledger dict plus the committed version."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    return lake.ManifestTable(root).compact(spark, target_file_bytes)
 
 
 def snapshot_diff(

@@ -1,0 +1,273 @@
+"""Minimal manifest-commit table protocol over plain parquet (VERDICT r7
+Next #2).
+
+``stream_upsert_merge`` and ``maintenance_compact`` previously rewrote
+their stores by deleting + renaming files inside a live directory —
+correct single-writer, but a reader listing the directory mid-rewrite
+sees a torn table, and a crash between the delete and the rename loses
+the old snapshot entirely. Real lake formats (Delta, Iceberg, Hudi)
+close that seam the same way: data files are immutable and
+write-once-never-overwritten; a tiny MANIFEST names the exact file set
+of each table version; publishing a version is ONE atomic
+create-if-absent of the next manifest; readers resolve the newest
+manifest and read exactly the files it names. This module is that
+protocol reduced to its load-bearing core:
+
+    <root>/
+      data/<writer-uuid>/part-*.parquet     immutable, staged by writers
+      _sbp_manifests/v000000000042.json     {"version", "base", "files"}
+
+* **Crash safety** — a writer that dies after staging data but before
+  the manifest link leaves only invisible orphans; the previous
+  snapshot stays fully readable, and re-running the job converges
+  (``vacuum`` reclaims orphans).
+* **Concurrency** — commits are optimistic: version N+1 publishes via
+  ``os.link`` (atomic fail-if-exists on POSIX), so two writers racing
+  the same base get exactly one winner; the loser sees
+  :class:`CommitConflict` and retries against the new snapshot.
+* **Scale seam** — the commit primitive is "put-if-absent on the
+  manifest path". POSIX link and HDFS create-no-overwrite provide it
+  natively; S3-class object stores do not, which is exactly why Delta
+  ships a LogStore abstraction (DynamoDB mutex) and Iceberg a catalog
+  with atomic swap. :class:`ManifestTable` therefore refuses non-local
+  roots rather than pretending rename is atomic there; plugging an
+  object-store commit service in means overriding ``_publish`` only.
+  Manifests hold a plain file list — at petabyte scale you shard that
+  list (Iceberg's manifest-of-manifests), an extension the JSON schema
+  (``files`` list per version) already permits.
+
+Readers load ``spark.read.parquet(*files)`` — partition pruning, filter
+pushdown, and column pruning behave exactly as on a directory scan, and
+the file list itself enables the next-level optimization (data skipping
+by per-file stats) that a bare directory listing cannot.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_sbp_manifests"
+_DATA_DIR = "data"
+_V_DIGITS = 12
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published the version this commit targeted."""
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+class ManifestTable:
+    """A versioned parquet table rooted at a local/POSIX directory."""
+
+    def __init__(self, root: str):
+        scheme = root.split("://", 1)[0] if "://" in root else "file"
+        if scheme != "file":
+            raise NotImplementedError(
+                f"ManifestTable commit primitive needs put-if-absent; "
+                f"scheme {scheme!r} requires an external commit service "
+                f"(the Delta-LogStore / Iceberg-catalog seam) — override "
+                f"_publish to supply one"
+            )
+        self.root = root.split("://", 1)[-1]
+        os.makedirs(os.path.join(self.root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(
+            self.root, _MANIFEST_DIR, f"v{version:0{_V_DIGITS}d}.json"
+        )
+
+    def latest_version(self) -> int:
+        """Newest committed version, 0 if the table is empty. Torn or
+        in-flight manifests are invisible by construction (only the
+        atomic link creates ``v*.json`` names)."""
+        best = 0
+        for name in os.listdir(os.path.join(self.root, _MANIFEST_DIR)):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1 : 1 + _V_DIGITS]))
+                except ValueError:
+                    continue
+        return best
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "base": 0, "files": []}
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def data_files(self, version: int | None = None) -> list[str]:
+        return [
+            os.path.join(self.root, f) for f in self.snapshot(version)["files"]
+        ]
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = self.data_files(version)
+        if not files:
+            raise ValueError(f"ManifestTable {self.root} has no committed version")
+        return spark.read.parquet(*files)
+
+    # -- writer protocol ----------------------------------------------
+    def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:
+        """Write ``df`` as immutable data files under a writer-unique
+        subdir and return their root-relative paths. NOT visible to
+        readers until a commit names them."""
+        sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        out = os.path.join(self.root, sub)
+        (df.repartition(n_files) if n_files else df).write.parquet(out)
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def _publish(self, tmp: str, final: str) -> None:
+        """Atomic put-if-absent of a fully-written manifest. POSIX
+        ``link`` fails with EEXIST if another writer won the version —
+        the one primitive an object-store backend must replace."""
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise CommitConflict(os.path.basename(final)) from exc
+        finally:
+            os.unlink(tmp)
+        _fsync_dir(os.path.dirname(final))
+
+    def commit(self, files: list[str], base_version: int) -> int:
+        """Publish ``files`` as version ``base_version + 1``. Raises
+        :class:`CommitConflict` if that version already exists (the
+        caller re-reads the new snapshot and retries its merge)."""
+        next_v = base_version + 1
+        manifest = {"version": next_v, "base": base_version, "files": files}
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
+        )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        self._publish(tmp, self._manifest_path(next_v))
+        return next_v
+
+    def overwrite(self, df: DataFrame, max_retries: int = 5) -> int:
+        """Full-replace commit (last-writer-wins): stage once, retry the
+        publish against whatever the latest version becomes."""
+        files = self.stage(df)
+        for _ in range(max_retries):
+            try:
+                return self.commit(files, self.latest_version())
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    # -- maintenance ----------------------------------------------------
+    def file_stats(self, version: int | None = None) -> tuple[int, int]:
+        """(file count, total bytes) of the snapshot's data files — from
+        the manifest, not a directory walk, so orphans never skew the
+        compaction plan."""
+        files = self.data_files(version)
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        max_retries: int = 5,
+    ) -> dict:
+        """Rewrite the current snapshot toward ``target_file_bytes`` per
+        file and commit the compacted file set as the next version. A
+        concurrent commit landing mid-rewrite conflicts; compaction then
+        restarts from the NEW snapshot (its rewrite must include the
+        interleaved writer's rows — dropping them is the lost-update the
+        manifest protocol exists to prevent). Data movement is one scan
+        + one round-robin repartition write; no value-keyed shuffle."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            n_before, total_bytes = self.file_stats(snap["version"])
+            n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+            files = self.stage(self.read(spark, snap["version"]), n_files=n_out)
+            try:
+                version = self.commit(files, snap["version"])
+            except CommitConflict:
+                continue
+            return {
+                "version": version,
+                "n_files_before": n_before,
+                "n_files_after": len(files),
+                "total_bytes": total_bytes,
+                "n_output_files_planned": n_out,
+            }
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files referenced by NO retained manifest (crash
+        orphans and files superseded more than ``retain_versions`` ago).
+        Returns the number of files removed. Time travel keeps working
+        for retained versions only."""
+        latest = self.latest_version()
+        keep_versions = range(max(1, latest - retain_versions + 1), latest + 1)
+        live = {
+            os.path.normpath(os.path.join(self.root, f))
+            for v in keep_versions
+            for f in self.snapshot(v)["files"]
+        }
+        removed = 0
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for dirpath, _dirs, names in os.walk(data_root, topdown=False):
+            for name in names:
+                p = os.path.normpath(os.path.join(dirpath, name))
+                if p not in live:
+                    os.remove(p)
+                    removed += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return removed
+
+
+def merge_upsert(
+    table: ManifestTable,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    max_retries: int = 5,
+) -> int:
+    """Keyed MERGE (upsert) through the manifest protocol: rows in
+    ``updates`` replace same-key rows of the current snapshot, unseen
+    keys survive (anti-join ⊎ updates — the CDC-sink / Delta-MERGE
+    shape). Optimistic: a conflicting commit re-drives the merge from
+    the NEW snapshot, so concurrent mergers serialize without locks. At
+    scale the snapshot is partitioned by key-hash and only partitions
+    containing changed keys rewrite; here the whole (small) snapshot
+    rewrites, which keeps the protocol identical and the cost linear in
+    the store."""
+    spark = updates.sparkSession
+    keys = list(key_cols)
+    for _ in range(max_retries):
+        snap = table.snapshot()
+        if snap["files"]:
+            old = table.read(spark, snap["version"])
+            merged = old.join(
+                updates.select(*keys), keys, "left_anti"
+            ).unionByName(updates)
+        else:
+            merged = updates
+        files = table.stage(merged)
+        try:
+            return table.commit(files, snap["version"])
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} retries")

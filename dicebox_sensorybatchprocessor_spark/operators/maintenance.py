@@ -42,29 +42,34 @@ _TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual lake target file size
     """,
 )
 def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction: write events fragmented into 64 files (the
-    post-ingest state), then rewrite sized to ceil(total_bytes / 128 MB)
-    output files. The returned per-type aggregate is computed from the
-    COMPACTED copy — the oracle checking it against the source proves the
-    rewrite is lossless — and the file-count reduction travels as a
-    boolean inside the value hash. The driver-side work is two directory
-    listings (what a real compaction job's planner does); all data
-    movement is one scan + one round-robin repartition write, no shuffle
-    keyed on data values, so the rewrite streams at disk bandwidth on any
-    cluster size. Thin wrapper over api.compact_parquet (round 7)."""
-    from dicebox_sensorybatchprocessor_spark import api
+    """Small-file compaction THROUGH the manifest-commit protocol
+    (lake.ManifestTable — VERDICT r7 #2): events are committed fragmented
+    into 64 files (the post-ingest state, version 1), then
+    ``api.compact_table`` rewrites toward 128 MB files and atomically
+    publishes the compacted snapshot as the next version — a reader
+    resolves either snapshot in full, never a torn directory, and a
+    crash mid-rewrite leaves version 1 intact. The returned per-type
+    aggregate is computed from the COMPACTED snapshot — the oracle
+    checking it against the source proves the rewrite is lossless — and
+    the file-count reduction vs the fragmented version travels as a
+    boolean inside the value hash. Planner work is manifest reads (no
+    directory walk); all data movement is one scan + one round-robin
+    repartition write, no shuffle keyed on data values, so the rewrite
+    streams at disk bandwidth on any cluster size."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
 
-    # Fragmented input staged once per (process, sf_dir); the compaction
-    # rewrite below runs per invocation — that IS the operator under test.
+    # Fragmented v1 committed once per (process, sf_dir); the compaction
+    # commit below runs per invocation — that IS the operator under test.
     tmp, fresh = scratch_dir_cached("sbp_compact_", cache_key=sf_dir)
-    frag, compact = os.path.join(tmp, "frag"), os.path.join(tmp, "compact")
+    table = lake.ManifestTable(os.path.join(tmp, "table"))
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     if fresh:
-        ev.repartition(64).write.mode("overwrite").parquet(frag)
-    stats = api.compact_parquet(spark, frag, compact, _TARGET_FILE_BYTES)
+        table.commit(table.stage(ev, n_files=64), base_version=0)
+    stats = api.compact_table(spark, table.root, _TARGET_FILE_BYTES)
+    n_fragmented, _ = table.file_stats(version=1)
     factor = F.lit(1000000.0)
     return (
-        spark.read.parquet(compact)
+        table.read(spark)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_rows"),
@@ -74,8 +79,12 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
         .withColumn(
+            # vs the FRAGMENTED version, so re-invocations (which compact
+            # an already-compact snapshot into the next version) still
+            # hash identically — the claim is "compacted relative to the
+            # ingest state", not "this pass shrank the file count".
             "compacted_to_fewer_files",
-            F.lit(bool(stats["n_files_after"] < stats["n_files_before"])),
+            F.lit(bool(stats["n_files_after"] < n_fragmented)),
         )
     )
 

@@ -1062,17 +1062,23 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     new VERSION of per-user aggregates (batches = event_id%3 slices with
     ordered mtimes ⇒ deterministic batch↔version mapping); the sink
     merges by key — later versions overwrite earlier ones, unseen keys
-    survive — by rewriting a keyed parquet store per batch (anti-join old
-    ⊎ new). This is the CDC-sink / Delta-MERGE pattern on plain parquet:
-    at scale the store is partitioned by key-hash and only partitions
-    containing changed keys rewrite. The final table must equal
-    keep-latest-version-per-user, which the oracle computes from raw
-    events."""
+    survive — through the manifest-commit protocol (lake.merge_upsert,
+    VERDICT r7 #2): each batch stages immutable data files and atomically
+    publishes the merged snapshot as the next table version, so a reader
+    concurrent with the sink resolves a complete snapshot (never a torn
+    directory) and a sink crash mid-batch leaves the previous version
+    readable with the checkpoint replaying the batch to convergence.
+    This is the CDC-sink / Delta-MERGE pattern: at scale the store is
+    partitioned by key-hash and only partitions containing changed keys
+    rewrite. The final table must equal keep-latest-version-per-user,
+    which the oracle computes from raw events."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
     spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
     staged = _stage_files(spark, parts, "upsert3", cache_key=sf_dir)
-    store = scratch_dir(prefix="sbp_upsert_store_")
+    table = lake.ManifestTable(scratch_dir(prefix="sbp_upsert_store_"))
     ck = scratch_dir(prefix="sbp_ck_upsert_")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -1080,23 +1086,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             fixed_point_sum(F.col("value"), 6).alias("sum_value"),
         )
-        import os as _os
-
-        if _os.listdir(store):
-            old = batch_df.sparkSession.read.parquet(store)
-            kept = old.join(batch_agg.select("user_id"), "user_id", "left_anti")
-            merged = kept.unionByName(batch_agg)
-        else:
-            merged = batch_agg
-        # rewrite via a temp dir: the store is both input and output of
-        # this batch, and parquet cannot overwrite a path it is reading
-        tmp_out = store + f"_b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp_out)
-        for f in _os.listdir(store):
-            _os.remove(_os.path.join(store, f))
-        for f in _os.listdir(tmp_out):
-            _os.rename(_os.path.join(tmp_out, f), _os.path.join(store, f))
-        _os.rmdir(tmp_out)
+        lake.merge_upsert(table, batch_agg, ("user_id",))
 
     stream = _events_stream(spark, staged, max_files=1)
     q = (
@@ -1106,7 +1096,7 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(store)
+    return table.read(spark)
 
 
 @register(

@@ -92,8 +92,10 @@ def _round_boundary() -> str | None:
 
 def _touched_files(boundary: str) -> set[str]:
     """Package .py files changed between the boundary commit and the
-    working tree (committed and uncommitted alike)."""
+    working tree — committed, uncommitted, and UNTRACKED alike (a
+    brand-new helper module is the most-touched file there is)."""
     out = _git("diff", "--name-only", boundary, "--", f"{PKG}/")
+    out += _git("ls-files", "--others", "--exclude-standard", "--", f"{PKG}/")
     return {p for p in out.splitlines() if p.endswith(".py")} - _INFRA
 
 
@@ -151,7 +153,8 @@ def dirty_query_names(boundary: str, queries) -> dict[str, str]:
     for rel in touched:
         fns = _top_level_functions(rel)
         changed = _changed_new_lines(boundary, rel)
-        if not changed and not fns:
+        if not changed:  # untracked new file: everything is new
+            module_wide[rel] = f"{rel} is a new file"
             continue
         covered: set[int] = set()
         for name, (s, e, _src) in fns.items():
@@ -159,7 +162,16 @@ def dirty_query_names(boundary: str, queries) -> dict[str, str]:
             covered |= span
             if changed & span:
                 dirty[(rel, name)] = f"{rel}:{name} changed"
-        if changed - covered:
+        # blank / comment-only changed lines between functions are
+        # formatting, not behavior — they must not dirty the module
+        src_lines = (REPO / rel).read_text().splitlines() if (REPO / rel).exists() else []
+        substantive = {
+            n
+            for n in changed - covered
+            if n <= len(src_lines) and src_lines[n - 1].strip() not in ("",)
+            and not src_lines[n - 1].lstrip().startswith("#")
+        }
+        if substantive:
             module_wide[rel] = f"{rel} changed outside function bodies"
 
     for rel, reason in module_wide.items():
