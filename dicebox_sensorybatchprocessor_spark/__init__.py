@@ -103,8 +103,9 @@ _ROUND8_PRIORITY = (
     # -- round-8-touched (required in window by test_window_rotation) --
     "stream_upsert_merge",
     "maintenance_compact",
-    "stream_session",
     "stream_dedup",
+    "stream_dedup_wm",
+    "stream_quarantine",
     "dq_drift",
     "dedup_survivors",
     "dedup_clusters",

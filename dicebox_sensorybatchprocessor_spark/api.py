@@ -839,6 +839,110 @@ def run_stream(
     return _run_to_table(df.sparkSession, df, name, mode)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str | None = None,
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once restoration over an at-least-once stream: drop
+    redelivered rows by key. With ``within_watermark`` (e.g. "2 hours")
+    this is the production form — ``dropDuplicatesWithinWatermark``
+    evicts dedup state once the watermark passes a key's event time +
+    delay, so state is bounded by the redelivery horizon instead of
+    growing with the stream (the 100 TB requirement). Without it, plain
+    ``dropDuplicates`` keeps every key forever — backfill/test only.
+    Returns a streaming DataFrame (compose with windowed_stream /
+    run_stream / your own sink)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("dedup_stream needs at least one key column")
+    if within_watermark is not None:
+        if ts_col is None:
+            raise ValueError("within_watermark requires ts_col")
+        return stream.withWatermark(
+            ts_col, within_watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return stream.dropDuplicates(keys)
+
+
+def quarantine_stream(
+    stream: DataFrame,
+    invalid: Column,
+    dataset_dir: str,
+    quarantine_dir: str,
+    repair=None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Dead-letter routing sink over any streaming DataFrame: each
+    micro-batch appends rows failing ``invalid`` to the quarantine
+    (dead-letter) parquet sink — optionally normalized by ``repair``
+    (batch DataFrame -> batch DataFrame) — and the rest to the dataset
+    sink; both writes inside ONE foreachBatch over a persisted batch, so
+    the batch is scanned once. This is the idiomatic Spark form of a
+    broker nack/dead-letter loop: poison messages leave the hot path but
+    stay queryable for triage/replay. Returns the started
+    StreamingQuery — the caller awaits (or lets it run resident)."""
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter(~invalid).write.mode("append").parquet(dataset_dir)
+            bad = batch_df.filter(invalid)
+            if repair is not None:
+                bad = repair(bad)
+            bad.write.mode("append").parquet(quarantine_dir)
+        finally:
+            batch_df.unpersist()
+
+    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_quar_")
+    writer = stream.writeStream.foreachBatch(route).option(
+        "checkpointLocation", ck
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream(
+    stream: DataFrame,
+    table,
+    key_cols: tuple[str, ...],
+    transform=None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming MERGE (upsert) sink through the manifest-commit
+    protocol: each micro-batch — optionally reshaped by ``transform``
+    (batch DataFrame -> batch DataFrame, e.g. a per-key aggregate) —
+    replaces same-key rows of the lake.ManifestTable snapshot and
+    publishes the merged file set as one atomic version, so readers
+    concurrent with the sink always resolve a complete snapshot and a
+    crash mid-batch leaves the previous version readable with the
+    checkpoint replaying the batch to convergence. ``table`` is a
+    ManifestTable or a root path. Returns the started StreamingQuery;
+    read the result via ``ManifestTable(root).read(spark)``."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    keys = tuple(key_cols)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = transform(batch_df) if transform is not None else batch_df
+        lake.merge_upsert(t, b, keys)
+
+    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_upsert_")
+    writer = stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", ck
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str = "vec_id",

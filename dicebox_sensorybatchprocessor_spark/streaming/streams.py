@@ -455,13 +455,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates on the id restores exactly-once, so per-type counts
     equal the clean source. Unbounded-state variant for the bounded
     fixture; production uses dropDuplicatesWithinWatermark so state ages
-    out with the watermark."""
+    out with the watermark. Thin wrapper over api.dedup_stream (r8)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     dups = raw.filter(F.col("event_id") % 10 == 0)
     staged = _stage_files(spark, [raw, dups], "dedup10", cache_key=sf_dir)
     stream = _events_stream(spark, staged, max_files=1)
-    deduped = stream.dropDuplicates(["event_id"])
+    deduped = api.dedup_stream(stream, ("event_id",))
     out = _run_to_table(spark, deduped, "dedup", "append")
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
@@ -744,7 +746,10 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink and malformed rows to a dead-letter quarantine sink — both
     parquet appends inside one foreachBatch, the idiomatic Spark form of
     the reference's nack/dead-letter loop. Read back and count per
-    (sink, category); the oracle recomputes the same routing in SQL."""
+    (sink, category); the oracle recomputes the same routing in SQL.
+    Thin wrapper over api.quarantine_stream (r8)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     damaged = raw.withColumn(
@@ -763,26 +768,19 @@ def stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     invalid = F.col("event_type").isNull() | (F.col("value") < 0)
 
-    def route(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            batch_df.filter(~invalid).write.mode("append").parquet(dataset_dir)
-            (
-                batch_df.filter(invalid)
-                .withColumn("event_type", F.coalesce("event_type", F.lit("_invalid")))
-                .write.mode("append")
-                .parquet(quarantine_dir)
-            )
-        finally:
-            batch_df.unpersist()
+    def repair(bad: DataFrame) -> DataFrame:
+        return bad.withColumn(
+            "event_type", F.coalesce("event_type", F.lit("_invalid"))
+        )
 
     stream = _events_stream(spark, staged, max_files=1)
-    ck = scratch_dir(prefix="sbp_ck_quar_")
-    q = (
-        stream.writeStream.foreachBatch(route)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
+    q = api.quarantine_stream(
+        stream,
+        invalid,
+        dataset_dir,
+        quarantine_dir,
+        repair=repair,
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_quar_"),
     )
     q.awaitTermination()
     ok = spark.read.parquet(dataset_dir).select("event_type").withColumn(
@@ -813,7 +811,8 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot meet). Replay: every 10th event redelivered in a second
     micro-batch; within one availableNow run the watermark holds (see
     stream_watermark), so the redelivery is in-horizon and dropped — the
-    per-type counts must equal the clean source."""
+    per-type counts must equal the clean source. Thin wrapper over
+    api.dedup_stream(within_watermark=...) (r8)."""
     spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     dups = raw.filter(F.col("event_id") % 10 == 0)
@@ -823,9 +822,11 @@ def stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir(prefix="sbp_dedupwm_out_")
 
     def run_once() -> None:
+        from dicebox_sensorybatchprocessor_spark import api
+
         stream = _events_stream(spark, staged, max_files=1)
-        deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
-            ["event_id"]
+        deduped = api.dedup_stream(
+            stream, ("event_id",), ts_col="ts", within_watermark="2 hours"
         )
 
         def persist(batch_df: DataFrame, batch_id: int) -> None:
@@ -1071,29 +1072,29 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the CDC-sink / Delta-MERGE pattern: at scale the store is
     partitioned by key-hash and only partitions containing changed keys
     rewrite. The final table must equal keep-latest-version-per-user,
-    which the oracle computes from raw events."""
-    from dicebox_sensorybatchprocessor_spark import lake
+    which the oracle computes from raw events. Thin wrapper over
+    api.upsert_stream (r8)."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
 
     spark = _streaming_session(spark)
     raw = _events_raw(spark, sf_dir)
     parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
     staged = _stage_files(spark, parts, "upsert3", cache_key=sf_dir)
     table = lake.ManifestTable(scratch_dir(prefix="sbp_upsert_store_"))
-    ck = scratch_dir(prefix="sbp_ck_upsert_")
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        batch_agg = batch_df.groupBy("user_id").agg(
+    def to_user_agg(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
             fixed_point_sum(F.col("value"), 6).alias("sum_value"),
         )
-        lake.merge_upsert(table, batch_agg, ("user_id",))
 
     stream = _events_stream(spark, staged, max_files=1)
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
+    q = api.upsert_stream(
+        stream,
+        table,
+        ("user_id",),
+        transform=to_user_agg,
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_upsert_"),
     )
     q.awaitTermination()
     return table.read(spark)

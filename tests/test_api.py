@@ -730,3 +730,83 @@ def test_lag_features_one_window_many_features(spark):
         api.lag_features(ev, ("uid",), ("event_time",), [("x", "eid", 0, None)])
     with pytest.raises(ValueError, match="lag_features"):
         api.lag_features(ev, ("uid",), ("event_time",), [("etype", "eid", 1, None)])
+
+
+def test_dedup_stream_restores_exactly_once(spark):
+    """api.dedup_stream over a USER stream (renamed columns): batch 2
+    redelivers a third of batch 1; both the unbounded and the
+    within-watermark form must restore exactly-once counts."""
+    from tests.conftest import SF_SMOKE
+
+    ev = _renamed_events(spark, SF_SMOKE).select(
+        # watermarks require TIMESTAMP (the fixture loads TIMESTAMP_NTZ)
+        "eid", F.col("event_time").cast("timestamp").alias("event_time"), "etype"
+    )
+    redelivered = ev.filter(F.col("eid") % 3 == 0)
+    n_clean = ev.count()
+
+    for kwargs, name in (
+        ({}, "api_dedup_plain"),
+        ({"ts_col": "event_time", "within_watermark": "2 hours"}, "api_dedup_wm"),
+    ):
+        stream = api.replay_stream(
+            spark, [ev, redelivered], name=name, max_files_per_trigger=1
+        )
+        deduped = api.dedup_stream(stream, ("eid",), **kwargs)
+        out = api.run_stream(deduped, mode="append", name=name + "_out")
+        assert out.count() == n_clean, name
+
+
+def test_quarantine_stream_routes_and_repairs(spark, tmp_path):
+    """api.quarantine_stream over a USER stream: invalid rows (null label
+    or negative amount) land repaired in the dead-letter sink, the rest
+    in the dataset sink; nothing is lost or duplicated."""
+    rows = [
+        (1, "a", 1.0),
+        (2, None, 2.0),
+        (3, "b", -3.0),
+        (4, "b", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, label string, amount double")
+    stream = api.replay_stream(spark, [df], name="api_quar_test")
+    ok_dir, bad_dir = str(tmp_path / "ok"), str(tmp_path / "bad")
+    invalid = F.col("label").isNull() | (F.col("amount") < 0)
+    q = api.quarantine_stream(
+        stream,
+        invalid,
+        ok_dir,
+        bad_dir,
+        repair=lambda b: b.withColumn("label", F.coalesce("label", F.lit("_x"))),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    ok = {r.id for r in spark.read.parquet(ok_dir).collect()}
+    bad = {(r.id, r.label) for r in spark.read.parquet(bad_dir).collect()}
+    assert ok == {1, 4}
+    assert bad == {(2, "_x"), (3, "b")}
+
+
+def test_upsert_stream_keeps_latest_version(spark, tmp_path):
+    """api.upsert_stream over a USER stream through a ManifestTable:
+    three single-file micro-batches carry successive versions of keyed
+    rows; the final snapshot must be keep-latest-per-key with unseen
+    keys surviving, and each batch must have committed one atomic
+    version."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    batches = [
+        spark.createDataFrame([(1, "v0"), (2, "v0")], "k int, v string"),
+        spark.createDataFrame([(2, "v1"), (3, "v1")], "k int, v string"),
+        spark.createDataFrame([(1, "v2")], "k int, v string"),
+    ]
+    stream = api.replay_stream(
+        spark, batches, name="api_upsert_test", max_files_per_trigger=1
+    )
+    table = lake.ManifestTable(str(tmp_path / "t"))
+    q = api.upsert_stream(
+        stream, table, ("k",), checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    got = sorted((r.k, r.v) for r in table.read(spark).collect())
+    assert got == [(1, "v2"), (2, "v1"), (3, "v1")]
+    assert table.latest_version() == 3
