@@ -26,14 +26,137 @@ from dicebox_sensorybatchprocessor_spark.registry import register
 def decode_image(data: bytes) -> tuple[int, int, float]:
     """STUB image decode — deterministic fake derived from md5(data).
 
-    A production build replaces this body with a real decoder (PIL etc.);
-    the Spark plumbing around it is unchanged. Returns (width, height,
-    mean_luma)."""
+    The DEFAULT decoder hook: keeps the registered mm_* twins
+    SQL-oracle-checkable. A production build passes a real decoder to
+    image_meta_df/image_resize_df instead (llm/png_codec.py:decode_png
+    is the shipped pure-stdlib example — same (bytes) -> (width, height,
+    mean_luma) contract, raises on corrupt bytes). Returns (width,
+    height, mean_luma)."""
     h = hashlib.md5(data).digest()
     width = 1 + h[0] % 64
     height = 1 + h[1] % 64
     mean_luma = round(h[2] / 255.0, 6)
     return width, height, mean_luma
+
+
+def stub_resize(data: bytes, dst_width: int, dst_height: int) -> bytes:
+    """STUB resize kernel — the DEFAULT resizer hook: the resized payload
+    is the md5 key of (content, dst dims), utf-8 hex bytes, so the
+    registered twin's resized_key is oracle-checkable in SQL. A
+    production build passes llm/png_codec.py:resize_png (or a
+    PIL-backed kernel) instead — same (bytes, w, h) -> bytes contract."""
+    text = data.decode("utf-8")
+    return hashlib.md5(f"{text}|resize|{dst_width}x{dst_height}".encode()).hexdigest().encode()
+
+
+def image_meta_df(
+    df: DataFrame,
+    img_col: str = "img",
+    id_col: str = "doc_id",
+    decoder=decode_image,
+) -> DataFrame:
+    """Image decode + feature-extract over a user's binary column:
+    Arrow-batched mapInPandas applies ``decoder`` (bytes -> (width,
+    height, mean_luma)) per blob. Rows whose bytes FAIL to decode come
+    back with null metadata and ``decode_error`` set — route them to a
+    dead-letter sink (``filter(col('decode_error').isNotNull())`` or
+    api.quarantine_stream) instead of killing the job; one corrupt blob
+    in a 100 TB corpus must cost one row, not one stage retry. The
+    decoder is closure-captured, so a driver-supplied real codec
+    serializes to executors with the plan. Map-only: zero shuffle,
+    output partitioning follows input partitioning."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, ws, hs, lumas, errs = [], [], [], [], []
+            for rid, blob in zip(batch[id_col], batch[img_col]):
+                try:
+                    w, h, luma = decoder(bytes(blob))
+                    err = None
+                except Exception as exc:  # corrupt bytes -> quarantine row
+                    w = h = luma = None
+                    err = f"{type(exc).__name__}: {exc}"
+                ids.append(rid)
+                ws.append(w)
+                hs.append(h)
+                lumas.append(luma)
+                errs.append(err)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "n_pixels": pd.array(
+                        [None if w is None else w * h for w, h in zip(ws, hs)],
+                        dtype="Int64",
+                    ),
+                    "mean_luma": pd.array(lumas, dtype="Float64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(id_col, img_col).mapInPandas(
+        kernel,
+        f"{id_col} long, width long, height long, n_pixels long,"
+        " mean_luma double, decode_error string",
+    )
+
+
+def image_resize_df(
+    df: DataFrame,
+    img_col: str = "img",
+    id_col: str = "doc_id",
+    max_edge: int = 32,
+    decoder=decode_image,
+    resizer=stub_resize,
+) -> DataFrame:
+    """Image resize over a user's binary column: ``decoder`` reads source
+    dims, edges clamp to ``max_edge``, ``resizer`` (bytes, dst_w, dst_h)
+    -> bytes produces the resized payload. Failures in either kernel
+    produce a ``decode_error`` quarantine row (null metadata, null
+    payload) — same contract as image_meta_df. Map-only; shuffling raw
+    bytes to resize them would dominate the kernel cost at scale, so
+    output partitioning must follow input partitioning."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {
+                id_col: [], "src_width": [], "src_height": [],
+                "dst_width": [], "dst_height": [], "resized": [], "errs": [],
+            }
+            for rid, blob in zip(batch[id_col], batch[img_col]):
+                try:
+                    w, h, _ = decoder(bytes(blob))
+                    dw, dh = min(w, max_edge), min(h, max_edge)
+                    payload = resizer(bytes(blob), dw, dh)
+                    err = None
+                except Exception as exc:
+                    w = h = dw = dh = payload = None
+                    err = f"{type(exc).__name__}: {exc}"
+                rows[id_col].append(rid)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["resized"].append(payload)
+                rows["errs"].append(err)
+            yield pd.DataFrame(
+                {
+                    id_col: rows[id_col],
+                    "src_width": pd.array(rows["src_width"], dtype="Int64"),
+                    "src_height": pd.array(rows["src_height"], dtype="Int64"),
+                    "dst_width": pd.array(rows["dst_width"], dtype="Int64"),
+                    "dst_height": pd.array(rows["dst_height"], dtype="Int64"),
+                    "resized": rows["resized"],
+                    "decode_error": rows["errs"],
+                }
+            )
+
+    return df.select(id_col, img_col).mapInPandas(
+        kernel,
+        f"{id_col} long, src_width long, src_height long, dst_width long,"
+        " dst_height long, resized binary, decode_error string",
+    )
 
 
 @register(
@@ -77,27 +200,16 @@ def mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode + feature-extract plumbing: binary column → mapInPandas
-    decode kernel → typed metadata. The kernel is the decode_image STUB
-    (hash-derived), which makes the whole pipeline — including the Python
-    side — oracle-checkable in SQL."""
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            meta = [decode_image(b) for b in batch["img"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"],
-                    "width": [m[0] for m in meta],
-                    "height": [m[1] for m in meta],
-                    "n_pixels": [m[0] * m[1] for m in meta],
-                    "mean_luma": [m[2] for m in meta],
-                }
-            )
-
+    decode kernel → typed metadata. Thin wrapper over image_meta_df with
+    the decode_image STUB (hash-derived) as the decoder hook, which makes
+    the whole pipeline — including the Python side — oracle-checkable in
+    SQL; the stub never fails, so the quarantine column is dropped here
+    (tests/test_multimodal_codec.py exercises the real-codec + corrupt-
+    bytes path through the same seam)."""
     d = load(spark, sf_dir, "documents")
     imgs = d.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return imgs.mapInPandas(
-        decode, "doc_id long, width long, height long, n_pixels long, mean_luma double"
+    return image_meta_df(imgs, img_col="img", id_col="doc_id").select(
+        "doc_id", "width", "height", "n_pixels", "mean_luma"
     )
 
 
@@ -221,41 +333,25 @@ def mm_audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing — the remaining enumerated multimodal verb
     (decode ✓ feature-extract ✓ frame-sample ✓ resize): binary blob →
-    decode dims (decode_image STUB) → clamp to a 32×32 edge limit →
-    re-encode key for the resized payload. The resized bytes are a
-    hash-derived stand-in key (a real build swaps in an interpolation
-    kernel + encoder at this exact seam); dims math, the 600-max-pixel
-    budget flag (chosen so the fixture exercises both branches), and the mapInPandas batch path are real. Map-only —
-    at 100 TB resize is the canonical embarrassingly-parallel
-    preprocessing step, and shuffling raw bytes to do it would dominate
-    the kernel cost, so output partitioning must follow input
-    partitioning (zero Exchange, same contract as mm_audio_feature)."""
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows = {
-                "doc_id": [], "src_width": [], "src_height": [],
-                "dst_width": [], "dst_height": [], "resized_key": [],
-                "fits_budget": [],
-            }
-            for doc_id, blob in zip(batch["doc_id"], batch["img"]):
-                w, h, _ = decode_image(blob)
-                dw, dh = min(w, 32), min(h, 32)
-                text = blob.decode("utf-8")
-                key = hashlib.md5(f"{text}|resize|{dw}x{dh}".encode()).hexdigest()
-                rows["doc_id"].append(doc_id)
-                rows["src_width"].append(w)
-                rows["src_height"].append(h)
-                rows["dst_width"].append(dw)
-                rows["dst_height"].append(dh)
-                rows["resized_key"].append(key)
-                rows["fits_budget"].append(dw * dh <= 600)
-            yield pd.DataFrame(rows)
-
+    decode dims → clamp to a 32×32 edge limit → resized payload. Thin
+    wrapper over image_resize_df with the STUB hooks (decode_image /
+    stub_resize), whose payload is the md5 key of (content, dst dims) —
+    oracle-checkable in SQL; a real build passes png_codec.resize_png at
+    the same seam (tests/test_multimodal_codec.py proves it). The
+    600-max-pixel budget flag (chosen so the fixture exercises both
+    branches) is computed JVM-side. Map-only — at 100 TB resize is the
+    canonical embarrassingly-parallel preprocessing step, and shuffling
+    raw bytes to do it would dominate the kernel cost, so output
+    partitioning must follow input partitioning (zero Exchange, same
+    contract as mm_audio_feature)."""
     d = load(spark, sf_dir, "documents")
     imgs = d.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return imgs.mapInPandas(
-        resize,
-        "doc_id long, src_width long, src_height long, dst_width long,"
-        " dst_height long, resized_key string, fits_budget boolean",
+    return image_resize_df(imgs, img_col="img", id_col="doc_id", max_edge=32).select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        "dst_width",
+        "dst_height",
+        F.col("resized").cast("string").alias("resized_key"),
+        ((F.col("dst_width") * F.col("dst_height")) <= 600).alias("fits_budget"),
     )

@@ -1,0 +1,158 @@
+"""Real-codec exercise of the multimodal decode seam (VERDICT r7 #4).
+
+The PNG bytes pushed through image_meta_df/image_resize_df here are
+constructed IN-TEST with zlib/struct (independent of the package
+encoder), so the package decoder is checked against the PNG wire format
+itself, not against its own inverse. Covers: variable dimensions,
+grayscale + RGB, every scanline filter the encoder-side can emit,
+corrupt bytes -> quarantine row (decode_error set, job survives), and
+the resize hook producing a genuinely resampled, re-decodable payload.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.llm.multimodal import (
+    image_meta_df,
+    image_resize_df,
+)
+from dicebox_sensorybatchprocessor_spark.llm.png_codec import (
+    decode_png,
+    decode_png_pixels,
+    encode_png,
+    resize_png,
+)
+
+
+def _make_png(width, height, pixels, n_channels=1, filter_type=0):
+    """Independent in-test PNG writer (zlib + struct only)."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+    stride = width * n_channels
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for row in range(height):
+        line = bytes(pixels[row * stride : (row + 1) * stride])
+        if filter_type == 0:
+            raw += b"\x00" + line
+        elif filter_type == 2:  # Up: delta vs previous row
+            prev = (
+                bytes(stride)
+                if row == 0
+                else bytes(pixels[(row - 1) * stride : row * stride])
+            )
+            raw += b"\x02" + bytes((line[x] - prev[x]) & 0xFF for x in range(stride))
+        else:
+            raise AssertionError("test writer supports filters 0 and 2")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_gray_dims_and_luma():
+    # 3x2 grayscale, known mean: (0+51+102+153+204+255)/6/255
+    px = bytes([0, 51, 102, 153, 204, 255])
+    w, h, luma = decode_png(_make_png(3, 2, px))
+    assert (w, h) == (3, 2)
+    assert luma == round(sum(px) / 6 / 255.0, 6)
+
+
+def test_decode_png_rgb_rec601_luma_and_up_filter():
+    # 2x2 RGB: solid red, green, blue, white — Rec.601 weights
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    for ft in (0, 2):
+        w, h, luma = decode_png(_make_png(2, 2, px, n_channels=3, filter_type=ft))
+        want = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255.0) / 4 / 255.0
+        assert (w, h) == (2, 2)
+        assert luma == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_package_encoder_roundtrips_through_independent_format():
+    # encode_png output must decode bit-exactly (all supported channel counts)
+    for nch in (1, 2, 3, 4):
+        px = bytes(range(4 * 3 * nch))
+        data = encode_png(4, 3, nch, px)
+        w, h, got_nch, got_px = decode_png_pixels(data)
+        assert (w, h, got_nch, bytes(got_px)) == (4, 3, nch, px)
+
+
+def test_decode_png_rejects_corrupt():
+    good = _make_png(2, 2, bytes(4))
+    for bad in (b"not a png at all", good[:20], good[:8] + b"\x00" * 30):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_resize_png_nearest_neighbor():
+    # 4x4 gray quadrants -> 2x2 picks each quadrant's top-left sample
+    px = bytes(
+        [10, 10, 20, 20,
+         10, 10, 20, 20,
+         30, 30, 40, 40,
+         30, 30, 40, 40]
+    )
+    out = resize_png(_make_png(4, 4, px), 2, 2)
+    w, h, nch, got = decode_png_pixels(out)
+    assert (w, h, nch) == (2, 2, 1)
+    assert bytes(got) == bytes([10, 20, 30, 40])
+
+
+def test_image_meta_df_real_codec_and_quarantine(spark):
+    """Real PNG bytes + one corrupt blob through the SAME mapInPandas
+    seam the registered twin uses: good rows carry exact dims/luma,
+    the corrupt row lands in the quarantine column, the job survives."""
+    rows = [
+        (1, _make_png(3, 2, bytes([0, 51, 102, 153, 204, 255]))),
+        (2, _make_png(5, 4, bytes(range(20)))),
+        (3, b"\x89PNG\r\n\x1a\ngarbage-after-signature"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    out = image_meta_df(df, decoder=decode_png).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].decode_error is None
+    assert (by_id[1].width, by_id[1].height, by_id[1].n_pixels) == (3, 2, 6)
+    assert by_id[1].mean_luma == round(765 / 6 / 255.0, 6)
+    assert (by_id[2].width, by_id[2].height) == (5, 4)
+    assert by_id[3].decode_error is not None and by_id[3].width is None
+
+    quarantined = image_meta_df(df, decoder=decode_png).filter(
+        F.col("decode_error").isNotNull()
+    )
+    assert [r.doc_id for r in quarantined.collect()] == [3]
+
+
+def test_image_resize_df_real_codec(spark):
+    """Real decoder + real resizer through the resize seam: a 40x8 PNG
+    clamps to 32x8, and the resized payload is itself a decodable PNG
+    with those dims; corrupt bytes quarantine."""
+    big = _make_png(40, 8, bytes((i * 7) % 256 for i in range(320)))
+    small = _make_png(4, 4, bytes(range(16)))
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, b"junk")], "doc_id long, img binary"
+    )
+    out = image_resize_df(
+        df, max_edge=32, decoder=decode_png, resizer=resize_png
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert (by_id[1].src_width, by_id[1].dst_width, by_id[1].dst_height) == (40, 32, 8)
+    w, h, _, _ = decode_png_pixels(bytes(by_id[1].resized))
+    assert (w, h) == (32, 8)
+    assert (by_id[2].dst_width, by_id[2].dst_height) == (4, 4)  # under the clamp
+    assert by_id[3].decode_error is not None and by_id[3].resized is None
