@@ -113,6 +113,7 @@ _ROUND8_PRIORITY = (
     "decontaminate_ngram",
     "decontaminate_bloom",
     "sim_ann_ivf",
+    "sim_ann_ivf_persisted",
     # -- rotation fill: ledger r8 slice, oldest driver-green first --
     "agg_minmax_by",
     "scan_parquet",

@@ -1537,6 +1537,45 @@ def ivf_index(
     return assigned, centers
 
 
+def ivf_save(assigned: DataFrame, centers: list[list[float]], path: str) -> None:
+    """Persist an IVF index (VERDICT r7 #5) so the ingest-time KMeans
+    amortizes across sessions instead of rebuilding per probe: the cell
+    assignments land as parquet PARTITIONED BY CELL — which turns a
+    probe's ``cell IN (...)`` filter into partition pruning, the exact
+    100 TB story ivf_index's docstring promises — and the center list as
+    a tiny companion parquet. Layout: ``<path>/assigned/cell=N/...``,
+    ``<path>/centers/``."""
+    import os
+
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "assigned")
+    )
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    centers_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centers")
+    )
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index: (assigned DataFrame with the ``cell``
+    partition column, driver-side center list ordered by cell id).
+    Probing a loaded index returns results identical to probing the
+    just-built one (tests pin this), with the probe's cell filter now
+    served by partition pruning."""
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    rows = spark.read.parquet(os.path.join(path, "centers")).orderBy("cell").collect()
+    centers = [[float(x) for x in r.center] for r in rows]
+    if not centers:
+        raise ValueError(f"no IVF centers found under {path!r}")
+    return assigned, centers
+
+
 def ivf_probe(
     assigned: DataFrame,
     centers: list[list[float]],

@@ -325,6 +325,72 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_top.withColumn("ivf_recall_at_5_ok", F.lit(n_overlap >= 3))
 
 
+@register(
+    "sim_ann_ivf_persisted",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine,
+           TRUE AS loaded_probe_identical
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    cache_plan=False,
+)
+def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index persistence (VERDICT r7 #5): build the sim_ann_ivf
+    quantizer once, ``api.ivf_save`` it (assignments partitioned by
+    cell — the probe filter becomes partition pruning), ``api.ivf_load``
+    it back, and probe BOTH the built and the loaded index with the same
+    query. The checked claim ``loaded_probe_identical`` asserts the two
+    probes return the exact same (id, cosine) sets — the amortize-the-
+    index story demonstrated, not asserted — surfaced on the in-engine
+    exact top-5 rows the oracle recomputes value-for-value (same
+    guarantee pattern as sim_ann_ivf). The saved index is cached per
+    (process, sf_dir); the save→load→probe-compare runs per invocation."""
+    import os
+
+    from dicebox_sensorybatchprocessor_spark import api
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
+
+    n_cells, nprobe, topk = 16, 8, 5
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+
+    idx_root, fresh = scratch_dir_cached("sbp_ivf_idx_", cache_key=sf_dir)
+    idx_path = os.path.join(idx_root, "ivf")
+    assigned, centers = api.ivf_index(e, vec_col="embedding", n_cells=n_cells, seed=42)
+    if fresh:
+        api.ivf_save(assigned, centers, idx_path)
+    loaded_assigned, loaded_centers = api.ivf_load(spark, idx_path)
+
+    def probe(a: DataFrame, c: list[list[float]]) -> set[tuple[int, float]]:
+        rows = api.ivf_probe(
+            a.filter(F.col("vec_id") != qrow["vec_id"]),
+            c,
+            qvec,
+            id_col="vec_id",
+            vec_col="embedding",
+            nprobe=nprobe,
+            k=topk,
+        ).collect()
+        return {(r["vec_id"], r["cosine"]) for r in rows}
+
+    identical = probe(assigned, centers) == probe(loaded_assigned, loaded_centers)
+    exact_top = api.knn_query(
+        e.filter(F.col("vec_id") != qrow["vec_id"]),
+        qvec,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=topk,
+        extra_cols=("label",),
+    )
+    return exact_top.withColumn("loaded_probe_identical", F.lit(identical))
+
+
 def ivf_measured_overlap(spark: SparkSession, sf_dir: str) -> tuple[int, int, DataFrame]:
     """(measured IVF∩exact overlap, topk, exact top-k DataFrame) for the
     sim_ann_ivf configuration — exposed so the test suite can pin the

@@ -810,3 +810,43 @@ def test_upsert_stream_keeps_latest_version(spark, tmp_path):
     got = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert got == [(1, "v2"), (2, "v1"), (3, "v1")]
     assert table.latest_version() == 3
+
+
+def test_ivf_save_load_probe_identical(spark, tmp_path):
+    """Probe over a LOADED IVF index must return results identical to
+    probe over the just-built one, and the loaded probe's cell filter
+    must be served by partition pruning (the amortize-the-index story
+    at scale)."""
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "label", "embedding")
+    assigned, centers = api.ivf_index(e, vec_col="embedding", n_cells=8, seed=7)
+    path = str(tmp_path / "ivf")
+    api.ivf_save(assigned, centers, path)
+    loaded_assigned, loaded_centers = api.ivf_load(spark, path)
+    assert loaded_centers == centers
+
+    qvec = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+
+    def probe(a, c):
+        return sorted(
+            (r.vec_id, r.cosine)
+            for r in api.ivf_probe(
+                a, c, qvec, id_col="vec_id", vec_col="embedding", nprobe=3, k=5
+            ).collect()
+        )
+
+    built = probe(assigned, centers)
+    loaded = probe(loaded_assigned, loaded_centers)
+    assert built == loaded and len(built) == 5
+
+    # the loaded probe's cell IN (...) filter prunes partitions at scan
+    order = sorted(
+        range(len(loaded_centers)),
+        key=lambda i: sum((c - q) ** 2 for c, q in zip(loaded_centers[i], qvec)),
+    )
+    plan = loaded_assigned.filter(
+        F.col("cell").isin(order[:3])
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
