@@ -54,6 +54,77 @@ _OPERATOR_MODULES = (
 # The driver window size the rotation below is planned against.
 DRIVER_WINDOW = 50
 
+# Round-8 window (VERDICT r7 Next #1 — execute the staleness ledger's r8
+# slice). Composition, in order:
+#   [head]  queries whose backing code is touched IN round 8, at the
+#           function granularity tests/test_window_rotation.py now
+#           enforces (manifest-commit protocol under stream_upsert_merge
+#           / maintenance_compact, streaming api faces, mm codec hook,
+#           IVF persistence, dedup_pipeline routing, decontaminate /
+#           dq_drift / union-find ADVICE fixes). Regenerate with
+#           `python scripts/plan_window.py --tuple` after any refactor —
+#           the rotation test fails if this head goes stale.
+#   [fill]  the NOTES.md "Registry staleness ledger" r8 slice, oldest
+#           driver-green first: all 33 r1-stale queries, then the r2
+#           head as slots allow (displaced r2 items move to the r9
+#           slice).
+# Entries beyond the 50-slot window keep the round-7 ordering as a
+# stable tail (the all_queries() loop skips duplicates).
+_ROUND8_PRIORITY = (
+    # -- touched since last round boundary (required) --
+    "stream_upsert_merge",
+    "maintenance_compact",
+    "stream_dedup",
+    "stream_dedup_wm",
+    "stream_quarantine",
+    "dq_drift",
+    "dedup_survivors",
+    "dedup_clusters",
+    "mm_image_resize",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
+    "sim_ann_ivf_persisted",
+    "mm_image_meta",
+    "dq_profile",
+    "dq_constraints",
+    # -- oldest-driver-green rotation fill --
+    "agg_minmax_by",  # last green r1
+    "scan_parquet",  # last green r1
+    "scan_csv_json",  # last green r1
+    "sink_parquet_part",  # last green r1
+    "filter_cmp",  # last green r1
+    "filter_in",  # last green r1
+    "filter_between",  # last green r1
+    "filter_like",  # last green r1
+    "filter_null",  # last green r1
+    "cond_case",  # last green r1
+    "cast_try",  # last green r1
+    "sort_multi",  # last green r1
+    "limit_topk",  # last green r1
+    "distinct_rows",  # last green r1
+    "project_unpivot",  # last green r1
+    "join_inner",  # last green r1
+    "join_left",  # last green r1
+    "join_right",  # last green r1
+    "join_full",  # last green r1
+    "join_anti",  # last green r1
+    "join_cross",  # last green r1
+    "join_theta",  # last green r1
+    "join_range",  # last green r1
+    "join_agg_revenue_by_nation",  # last green r1
+    "agg_hash",  # last green r1
+    "agg_global",  # last green r1
+    "agg_distinct",  # last green r1
+    "agg_filtered",  # last green r1
+    "agg_cube",  # last green r1
+    "agg_collect",  # last green r1
+    "agg_stats",  # last green r1
+    "events_tumbling",  # last green r1
+    "union_all",  # last green r1
+    "text_langid",  # last green r2
+    "text_fingerprint",  # last green r2
+)
+
 # Round-7 window (VERDICT r6 Next #1 — the rotation task r5 planned and
 # r6 failed to execute). Composition, in order:
 #   [1-30]  the 30 queries whose backing module was refactored in round 6
@@ -83,79 +154,6 @@ DRIVER_WINDOW = 50
 # window" from git history, so this list can no longer silently rot.
 # Entries 51+ keep the round-5 ordering as a stable tail (the
 # all_queries() loop skips duplicates).
-# Round-8 window (VERDICT r7 Next #1 — execute the staleness ledger's r8
-# slice). Composition, in order:
-#   [head]  queries whose backing code is touched IN round 8, at the
-#           function granularity tests/test_window_rotation.py now
-#           enforces (manifest-commit protocol under stream_upsert_merge
-#           / maintenance_compact, streaming api faces, mm codec hook,
-#           IVF persistence, dedup_pipeline routing, decontaminate /
-#           dq_drift / union-find ADVICE fixes). Regenerate with
-#           `python scripts/plan_window.py --tuple` after any refactor —
-#           the rotation test fails if this head goes stale.
-#   [fill]  the NOTES.md "Registry staleness ledger" r8 slice, oldest
-#           driver-green first: all 33 r1-stale queries, then the r2
-#           head as slots allow (displaced r2 items move to the r9
-#           slice).
-# Entries beyond the 50-slot window keep the round-7 ordering as a
-# stable tail (the all_queries() loop skips duplicates).
-_ROUND8_PRIORITY = (
-    # -- round-8-touched (required in window by test_window_rotation) --
-    "stream_upsert_merge",
-    "maintenance_compact",
-    "stream_dedup",
-    "stream_dedup_wm",
-    "stream_quarantine",
-    "dq_drift",
-    "dedup_survivors",
-    "dedup_clusters",
-    "mm_image_resize",
-    "decontaminate_ngram",
-    "decontaminate_bloom",
-    "sim_ann_ivf",
-    "sim_ann_ivf_persisted",
-    # -- rotation fill: ledger r8 slice, oldest driver-green first --
-    "agg_minmax_by",
-    "scan_parquet",
-    "scan_csv_json",
-    "sink_parquet_part",
-    "filter_cmp",
-    "filter_in",
-    "filter_between",
-    "filter_like",
-    "filter_null",
-    "cond_case",
-    "cast_try",
-    "sort_multi",
-    "limit_topk",
-    "distinct_rows",
-    "project_unpivot",
-    "join_inner",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "join_range",
-    "join_agg_revenue_by_nation",
-    "agg_hash",
-    "agg_global",
-    "agg_distinct",
-    "agg_filtered",
-    "agg_cube",
-    "agg_collect",
-    "agg_stats",
-    "events_tumbling",
-    "union_all",
-    "text_langid",
-    "text_fingerprint",
-    "mm_image_meta",
-    "join_bucketed",
-    "fn_struct",
-    "udaf_grouped",
-)
-
 _ROUND7_PRIORITY = (
     # -- [1-7] similarity family (llm/similarity.py touched r6) --
     "sim_cosine_topk",

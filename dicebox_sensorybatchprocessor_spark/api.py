@@ -214,6 +214,7 @@ def decontaminate(
     ngram_col: str = "ngram",
     via: str = "broadcast",
     fpp: float = 0.01,
+    n_bench: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination over pre-exploded distinct (id, ngram)
     relations: flag every corpus document sharing ≥1 n-gram with the
@@ -231,7 +232,15 @@ def decontaminate(
     bits_hit == 2k fail the == k filter and silently DROP a genuinely
     contaminated n-gram — a false negative in a safety gate. The dedup
     also keeps n_hits/n_ngrams consistently distinct-n-gram-based on
-    both routes."""
+    both routes.
+
+    ``n_bench`` (ADVICE/VERDICT r7 #7): the bloom route needs the
+    distinct benchmark n-gram count to size its bitset, which is one
+    driver count() job per call — callers invoking decontaminate in a
+    loop over one benchmark set should count once and pass it here
+    (zero extra jobs). The value only shapes the false-positive rate
+    (m, k), never correctness: survivors are exactly verified either
+    way, so an approximate or stale count is safe."""
     bench = bench_ngrams.select(ngram_col).distinct()
     corpus_ngrams = corpus_ngrams.select(id_col, ngram_col).dropDuplicates(
         [id_col, ngram_col]
@@ -242,7 +251,7 @@ def decontaminate(
     elif via == "bloom":
         from dicebox_sensorybatchprocessor_spark.operators.sketches import _bloom_bits
 
-        n_bench = max(bench.count(), 1)
+        n_bench = max(bench.count() if n_bench is None else n_bench, 1)
         m = max(64, int(math.ceil(-n_bench * math.log(fpp) / (math.log(2) ** 2))))
         k = max(1, round(m / n_bench * math.log(2)))
         bitset = _bloom_bits(bench, ngram_col, k, m).select("bit").distinct()
@@ -1228,6 +1237,66 @@ def keep_one_per_cluster(
     )
 
 
+def allpairs_verified(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard over EVERY pair sharing ≥1 shingle — the
+    small-corpus verification leg (and the audit-twin shape): no MinHash
+    banding, so recall is exact by construction, at O(Σ_shingle df²)
+    pair cost. Correct default only below ``dedup_pipeline``'s
+    allpairs_max_docs; at scale the banded leg gates this same verify to
+    colliding candidates. Columns match near_dedup_verified: doc_a,
+    doc_b, n_common, jaccard."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jaccard = F.col("n_common") * 1.0 / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jaccard >= threshold)
+        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+def dedup_route(
+    n_docs: int, n_distinct_texts: int, allpairs_max_docs: int = 2000
+) -> str:
+    """The dedup_pipeline router (VERDICT r7 #6) as a pure function of
+    two cheap corpus statistics:
+
+    * exact-duplicate COLLAPSE runs iff n_distinct_texts < n_docs — when
+      every text is unique the collapse stages (hash agg + rep semi
+      join) are a provable no-op, so they are elided; when duplicates
+      exist they are what keeps pair cost scaling with DISTINCT texts;
+    * pair VERIFICATION goes all-pairs-exact when the representative
+      count is small (≤ allpairs_max_docs — bounded pair budget, exact
+      recall, no MinHash overhead) and banded-MinHash past it (linear
+      candidate cost — the 100 TB leg).
+
+    Returns one of: 'banded', 'allpairs', 'collapse+banded',
+    'collapse+allpairs'."""
+    collapse = n_distinct_texts < n_docs
+    verifier = "allpairs" if n_distinct_texts <= allpairs_max_docs else "banded"
+    return f"collapse+{verifier}" if collapse else verifier
+
+
 def dedup_pipeline(
     df: DataFrame,
     text_col: str = "text",
@@ -1236,6 +1305,9 @@ def dedup_pipeline(
     rows: int = 8,
     bands: int = 4,
     threshold: float = 0.6,
+    route: str = "auto",
+    corpus_stats: tuple[int, int] | None = None,
+    allpairs_max_docs: int = 2000,
 ) -> DataFrame:
     """One-call near-dup deduplication over any raw-text relation — the
     whole story the family's pieces audit separately: EXACT-duplicate
@@ -1264,7 +1336,27 @@ def dedup_pipeline(
     corpus never self-joins. Registered twin: dedup_survivors (oracle =
     recursive-CTE closed form over the exact all-pairs graph, so a
     candidate-recall loss OR a collapse-semantics error would surface
-    as an oracle mismatch)."""
+    as an oracle mismatch).
+
+    ROUTING (VERDICT r7 #6): ``route='auto'`` derives the leg
+    composition from two corpus statistics — (n_docs, exact distinct
+    text count), ONE aggregation job, or zero jobs when the caller
+    passes ``corpus_stats`` — via :func:`dedup_route`: the collapse
+    stages are elided when every text is unique (provable no-op), and
+    verification goes all-pairs-exact below ``allpairs_max_docs``
+    representatives (bounded pair budget, exact recall — strictly ⊇ the
+    banded candidates) and banded-MinHash past it. Force a leg with
+    route ∈ {'banded', 'allpairs', 'collapse+banded',
+    'collapse+allpairs'}.
+
+    Short-text caveat (ADVICE r7): texts shorter than ``k`` produce
+    ZERO shingles, so the pure pair-graph formulation leaves even
+    IDENTICAL short texts as singletons, while the collapse stage
+    clusters them. The collapsed behavior is the deliberate contract —
+    identical bytes are duplicates regardless of length, and shingle
+    blindness below k is a detector limitation, not a semantic — so the
+    two formulations are equivalent only for texts ≥ k chars; on forced
+    no-collapse routes identical sub-k texts stay singletons."""
     from pyspark.sql import Window
 
     _reject_column_collisions(
@@ -1272,23 +1364,44 @@ def dedup_pipeline(
         ("cluster_id", "cluster_size", "keep", "__sbp_ck", "__sbp_rep", "__sbp_comp"),
         "dedup_pipeline",
     )
-    ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
-    gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
-    rep_df = df.join(
-        gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
-    )
+    valid_routes = ("banded", "allpairs", "collapse+banded", "collapse+allpairs")
+    if route == "auto":
+        if corpus_stats is None:
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.count_distinct(F.col(text_col)).alias("d"),
+            ).first()
+            corpus_stats = (r["n"], r["d"])
+        route = dedup_route(*corpus_stats, allpairs_max_docs=allpairs_max_docs)
+    elif route not in valid_routes:
+        raise ValueError(f"route must be 'auto' or one of {valid_routes}, got {route!r}")
+    collapse = route.startswith("collapse+")
+
+    if collapse:
+        ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
+        gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
+        rep_df = df.join(
+            gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
+        )
+        base = ck.join(gmin, "__sbp_ck")
+    else:
+        rep_df = df
+        base = df.withColumn("__sbp_rep", F.col(id_col))
+
     sh = char_shingles(rep_df, text_col=text_col, id_col=id_col, k=k)
-    pairs = near_dedup_verified(
-        sh, id_col=id_col, threshold=threshold, rows=rows, bands=bands
-    )
+    if route.endswith("allpairs"):
+        pairs = allpairs_verified(sh, id_col=id_col, threshold=threshold)
+    else:
+        pairs = near_dedup_verified(
+            sh, id_col=id_col, threshold=threshold, rows=rows, bands=bands
+        )
     labels = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
     lab = labels.select(
         F.col("node").alias("__sbp_rep"), F.col("component_id").alias("__sbp_comp")
     )
     w = Window.partitionBy("cluster_id")
     return (
-        ck.join(gmin, "__sbp_ck")
-        .join(lab, "__sbp_rep", "left")
+        base.join(lab, "__sbp_rep", "left")
         .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col("__sbp_rep")))
         .drop("__sbp_ck", "__sbp_rep", "__sbp_comp")
         .withColumn("cluster_size", F.count("*").over(w))

@@ -355,7 +355,7 @@ def _cc_union_find_rows(rows) -> dict:
 
 
 def _connected_components(
-    edges: DataFrame, max_rounds: int = 64, driver_budget_edges: int = 2_000_000
+    edges: DataFrame, max_rounds: int = 64, driver_budget_edges: int = 500_000
 ) -> tuple[DataFrame, int]:
     """Connected components via alternating large-star/small-star rounds —
     O(log n) rounds even on high-diameter graphs (each round roughly halves
@@ -374,13 +374,20 @@ def _connected_components(
     Routing (round 7, the same guarded pattern as similarity's
     byte-budget dense index): after dedup verification the pair graph is
     orders of magnitude smaller than the corpus, and when it fits a
-    bounded driver budget (``driver_budget_edges`` two-long rows, ~32 MB
-    at the 2M default) an exact union-find on the driver answers in one
-    collect instead of O(log n) cluster rounds — each distributed round
-    costs several scheduled shuffle stages, which dominates on small
-    graphs at ANY cluster size. Past the budget the distributed star
-    loop below is the scale path (and stays property-tested by forcing
-    ``driver_budget_edges=0``).
+    bounded driver budget (``driver_budget_edges``) an exact union-find
+    on the driver answers in one pass instead of O(log n) cluster rounds
+    — each distributed round costs several scheduled shuffle stages,
+    which dominates on small graphs at ANY cluster size. Past the budget
+    the distributed star loop below is the scale path (and stays
+    property-tested by forcing ``driver_budget_edges=0``).
+
+    Driver-memory accounting (ADVICE r7): Python Row/dict overhead is
+    ~100-200 bytes per edge-node entry, not the 16 raw bytes a naive
+    estimate counts, so the default budget is 500k edges (~100-200 MB
+    peak RSS) and the edge list streams through ``toLocalIterator``
+    partition-at-a-time instead of one monolithic collect — peak driver
+    memory is the union-find dicts plus ONE partition, never the whole
+    edge list twice.
 
     Convergence detection in the distributed loop is count-guarded
     (round 7): the star rounds produce DISTINCT edge sets, and two
@@ -399,7 +406,7 @@ def _connected_components(
     if prev_cnt <= driver_budget_edges:
         import pyspark.sql.types as T
 
-        labels_map = _cc_union_find_rows(edges.collect())
+        labels_map = _cc_union_find_rows(edges.toLocalIterator())
         utype = edges.schema["u"].dataType
         schema = T.StructType(
             [T.StructField("u", utype), T.StructField("label", utype)]

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import stable_round_sql
 
 
 @register(
@@ -135,7 +136,10 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_drift",
-    oracle="""
+    # rel_change mirrors api.profile_drift's stable_round bit-for-bit
+    # (ADVICE r7: plain round() diverges from Spark's floor form when
+    # x*1e6 lands on a binary half-point, esp. for negative changes)
+    oracle=f"""
     WITH a AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_rows,
              CAST(count(DISTINCT user_id) AS DOUBLE) AS user_id_distinct,
@@ -163,7 +167,7 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'value_negative', a.value_negative, b.value_negative FROM a, b
     )
     SELECT metric, value_a, value_b,
-           round((value_b - value_a) / nullif(abs(value_a), 0.0), 6) AS rel_change,
+           {stable_round_sql("(value_b - value_a) / nullif(abs(value_a), 0.0)")} AS rel_change,
            abs(value_b - value_a) <= 0.2 * abs(value_a) AS within_tolerance
     FROM m
     """,

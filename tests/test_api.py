@@ -850,3 +850,80 @@ def test_ivf_save_load_probe_identical(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_dedup_route_decision():
+    """The router is a pure function of (n_docs, n_distinct): collapse
+    iff duplicates exist, all-pairs iff representatives are few."""
+    assert api.dedup_route(500, 500) == "allpairs"
+    assert api.dedup_route(1500, 500) == "collapse+allpairs"
+    assert api.dedup_route(5000, 5000) == "banded"
+    assert api.dedup_route(50000, 5000) == "collapse+banded"
+    assert api.dedup_route(500, 500, allpairs_max_docs=100) == "banded"
+
+
+def test_dedup_pipeline_all_routes_agree(spark):
+    """Every forced leg — and auto — must produce the same
+    (id, cluster, keep) assignment on the fixture (banded has full
+    recall there, so all-pairs adds nothing; collapse is semantics-
+    preserving for >= k-char texts). Auto on the duplicated corpus must
+    pick the collapse+allpairs leg and still match."""
+    base = _renamed_docs(spark)
+    dup = base.unionByName(
+        base.limit(40).withColumn("item_id", F.col("item_id") + 10_000)
+    )
+
+    def clusters(out):
+        return sorted((r.item_id, r.cluster_id, r.keep) for r in out.collect())
+
+    want = clusters(
+        api.dedup_pipeline(dup, text_col="body", id_col="item_id",
+                           route="collapse+banded")
+    )
+    for route in ("banded", "allpairs", "collapse+allpairs", "auto"):
+        got = clusters(
+            api.dedup_pipeline(dup, text_col="body", id_col="item_id", route=route)
+        )
+        assert got == want, route
+    # auto's decision on this corpus: duplicates exist, 500 reps <= 2000
+    assert api.dedup_route(dup.count(), 500) == "collapse+allpairs"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="route"):
+        api.dedup_pipeline(dup, text_col="body", id_col="item_id", route="bogus")
+
+
+def test_decontaminate_n_bench_hint_skips_count_job(spark, monkeypatch):
+    """Passing n_bench must eliminate the per-call bench.count() driver
+    job (VERDICT r7 #7) while returning identical rows."""
+    from pyspark.sql import DataFrame
+
+    docs = _renamed_docs(spark)
+    toks = F.split("body", " ")
+    ng = docs.select(
+        "item_id", F.explode(api.word_ngrams(toks, 3)).alias("g")
+    ).distinct()
+    bench = ng.filter(F.col("item_id") % 29 == 0).select("g").distinct()
+    corpus = ng.filter(F.col("item_id") % 29 != 0)
+    n_bench = bench.count()
+
+    counts = []
+    orig = DataFrame.count
+
+    def spy(self):
+        counts.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    hinted = api.decontaminate(
+        corpus, bench, id_col="item_id", ngram_col="g", via="bloom",
+        n_bench=n_bench,
+    )
+    assert counts == []  # plan built with ZERO driver count jobs
+    monkeypatch.setattr(DataFrame, "count", orig)
+
+    want = sorted(map(str, api.decontaminate(
+        corpus, bench, id_col="item_id", ngram_col="g", via="bloom"
+    ).collect()))
+    assert sorted(map(str, hinted.collect())) == want and len(want) > 0
