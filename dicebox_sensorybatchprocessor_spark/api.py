@@ -207,6 +207,14 @@ def word_ngrams(toks: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+# via='auto' cutover: below this many distinct benchmark n-grams the raw
+# strings broadcast comfortably (eval suites are ~1e4-1e6 n-grams); past
+# it the Bloom bitset (~1.2 bytes/key at fpp=0.01) is the broadcastable
+# form. Deliberately conservative — both routes are output-identical, so
+# a wrong guess costs a broadcast size, never a result.
+AUTO_BLOOM_MIN_NGRAMS = 2_000_000
+
+
 def decontaminate(
     corpus_ngrams: DataFrame,
     bench_ngrams: DataFrame,
@@ -240,12 +248,24 @@ def decontaminate(
     loop over one benchmark set should count once and pass it here
     (zero extra jobs). The value only shapes the false-positive rate
     (m, k), never correctness: survivors are exactly verified either
-    way, so an approximate or stale count is safe."""
+    way, so an approximate or stale count is safe.
+
+    ``via='auto'`` (round 8, the dedup_route pattern): routes on the
+    benchmark's distinct n-gram count — raw-string broadcast below
+    AUTO_BLOOM_MIN_NGRAMS (2M: ~tens of MB of broadcast strings, the
+    eval-suite regime), bloom past it (the ~1.2 bytes/key bitset stays
+    broadcastable one to two orders of magnitude beyond raw strings).
+    Both routes are output-identical (tested), so the cutover is purely
+    a broadcast-size call."""
     bench = bench_ngrams.select(ngram_col).distinct()
     corpus_ngrams = corpus_ngrams.select(id_col, ngram_col).dropDuplicates(
         [id_col, ngram_col]
     )
     sizes = corpus_ngrams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    if via == "auto":
+        if n_bench is None:
+            n_bench = bench.count()
+        via = "broadcast" if n_bench < AUTO_BLOOM_MIN_NGRAMS else "bloom"
     if via == "broadcast":
         candidates = corpus_ngrams
     elif via == "bloom":
@@ -275,7 +295,7 @@ def decontaminate(
             .select(id_col, ngram_col)
         )
     else:
-        raise ValueError(f"via must be 'broadcast' or 'bloom', got {via!r}")
+        raise ValueError(f"via must be 'auto', 'broadcast', or 'bloom', got {via!r}")
     hits = (
         candidates.join(F.broadcast(bench), ngram_col)
         .groupBy(id_col)

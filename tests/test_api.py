@@ -927,3 +927,26 @@ def test_decontaminate_n_bench_hint_skips_count_job(spark, monkeypatch):
         corpus, bench, id_col="item_id", ngram_col="g", via="bloom"
     ).collect()))
     assert sorted(map(str, hinted.collect())) == want and len(want) > 0
+
+
+def test_decontaminate_auto_route(spark):
+    """via='auto' routes on the benchmark n-gram count: broadcast below
+    AUTO_BLOOM_MIN_NGRAMS, bloom past it (forced via the n_bench hint —
+    the plan gains the bloom probe's hash nodes), with identical rows
+    either way."""
+    docs = _renamed_docs(spark)
+    toks = F.split("body", " ")
+    ng = docs.select(
+        "item_id", F.explode(api.word_ngrams(toks, 3)).alias("g")
+    ).distinct()
+    bench = ng.filter(F.col("item_id") % 29 == 0).select("g").distinct()
+    corpus = ng.filter(F.col("item_id") % 29 != 0)
+
+    auto_small = api.decontaminate(corpus, bench, id_col="item_id", ngram_col="g",
+                                   via="auto")
+    auto_big = api.decontaminate(corpus, bench, id_col="item_id", ngram_col="g",
+                                 via="auto", n_bench=api.AUTO_BLOOM_MIN_NGRAMS)
+    # route evidence: the bloom leg probes xxhash64 bit positions
+    assert "xxhash64" not in auto_small._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64" in auto_big._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(str, auto_small.collect())) == sorted(map(str, auto_big.collect()))
