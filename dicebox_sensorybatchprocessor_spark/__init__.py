@@ -85,8 +85,6 @@ _ROUND8_PRIORITY = (
     "decontaminate_bloom",
     "sim_ann_ivf_persisted",
     "mm_image_meta",
-    "dq_profile",
-    "dq_constraints",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1
@@ -123,6 +121,8 @@ _ROUND8_PRIORITY = (
     "union_all",  # last green r1
     "text_langid",  # last green r2
     "text_fingerprint",  # last green r2
+    "join_bucketed",  # last green r2
+    "fn_struct",  # last green r2
 )
 
 # Round-7 window (VERDICT r6 Next #1 — the rotation task r5 planned and

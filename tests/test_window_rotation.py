@@ -27,17 +27,22 @@ global call-graph fixpoint:
   * seed: every top-level function whose span intersects the new-side
     diff lines of ``git diff -U0 <boundary>`` (committed AND working
     tree);
-  * any changed line OUTSIDE every top-level function span (imports,
-    module constants, class bodies, decorator wiring) marks the whole
-    module dirty — the module-granularity fallback survives for
-    non-function-scoped edits;
+  * changed top-level BINDINGS (constants, class defs, imports) seed
+    the fixpoint by NAME — every function referencing the bound name
+    goes dirty — instead of dirtying the whole module (a new module
+    constant must not front every query in a 1,700-line api module);
+  * any changed line outside every function AND binding span (bare
+    top-level expressions, conditional module logic) still marks the
+    whole module dirty — the module-granularity fallback survives for
+    genuinely unattributable edits;
   * fixpoint: a function becomes dirty if its source references a dirty
-    function's bare name as a call (``\\bNAME\\s*(``), across ALL
-    package modules — this subsumes r7's api.py special case (query
-    sources call ``api.NAME(...)``) and additionally follows
-    helper-to-helper chains and brand-new helper modules. Name
-    collisions over-approximate; over-fronting is safe, under-fronting
-    is the bug this test exists to prevent.
+    function's name as a call (``\\bNAME\\s*(``) or a dirty binding's
+    bare name (``\\bNAME\\b``), across ALL package modules — this
+    subsumes r7's api.py special case (query sources call
+    ``api.NAME(...)``) and additionally follows helper-to-helper chains
+    and brand-new helper modules. Name collisions over-approximate;
+    over-fronting is safe, under-fronting is the bug this test exists
+    to prevent.
 
 Infrastructure modules (registry.py, session.py, io.py, __init__.py,
 utils.py) are exempt: a change there affects all registered queries
@@ -131,6 +136,62 @@ def _top_level_functions(rel: str) -> dict[str, tuple[int, int, str]]:
     return out
 
 
+def _top_level_bindings(rel: str) -> dict[str, tuple[int, int]]:
+    """name -> (start_line, end_line) for every top-level binding that is
+    not a function: assignments (constants) and class definitions. A
+    diff touching one of these dirties the functions that REFERENCE the
+    name, via the fixpoint — not the whole module.
+
+    Import statements are deliberately NOT bindings: an import binds an
+    external name whose behavior is defined (and tracked) at its source
+    — seeding ``os``/``DataFrame`` from a new file's import block would
+    dirty every function in the package. A changed in-package callee is
+    caught through its own function span; an import-only rebind without
+    any caller change is the one theoretical gap, accepted as far
+    smaller than the false-positive blast radius."""
+    path = REPO / rel
+    if not path.exists():
+        return {}
+    tree = ast.parse(path.read_text())
+    out: dict[str, tuple[int, int]] = {}
+
+    def _bind(name: str, node) -> None:
+        out[name] = (node.lineno, node.end_lineno or node.lineno)
+
+    for node in tree.body:
+        if isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign)):
+            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
+            for t in targets:
+                for n in ast.walk(t):
+                    if isinstance(n, ast.Name):
+                        _bind(n.id, node)
+        elif isinstance(node, ast.ClassDef):
+            start = min([node.lineno] + [d.lineno for d in node.decorator_list])
+            out[node.name] = (start, node.end_lineno or node.lineno)
+    return out
+
+
+def _import_and_docstring_lines(rel: str) -> set[int]:
+    """Lines of top-level import statements and the module docstring."""
+    path = REPO / rel
+    if not path.exists():
+        return {0}
+    tree = ast.parse(path.read_text())
+    lines: set[int] = set()
+    body = tree.body
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        lines.update(range(body[0].lineno, (body[0].end_lineno or body[0].lineno) + 1))
+    for node in body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            lines.update(range(node.lineno, (node.end_lineno or node.lineno) + 1))
+    return lines
+
+
 def _package_files() -> list[str]:
     return [
         str(p.relative_to(REPO))
@@ -149,9 +210,11 @@ def dirty_query_names(boundary: str, queries) -> dict[str, str]:
 
     # -- seed dirt from diffs ------------------------------------------
     dirty: dict[tuple[str, str], str] = {}  # (rel, fn_name) -> reason
+    dirty_bindings: set[str] = set()  # bare names matched as \bNAME\b
     module_wide: dict[str, str] = {}  # rel -> reason
     for rel in touched:
         fns = _top_level_functions(rel)
+        binds = _top_level_bindings(rel)
         changed = _changed_new_lines(boundary, rel)
         if not changed:  # untracked new file: everything is new
             module_wide[rel] = f"{rel} is a new file"
@@ -162,8 +225,16 @@ def dirty_query_names(boundary: str, queries) -> dict[str, str]:
             covered |= span
             if changed & span:
                 dirty[(rel, name)] = f"{rel}:{name} changed"
-        # blank / comment-only changed lines between functions are
-        # formatting, not behavior — they must not dirty the module
+        for name, (s, e) in binds.items():
+            span = set(range(s, e + 1))
+            covered |= span
+            if changed & span:
+                dirty_bindings.add(name)
+        # blank / comment-only changed lines between definitions, import
+        # statements (see _top_level_bindings on why imports don't seed),
+        # and the module docstring are formatting/metadata, not behavior
+        # — they must not dirty the module
+        covered |= _import_and_docstring_lines(rel)
         src_lines = (REPO / rel).read_text().splitlines() if (REPO / rel).exists() else []
         substantive = {
             n
@@ -172,7 +243,7 @@ def dirty_query_names(boundary: str, queries) -> dict[str, str]:
             and not src_lines[n - 1].lstrip().startswith("#")
         }
         if substantive:
-            module_wide[rel] = f"{rel} changed outside function bodies"
+            module_wide[rel] = f"{rel} changed outside definition spans"
 
     for rel, reason in module_wide.items():
         for name in _top_level_functions(rel):
@@ -186,19 +257,26 @@ def dirty_query_names(boundary: str, queries) -> dict[str, str]:
         for name, (_s, _e, src) in _top_level_functions(rel).items()
     }
     while True:
-        names = {n for (_r, n) in dirty}
-        if not names:
+        fn_names = {n for (_r, n) in dirty}
+        pats = []
+        if fn_names:
+            pats.append(
+                r"\b(" + "|".join(re.escape(n) for n in sorted(fn_names)) + r")\s*\("
+            )
+        if dirty_bindings:
+            pats.append(
+                r"\b(" + "|".join(re.escape(n) for n in sorted(dirty_bindings)) + r")\b"
+            )
+        if not pats:
             break
-        pat = re.compile(
-            r"\b(" + "|".join(re.escape(n) for n in sorted(names)) + r")\s*\("
-        )
+        pat = re.compile("|".join(pats))
         grew = False
         for key, src in all_fns.items():
             if key in dirty:
                 continue
             m = pat.search(src)
             if m:
-                dirty[key] = f"{key[0]}:{key[1]} calls dirty {m.group(1)}"
+                dirty[key] = f"{key[0]}:{key[1]} references dirty {m.group(0)}"
                 grew = True
         if not grew:
             break
