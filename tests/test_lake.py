@@ -156,3 +156,25 @@ def test_concurrent_merge_upsert_threads_lose_nothing(spark, tmp_path):
     assert t.latest_version() == 4
     got = _rows(t.read(spark))
     assert got == sorted((i * 10 + j, f"w{i}") for i in range(4) for j in range(5))
+
+
+def test_manifest_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """Reading through the manifest (explicit file list) must behave like
+    a directory scan for Catalyst: filters reach the parquet scan as
+    PushedFilters and the ReadSchema carries only the projected columns
+    — the manifest changes WHICH files are read, never how well."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(10_000).selectExpr(
+        "CAST(id AS INT) k", "CAST(id AS STRING) v", "CAST(id % 7 AS INT) grp"
+    )
+    t.commit(t.stage(df, n_files=4), base_version=0)
+    plan = (
+        t.read(spark)
+        .filter("k > 9000")
+        .select("k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,9000)]" in plan, plan
+    assert "ReadSchema: struct<k:int>" in plan, plan
