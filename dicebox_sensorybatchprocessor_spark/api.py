@@ -1387,9 +1387,15 @@ def dedup_pipeline(
     valid_routes = ("banded", "allpairs", "collapse+banded", "collapse+allpairs")
     if route == "auto":
         if corpus_stats is None:
+            # distinct over an 8-byte text hash, not the text itself: the
+            # stat job shuffles 8 bytes/row instead of whole documents. A
+            # hash collision can only UNDER-count distinct texts, which
+            # only ever turns the (no-op-safe) collapse ON or keeps the
+            # verifier on the cheaper all-pairs side of the boundary —
+            # never the unsafe direction.
             r = df.agg(
                 F.count("*").alias("n"),
-                F.count_distinct(F.col(text_col)).alias("d"),
+                F.count_distinct(F.xxhash64(F.col(text_col))).alias("d"),
             ).first()
             corpus_stats = (r["n"], r["d"])
         route = dedup_route(*corpus_stats, allpairs_max_docs=allpairs_max_docs)
