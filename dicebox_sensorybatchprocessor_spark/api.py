@@ -942,6 +942,7 @@ def upsert_stream(
     transform=None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    n_buckets: int | None = None,
 ):
     """Streaming MERGE (upsert) sink through the manifest-commit
     protocol: each micro-batch — optionally reshaped by ``transform``
@@ -951,8 +952,12 @@ def upsert_stream(
     concurrent with the sink always resolve a complete snapshot and a
     crash mid-batch leaves the previous version readable with the
     checkpoint replaying the batch to convergence. ``table`` is a
-    ManifestTable or a root path. Returns the started StreamingQuery;
-    read the result via ``ManifestTable(root).read(spark)``."""
+    ManifestTable or a root path. ``n_buckets`` hash-buckets the store
+    by key so each micro-batch rewrites only the buckets its keys touch
+    (partial-rewrite MERGE — the sink cost a resident stream needs:
+    proportional to the delta, not the accumulated state). Returns the
+    started StreamingQuery; read the result via
+    ``ManifestTable(root).read(spark)``."""
     from dicebox_sensorybatchprocessor_spark import lake
     from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
 
@@ -961,7 +966,7 @@ def upsert_stream(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         b = transform(batch_df) if transform is not None else batch_df
-        lake.merge_upsert(t, b, keys)
+        lake.merge_upsert(t, b, keys, n_buckets=n_buckets)
 
     ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_upsert_")
     writer = stream.writeStream.foreachBatch(merge).option(

@@ -61,6 +61,17 @@ class CommitConflict(RuntimeError):
     """Another writer published the version this commit targeted."""
 
 
+def _bucket_of(key_cols: tuple[str, ...], n_buckets: int):
+    """Deterministic key -> bucket expression (pmod over xxhash64). The
+    SAME expression plans writes and routes merges, so a key's bucket
+    never drifts between versions."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)
+    ).cast("int")
+
+
 def _fsync_dir(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -123,6 +134,38 @@ class ManifestTable:
         return spark.read.parquet(*files)
 
     # -- writer protocol ----------------------------------------------
+    def stage_bucketed(
+        self, df: DataFrame, key_cols: tuple[str, ...], n_buckets: int
+    ) -> dict[str, int]:
+        """Stage ``df`` hash-bucketed by key: rows land under
+        ``__sbp_bucket=N`` subdirs of a writer-unique dir, and the
+        returned {relative path: bucket} map travels in the manifest so
+        a later MERGE can rewrite ONLY the buckets its keys touch. The
+        bucket column is derived (pmod(xxhash64(keys), n)), never
+        stored — readers see exactly the user's columns."""
+        from pyspark.sql import functions as F
+
+        sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        out = os.path.join(self.root, sub)
+        bucketed = df.withColumn("__sbp_bucket", _bucket_of(key_cols, n_buckets))
+        # co-locate each bucket into one task -> one file per present
+        # bucket (a MERGE stages only its touched buckets, so this stays
+        # proportional to the delta, and compaction gets its target
+        # file count for free)
+        bucketed = bucketed.repartition(n_buckets, F.col("__sbp_bucket"))
+        bucketed.write.partitionBy("__sbp_bucket").parquet(out)
+        mapping: dict[str, int] = {}
+        for dirpath, _dirs, names in os.walk(out):
+            base = os.path.basename(dirpath)
+            if not base.startswith("__sbp_bucket="):
+                continue
+            bucket = int(base.split("=", 1)[1])
+            for name in names:
+                if name.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(dirpath, name), self.root)
+                    mapping[rel] = bucket
+        return mapping
+
     def stage(self, df: DataFrame, n_files: int | None = None) -> list[str]:
         """Write ``df`` as immutable data files under a writer-unique
         subdir and return their root-relative paths. NOT visible to
@@ -148,12 +191,22 @@ class ManifestTable:
             os.unlink(tmp)
         _fsync_dir(os.path.dirname(final))
 
-    def commit(self, files: list[str], base_version: int) -> int:
+    def commit(
+        self,
+        files: list[str],
+        base_version: int,
+        bucket_meta: dict | None = None,
+    ) -> int:
         """Publish ``files`` as version ``base_version + 1``. Raises
         :class:`CommitConflict` if that version already exists (the
-        caller re-reads the new snapshot and retries its merge)."""
+        caller re-reads the new snapshot and retries its merge).
+        ``bucket_meta`` (bucketed tables) carries {n_buckets,
+        bucket_keys, file_buckets} so merges can plan partial
+        rewrites."""
         next_v = base_version + 1
         manifest = {"version": next_v, "base": base_version, "files": files}
+        if bucket_meta:
+            manifest.update(bucket_meta)
         fd, tmp = tempfile.mkstemp(
             dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
         )
@@ -199,10 +252,24 @@ class ManifestTable:
         for _ in range(max_retries):
             snap = self.snapshot()
             n_before, total_bytes = self.file_stats(snap["version"])
-            n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-            files = self.stage(self.read(spark, snap["version"]), n_files=n_out)
+            df = self.read(spark, snap["version"])
+            if snap.get("n_buckets"):
+                # bucketed tables compact per bucket (one file each) so
+                # the bucket map — and partial-rewrite merges — survive
+                mapping = self.stage_bucketed(
+                    df, tuple(snap["bucket_keys"]), snap["n_buckets"]
+                )
+                files, n_out = sorted(mapping), snap["n_buckets"]
+                meta = {
+                    "n_buckets": snap["n_buckets"],
+                    "bucket_keys": snap["bucket_keys"],
+                    "file_buckets": mapping,
+                }
+            else:
+                n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+                files, meta = self.stage(df, n_files=n_out), None
             try:
-                version = self.commit(files, snap["version"])
+                version = self.commit(files, snap["version"], bucket_meta=meta)
             except CommitConflict:
                 continue
             return {
@@ -244,30 +311,84 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: tuple[str, ...],
     max_retries: int = 5,
+    n_buckets: int | None = None,
 ) -> int:
     """Keyed MERGE (upsert) through the manifest protocol: rows in
     ``updates`` replace same-key rows of the current snapshot, unseen
     keys survive (anti-join ⊎ updates — the CDC-sink / Delta-MERGE
     shape). Optimistic: a conflicting commit re-drives the merge from
-    the NEW snapshot, so concurrent mergers serialize without locks. At
-    scale the snapshot is partitioned by key-hash and only partitions
-    containing changed keys rewrite; here the whole (small) snapshot
-    rewrites, which keeps the protocol identical and the cost linear in
-    the store."""
+    the NEW snapshot, so concurrent mergers serialize without locks.
+
+    PARTIAL REWRITE (round 8): pass ``n_buckets`` on the first merge to
+    hash-bucket the table by key. Every later merge then derives the
+    buckets its update keys land in, reads and rewrites ONLY those
+    buckets' files, and carries every untouched bucket's files into the
+    new manifest verbatim — commit cost scales with the delta's key
+    spread, not the table (a 1-user update against a 1B-user store
+    rewrites 1/n_buckets of it, and the untouched files are reused
+    byte-identical, which the tests pin by path). Unbucketed tables
+    keep the whole-snapshot rewrite — correct at any size, linear cost.
+    Bucket shape is table metadata: later merges inherit it and reject
+    mismatched keys."""
     spark = updates.sparkSession
     keys = list(key_cols)
     for _ in range(max_retries):
         snap = table.snapshot()
-        if snap["files"]:
-            old = table.read(spark, snap["version"])
-            merged = old.join(
-                updates.select(*keys), keys, "left_anti"
-            ).unionByName(updates)
+        nb = snap.get("n_buckets") if snap["files"] else n_buckets
+        if snap["files"] and snap.get("n_buckets"):
+            if list(snap["bucket_keys"]) != keys:
+                raise ValueError(
+                    f"table is bucketed by {snap['bucket_keys']}, merge keyed "
+                    f"by {keys} cannot route buckets"
+                )
+            fb = snap["file_buckets"]
+            touched = {
+                r["b"]
+                for r in updates.select(
+                    _bucket_of(tuple(keys), nb).alias("b")
+                ).distinct().collect()
+            }
+            keep_files = [f for f in snap["files"] if fb[f] not in touched]
+            rewrite_files = [f for f in snap["files"] if fb[f] in touched]
+            if rewrite_files:
+                old = spark.read.parquet(
+                    *[table.root + "/" + f for f in rewrite_files]
+                )
+                merged = old.join(
+                    updates.select(*keys), keys, "left_anti"
+                ).unionByName(updates)
+            else:
+                merged = updates
+            new_map = table.stage_bucketed(merged, tuple(keys), nb)
+            files = keep_files + sorted(new_map)
+            meta = {
+                "n_buckets": nb,
+                "bucket_keys": keys,
+                "file_buckets": {
+                    **{f: fb[f] for f in keep_files},
+                    **new_map,
+                },
+            }
         else:
-            merged = updates
-        files = table.stage(merged)
+            if snap["files"]:
+                old = table.read(spark, snap["version"])
+                merged = old.join(
+                    updates.select(*keys), keys, "left_anti"
+                ).unionByName(updates)
+            else:
+                merged = updates
+            if nb:
+                new_map = table.stage_bucketed(merged, tuple(keys), nb)
+                files = sorted(new_map)
+                meta = {
+                    "n_buckets": nb,
+                    "bucket_keys": keys,
+                    "file_buckets": new_map,
+                }
+            else:
+                files, meta = table.stage(merged), None
         try:
-            return table.commit(files, snap["version"])
+            return table.commit(files, snap["version"], bucket_meta=meta)
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries")

@@ -94,12 +94,12 @@ def test_merge_upsert_semantics_and_conflict_retry(spark, tmp_path):
     # the merge must retry against the NEW snapshot, keeping (9, "race")
     real_commit, injected = t.commit, []
 
-    def racing_commit(files, base_version):
+    def racing_commit(files, base_version, bucket_meta=None):
         if not injected:
             injected.append(True)
             real_commit(t.stage(_df(spark, [(9, "race")])
                                 .unionByName(t.read(spark))), base_version)
-        return real_commit(files, base_version)
+        return real_commit(files, base_version, bucket_meta=bucket_meta)
 
     t.commit = racing_commit
     merge_upsert(t, _df(spark, [(1, "A")]), ("k",))
@@ -178,3 +178,62 @@ def test_manifest_read_keeps_pushdown_and_pruning(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,9000)]" in plan, plan
     assert "ReadSchema: struct<k:int>" in plan, plan
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The partial-rewrite contract: after bucketing by key, a merge
+    touching few keys must carry every untouched bucket's files into
+    the new manifest VERBATIM (same paths — zero rewrite) and produce
+    the same rows a whole-snapshot merge would."""
+    t = ManifestTable(str(tmp_path / "t"))
+    base = _df(spark, [(k, "v0") for k in range(64)])
+    merge_upsert(t, base, ("k",), n_buckets=8)
+    snap1 = t.snapshot()
+    assert snap1["n_buckets"] == 8 and snap1["bucket_keys"] == ["k"]
+    assert set(snap1["file_buckets"].values()) <= set(range(8))
+
+    # single-key update: at most one bucket rewrites
+    merge_upsert(t, _df(spark, [(5, "v1")]), ("k",))
+    snap2 = t.snapshot()
+    from dicebox_sensorybatchprocessor_spark.lake import _bucket_of
+
+    touched = spark.createDataFrame([(5,)], "k int").select(
+        _bucket_of(("k",), 8).alias("b")
+    ).first()["b"]
+    untouched_v1 = {f for f, b in snap1["file_buckets"].items() if b != touched}
+    assert untouched_v1 <= set(snap2["files"])  # reused byte-identical by path
+    rewritten = set(snap2["files"]) - set(snap1["files"])
+    assert all(snap2["file_buckets"][f] == touched for f in rewritten)
+
+    rows = dict(_rows(t.read(spark)))
+    assert rows[5] == "v1" and rows[4] == "v0" and len(rows) == 64
+
+    # mismatched merge keys cannot route buckets -> explicit error
+    with pytest.raises(ValueError, match="bucketed"):
+        merge_upsert(t, _df(spark, [(1, "x")]).withColumnRenamed("k", "q"), ("q",))
+
+
+def test_bucketed_compact_and_merge_after_compact(spark, tmp_path):
+    """A bucketed table's file count stays bounded by n_buckets across
+    merges (touched buckets REPLACE their file, untouched reuse — no
+    fragmentation to accumulate), compaction preserves the bucket map,
+    and partial-rewrite merges keep working afterwards."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(4):
+        merge_upsert(
+            t, _df(spark, [(k, f"v{i}") for k in range(i, 64, 4)]), ("k",),
+            n_buckets=4,
+        )
+    n_files, _ = t.file_stats()
+    assert n_files <= 4  # bounded by n_buckets after ANY merge history
+    stats = t.compact(spark)
+    snap = t.snapshot()
+    assert stats["n_files_after"] <= 4
+    assert snap["n_buckets"] == 4 and len(snap["file_buckets"]) == len(snap["files"])
+    assert t.read(spark).count() == 64
+
+    before = set(t.snapshot()["files"])
+    merge_upsert(t, _df(spark, [(7, "post")]), ("k",))
+    after = t.snapshot()
+    assert len(before & set(after["files"])) >= 3  # ≥3 of 4 buckets reused
+    assert dict(_rows(t.read(spark)))[7] == "post"
