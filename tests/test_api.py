@@ -950,3 +950,30 @@ def test_decontaminate_auto_route(spark):
     assert "xxhash64" not in auto_small._jdf.queryExecution().analyzed().toString()
     assert "xxhash64" in auto_big._jdf.queryExecution().analyzed().toString()
     assert sorted(map(str, auto_small.collect())) == sorted(map(str, auto_big.collect()))
+
+
+def test_upsert_stream_bucketed_partial_rewrite(spark, tmp_path):
+    """api.upsert_stream(n_buckets=...) must leave the store bucketed so
+    each micro-batch rewrites only its touched buckets, and the final
+    snapshot still equals keep-latest-per-key."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    batches = [
+        spark.createDataFrame([(k, "v0") for k in range(32)], "k int, v string"),
+        spark.createDataFrame([(3, "v1")], "k int, v string"),
+    ]
+    stream = api.replay_stream(
+        spark, batches, name="api_upsert_bkt", max_files_per_trigger=1
+    )
+    table = lake.ManifestTable(str(tmp_path / "t"))
+    q = api.upsert_stream(
+        stream, table, ("k",), checkpoint_dir=str(tmp_path / "ck"), n_buckets=8
+    )
+    q.awaitTermination()
+    s1, s2 = table.snapshot(1), table.snapshot(2)
+    assert s2["n_buckets"] == 8
+    # batch 2 touched ONE key -> all other buckets' files reused verbatim
+    reused = set(s1["files"]) & set(s2["files"])
+    assert len(reused) >= len(s1["files"]) - 1 > 0
+    rows = {r.k: r.v for r in table.read(spark).collect()}
+    assert rows[3] == "v1" and rows[4] == "v0" and len(rows) == 32
