@@ -127,11 +127,24 @@ class ManifestTable:
             os.path.join(self.root, f) for f in self.snapshot(version)["files"]
         ]
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Load a snapshot. ``merge_schema=True`` reconciles data files
+        written under different (widened) schemas — columns absent from
+        older files read as null. Off by default: schema merging pays a
+        footer-union per read and an evolved table only needs it until
+        compaction rewrites every file under the widest schema."""
         files = self.data_files(version)
         if not files:
             raise ValueError(f"ManifestTable {self.root} has no committed version")
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     # -- writer protocol ----------------------------------------------
     def stage_bucketed(
@@ -252,7 +265,11 @@ class ManifestTable:
         for _ in range(max_retries):
             snap = self.snapshot()
             n_before, total_bytes = self.file_stats(snap["version"])
-            df = self.read(spark, snap["version"])
+            # always schema-merge here: a compaction is exactly the pass
+            # that settles an evolved table under its widest schema, and
+            # a plain read's schema inference samples files — it could
+            # silently drop a column added by schema_evolution merges
+            df = self.read(spark, snap["version"], merge_schema=True)
             if snap.get("n_buckets"):
                 # bucketed tables compact per bucket (one file each) so
                 # the bucket map — and partial-rewrite merges — survive
@@ -312,6 +329,7 @@ def merge_upsert(
     key_cols: tuple[str, ...],
     max_retries: int = 5,
     n_buckets: int | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """Keyed MERGE (upsert) through the manifest protocol: rows in
     ``updates`` replace same-key rows of the current snapshot, unseen
@@ -329,7 +347,14 @@ def merge_upsert(
     byte-identical, which the tests pin by path). Unbucketed tables
     keep the whole-snapshot rewrite — correct at any size, linear cost.
     Bucket shape is table metadata: later merges inherit it and reject
-    mismatched keys."""
+    mismatched keys.
+
+    ``schema_evolution=True`` lets ``updates`` WIDEN the table: new
+    columns merge in, existing rows (and old data files) read them as
+    null; reads of an evolved table need ``merge_schema=True`` until a
+    compaction rewrites every file under the widest schema. Off by
+    default so an accidental column rename surfaces as an
+    analysis error instead of silently forking the schema."""
     spark = updates.sparkSession
     keys = list(key_cols)
     for _ in range(max_retries):
@@ -351,12 +376,15 @@ def merge_upsert(
             keep_files = [f for f in snap["files"] if fb[f] not in touched]
             rewrite_files = [f for f in snap["files"] if fb[f] in touched]
             if rewrite_files:
-                old = spark.read.parquet(
+                reader = spark.read
+                if schema_evolution:
+                    reader = reader.option("mergeSchema", "true")
+                old = reader.parquet(
                     *[table.root + "/" + f for f in rewrite_files]
                 )
                 merged = old.join(
                     updates.select(*keys), keys, "left_anti"
-                ).unionByName(updates)
+                ).unionByName(updates, allowMissingColumns=schema_evolution)
             else:
                 merged = updates
             new_map = table.stage_bucketed(merged, tuple(keys), nb)
@@ -371,10 +399,12 @@ def merge_upsert(
             }
         else:
             if snap["files"]:
-                old = table.read(spark, snap["version"])
+                old = table.read(
+                    spark, snap["version"], merge_schema=schema_evolution
+                )
                 merged = old.join(
                     updates.select(*keys), keys, "left_anti"
-                ).unionByName(updates)
+                ).unionByName(updates, allowMissingColumns=schema_evolution)
             else:
                 merged = updates
             if nb:

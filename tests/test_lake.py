@@ -237,3 +237,26 @@ def test_bucketed_compact_and_merge_after_compact(spark, tmp_path):
     after = t.snapshot()
     assert len(before & set(after["files"])) >= 3  # ≥3 of 4 buckets reused
     assert dict(_rows(t.read(spark)))[7] == "post"
+
+
+def test_schema_evolution_widens_and_compaction_settles(spark, tmp_path):
+    """schema_evolution=True lets an update add a column (old rows read
+    null under merge_schema=True); compaction rewrites every file under
+    the widest schema so plain reads work again. Without the flag, a
+    widened update is an analysis error, not a silent fork."""
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(1, "a"), (2, "b")]), ("k",))
+    widened = spark.createDataFrame(
+        [(2, "B", 9.5)], "k int, v string, score double"
+    )
+    with pytest.raises(Exception):  # strict default refuses the widening
+        merge_upsert(t, widened, ("k",))
+    merge_upsert(t, widened, ("k",), schema_evolution=True)
+
+    rows = {r.k: (r.v, r.score)
+            for r in t.read(spark, merge_schema=True).collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.5)}
+
+    t.compact(spark)  # compaction always schema-merges, then rewrites
+    rows = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.5)}
