@@ -209,17 +209,23 @@ class ManifestTable:
         files: list[str],
         base_version: int,
         bucket_meta: dict | None = None,
+        stat_cols: tuple[str, ...] = (),
     ) -> int:
         """Publish ``files`` as version ``base_version + 1``. Raises
         :class:`CommitConflict` if that version already exists (the
         caller re-reads the new snapshot and retries its merge).
         ``bucket_meta`` (bucketed tables) carries {n_buckets,
-        bucket_keys, file_buckets} so merges can plan partial
-        rewrites."""
+        bucket_keys, file_buckets} so merges can plan partial rewrites;
+        ``stat_cols`` records per-file [min, max] zone maps for those
+        columns so read_range/prune_files can skip files without
+        opening them."""
         next_v = base_version + 1
         manifest = {"version": next_v, "base": base_version, "files": files}
         if bucket_meta:
             manifest.update(bucket_meta)
+        if stat_cols:
+            manifest["stat_cols"] = sorted(stat_cols)
+            manifest["file_stats"] = self.collect_file_stats(files, tuple(stat_cols))
         fd, tmp = tempfile.mkstemp(
             dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
         )
@@ -240,6 +246,82 @@ class ManifestTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    # -- data skipping ---------------------------------------------------
+    def collect_file_stats(
+        self, files: list[str], stat_cols: tuple[str, ...]
+    ) -> dict[str, dict[str, list]]:
+        """{relative path: {col: [min, max]}} from the parquet footers
+        (pyarrow, driver-local, no Spark job) — the per-file zone maps a
+        manifest can serve that a bare directory listing cannot. Columns
+        with no usable stats (all-null files, unsupported types) are
+        omitted for that file, which prune_files treats as
+        must-keep."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rel in files:
+            meta = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            cols: dict[str, list] = {}
+            for ci in range(meta.num_columns):
+                name = meta.row_group(0).column(ci).path_in_schema
+                if name not in stat_cols:
+                    continue
+                mins, maxs = [], []
+                for ri in range(meta.num_row_groups):
+                    st = meta.row_group(ri).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    cols[name] = [min(mins), max(maxs)]
+            out[rel] = cols
+        return out
+
+    def prune_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> list[str]:
+        """Root-relative data files of the snapshot whose [min, max] for
+        ``col`` intersects [lo, hi] (None = unbounded). Files without
+        recorded stats for ``col`` are kept — skipping must never drop a
+        row. Pair with ``spark.read.parquet(*table.abs(files))`` plus
+        the real filter: the stats only choose which footers Spark ever
+        opens."""
+        snap = self.snapshot(version)
+        stats = snap.get("file_stats", {})
+        kept = []
+        for rel in snap["files"]:
+            rng = stats.get(rel, {}).get(col)
+            if rng is None:
+                kept.append(rel)
+                continue
+            fmin, fmax = rng
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                continue
+            kept.append(rel)
+        return kept
+
+    def read_range(
+        self, spark: SparkSession, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range scan served by manifest zone maps: only files whose
+        ``col`` stats intersect [lo, hi] are handed to Spark (the others
+        are never opened — no footer read, no task), then the exact
+        filter applies on top. Equal to ``read().filter(...)`` by
+        construction; cheaper by the skipped files."""
+        from pyspark.sql import functions as F
+
+        files = self.prune_files(col, lo, hi, version)
+        if not files:
+            return self.read(spark, version).filter(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # -- maintenance ----------------------------------------------------
     def file_stats(self, version: int | None = None) -> tuple[int, int]:
@@ -286,7 +368,12 @@ class ManifestTable:
                 n_out = max(1, math.ceil(total_bytes / target_file_bytes))
                 files, meta = self.stage(df, n_files=n_out), None
             try:
-                version = self.commit(files, snap["version"], bucket_meta=meta)
+                version = self.commit(
+                    files,
+                    snap["version"],
+                    bucket_meta=meta,
+                    stat_cols=tuple(snap.get("stat_cols", ())),
+                )
             except CommitConflict:
                 continue
             return {
@@ -330,6 +417,7 @@ def merge_upsert(
     max_retries: int = 5,
     n_buckets: int | None = None,
     schema_evolution: bool = False,
+    stat_cols: tuple[str, ...] = (),
 ) -> int:
     """Keyed MERGE (upsert) through the manifest protocol: rows in
     ``updates`` replace same-key rows of the current snapshot, unseen
@@ -348,6 +436,10 @@ def merge_upsert(
     keep the whole-snapshot rewrite — correct at any size, linear cost.
     Bucket shape is table metadata: later merges inherit it and reject
     mismatched keys.
+
+    ``stat_cols`` (first merge) records per-file [min, max] zone maps in
+    every manifest so ``read_range`` can skip files; later merges
+    inherit the table's stat columns.
 
     ``schema_evolution=True`` lets ``updates`` WIDEN the table: new
     columns merge in, existing rows (and old data files) read them as
@@ -418,7 +510,12 @@ def merge_upsert(
             else:
                 files, meta = table.stage(merged), None
         try:
-            return table.commit(files, snap["version"], bucket_meta=meta)
+            return table.commit(
+                files,
+                snap["version"],
+                bucket_meta=meta,
+                stat_cols=tuple(snap.get("stat_cols") or stat_cols),
+            )
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries")

@@ -260,3 +260,40 @@ def test_schema_evolution_widens_and_compaction_settles(spark, tmp_path):
     t.compact(spark)  # compaction always schema-merges, then rewrites
     rows = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
     assert rows == {1: ("a", None), 2: ("B", 9.5)}
+
+
+def test_file_stats_data_skipping(spark, tmp_path):
+    """Zone-map pruning: a commit with stat_cols records per-file
+    [min, max] from the parquet footers; read_range hands Spark only
+    intersecting files (never opening the rest) and equals
+    read().filter() row-for-row. Files lacking stats are must-keep."""
+    t = ManifestTable(str(tmp_path / "t"))
+    # 4 files with disjoint k ranges via range-partitioned staging
+    df = spark.range(4000).selectExpr("CAST(id AS INT) k", "CAST(id AS STRING) v")
+    files = t.stage(df.repartitionByRange(4, "k"), )
+    t.commit(files, base_version=0, stat_cols=("k",))
+    snap = t.snapshot()
+    assert set(snap["stat_cols"]) == {"k"}
+    assert all("k" in s for s in snap["file_stats"].values())
+
+    pruned = t.prune_files("k", 100, 150)
+    assert 0 < len(pruned) < len(snap["files"])
+
+    got = sorted(r.k for r in t.read_range(spark, "k", 100, 150).collect())
+    want = sorted(
+        r.k for r in t.read(spark).filter("k >= 100 and k <= 150").collect()
+    )
+    assert got == want == list(range(100, 151))
+
+    # out-of-range scan touches zero files but stays a valid (empty) plan
+    assert t.prune_files("k", 10_000, None) == []
+    assert t.read_range(spark, "k", 10_000, None).count() == 0
+
+    # stats survive merges (inherited) and compaction
+    merge_upsert(t, _df(spark, [(42, "updated")]), ("k",))
+    assert t.snapshot().get("stat_cols") == ["k"]
+    t.compact(spark)
+    snap3 = t.snapshot()
+    assert snap3.get("stat_cols") == ["k"] and snap3["file_stats"]
+    got = {r.v for r in t.read_range(spark, "k", 42, 42).collect()}
+    assert got == {"updated"}
