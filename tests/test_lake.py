@@ -94,12 +94,12 @@ def test_merge_upsert_semantics_and_conflict_retry(spark, tmp_path):
     # the merge must retry against the NEW snapshot, keeping (9, "race")
     real_commit, injected = t.commit, []
 
-    def racing_commit(files, base_version, bucket_meta=None):
+    def racing_commit(files, base_version, **kwargs):
         if not injected:
             injected.append(True)
             real_commit(t.stage(_df(spark, [(9, "race")])
                                 .unionByName(t.read(spark))), base_version)
-        return real_commit(files, base_version, bucket_meta=bucket_meta)
+        return real_commit(files, base_version, **kwargs)
 
     t.commit = racing_commit
     merge_upsert(t, _df(spark, [(1, "A")]), ("k",))
