@@ -236,13 +236,39 @@ class ManifestTable:
         self._publish(tmp, self._manifest_path(next_v))
         return next_v
 
-    def overwrite(self, df: DataFrame, max_retries: int = 5) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        cluster_by: tuple[str, ...] = (),
+        n_files: int | None = None,
+        stat_cols: tuple[str, ...] = (),
+    ) -> int:
         """Full-replace commit (last-writer-wins): stage once, retry the
-        publish against whatever the latest version becomes."""
-        files = self.stage(df)
+        publish against whatever the latest version becomes.
+
+        ``cluster_by`` range-partitions + sorts the data on those
+        columns before staging, so each file owns a narrow value range —
+        zone maps (``stat_cols``, which defaults to the cluster columns)
+        then make ``read_range`` skip almost every file instead of
+        almost none. Clustering is what turns file stats from metadata
+        into skipped I/O; unclustered tables keep stats but overlap."""
+        if cluster_by:
+            cols = [df[c] for c in cluster_by]
+            df = (
+                df.repartitionByRange(n_files, *cols)
+                if n_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
+            stat_cols = stat_cols or tuple(cluster_by)
+            files = self.stage(df)
+        else:
+            files = self.stage(df, n_files=n_files)
         for _ in range(max_retries):
             try:
-                return self.commit(files, self.latest_version())
+                return self.commit(
+                    files, self.latest_version(), stat_cols=stat_cols
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")

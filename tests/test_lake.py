@@ -297,3 +297,25 @@ def test_file_stats_data_skipping(spark, tmp_path):
     assert snap3.get("stat_cols") == ["k"] and snap3["file_stats"]
     got = {r.v for r in t.read_range(spark, "k", 42, 42).collect()}
     assert got == {"updated"}
+
+
+def test_clustered_overwrite_maximizes_skipping(spark, tmp_path):
+    """cluster_by range-partitions + sorts before staging so zone maps
+    actually skip: a narrow range scan over the clustered table touches
+    ~1 of N files, while the same data shuffled randomly keeps stats
+    but overlaps (skips nothing). Both return identical rows."""
+    df = spark.range(8000).selectExpr(
+        "CAST(pmod(id * 2654435761, 8000) AS INT) k", "CAST(id AS STRING) v"
+    )
+    clustered = ManifestTable(str(tmp_path / "c"))
+    clustered.overwrite(df, cluster_by=("k",), n_files=8)
+    messy = ManifestTable(str(tmp_path / "m"))
+    messy.overwrite(df.repartition(8), stat_cols=("k",), n_files=8)
+
+    n_c = len(clustered.prune_files("k", 100, 200))
+    n_m = len(messy.prune_files("k", 100, 200))
+    assert n_c <= 2 < n_m == 8  # clustered skips, shuffled overlaps
+
+    got_c = sorted(r.k for r in clustered.read_range(spark, "k", 100, 200).collect())
+    got_m = sorted(r.k for r in messy.read_range(spark, "k", 100, 200).collect())
+    assert got_c == got_m == list(range(100, 201))
