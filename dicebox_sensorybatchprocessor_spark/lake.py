@@ -413,11 +413,22 @@ class ManifestTable:
 
     def vacuum(self, retain_versions: int = 1) -> int:
         """Delete data files referenced by NO retained manifest (crash
-        orphans and files superseded more than ``retain_versions`` ago).
-        Returns the number of files removed. Time travel keeps working
-        for retained versions only."""
+        orphans and files superseded more than ``retain_versions`` ago),
+        AND the expired manifests themselves — a manifest whose files
+        are gone is a dangling promise, so time travel past the retained
+        window fails explicitly at snapshot resolution instead of at
+        scan time. Returns the number of data files removed."""
         latest = self.latest_version()
         keep_versions = range(max(1, latest - retain_versions + 1), latest + 1)
+        for name in os.listdir(os.path.join(self.root, _MANIFEST_DIR)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1 : 1 + _V_DIGITS])
+            except ValueError:
+                continue
+            if v not in keep_versions:
+                os.remove(os.path.join(self.root, _MANIFEST_DIR, name))
         live = {
             os.path.normpath(os.path.join(self.root, f))
             for v in keep_versions

@@ -319,3 +319,17 @@ def test_clustered_overwrite_maximizes_skipping(spark, tmp_path):
     got_c = sorted(r.k for r in clustered.read_range(spark, "k", 100, 200).collect())
     got_m = sorted(r.k for r in messy.read_range(spark, "k", 100, 200).collect())
     assert got_c == got_m == list(range(100, 201))
+
+
+def test_vacuum_expires_manifests_explicitly(spark, tmp_path):
+    """After vacuum(retain_versions=1) the expired version's manifest is
+    gone: time travel past the window fails at snapshot resolution (a
+    clear FileNotFoundError) instead of dangling into deleted data."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(t.stage(_df(spark, [(1, "a")])), base_version=0)
+    t.commit(t.stage(_df(spark, [(1, "b")])), base_version=1)
+    t.vacuum(retain_versions=1)
+    assert t.latest_version() == 2
+    assert _rows(t.read(spark)) == [(1, "b")]
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
