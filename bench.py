@@ -119,6 +119,12 @@ SQL_BLOCK = [
     "join_interval_chunked",
     "cdc_snapshot_diff",
     "dq_drift",  # round 7: batch-over-batch profile drift gate
+    # round 8: compaction through the manifest-commit protocol — warm
+    # re-runs re-compact the (already compact) snapshot into the next
+    # version, so this times one full scan + staged write + atomic
+    # publish per sample; one-shot additionally pays the 64-file
+    # fragmented v1 staging
+    "maintenance_compact",
 ]
 
 
