@@ -349,6 +349,38 @@ class ManifestTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        key_cols: tuple[str, ...] = (),
+        tracked_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions —
+        (keys, change_type ∈ {insert, update, delete}) — the table-
+        changes read a downstream incremental consumer tails instead of
+        re-reading the table. Thin glue over api.snapshot_diff (the CDC
+        reconciliation core): one co-partitioned full-outer join of the
+        two snapshots, so the cost is the two snapshots' scan + one
+        keyed shuffle, independent of how many commits separate them.
+        Keys default to the table's bucket keys when bucketed."""
+        from dicebox_sensorybatchprocessor_spark import api
+
+        keys = (
+            tuple(key_cols)
+            or tuple(self.snapshot(v_to).get("bucket_keys") or ())
+            or tuple(self.snapshot(v_from).get("bucket_keys") or ())
+        )
+        if not keys:
+            raise ValueError("changes() needs key_cols (or a bucketed endpoint)")
+        old = self.read(spark, v_from)
+        new = self.read(spark, v_to)
+        tracked = tuple(tracked_cols) or tuple(
+            c for c in new.columns if c not in keys
+        )
+        return api.snapshot_diff(old, new, keys, tracked)
+
     # -- maintenance ----------------------------------------------------
     def file_stats(self, version: int | None = None) -> tuple[int, int]:
         """(file count, total bytes) of the snapshot's data files — from

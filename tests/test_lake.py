@@ -333,3 +333,19 @@ def test_vacuum_expires_manifests_explicitly(spark, tmp_path):
     assert _rows(t.read(spark)) == [(1, "b")]
     with pytest.raises(FileNotFoundError):
         t.snapshot(1)
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """Version-to-version change feed: inserts/updates/deletes classified
+    between any two committed snapshots, keys defaulting to the bucket
+    keys."""
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ("k",), n_buckets=4)
+    # v2: update 2, insert 4; (deletes need an overwrite — do one at v3)
+    merge_upsert(t, _df(spark, [(2, "B"), (4, "d")]), ("k",))
+    t.overwrite(_df(spark, [(1, "a"), (2, "B"), (4, "d")]))  # drop k=3
+
+    ch12 = {(r.k, r.change_type) for r in t.changes(spark, 1, 2).collect()}
+    assert ch12 == {(2, "update"), (4, "insert")}
+    ch13 = {(r.k, r.change_type) for r in t.changes(spark, 1, 3).collect()}
+    assert ch13 == {(2, "update"), (4, "insert"), (3, "delete")}
