@@ -156,3 +156,57 @@ def test_image_resize_df_real_codec(spark):
     assert (w, h) == (32, 8)
     assert (by_id[2].dst_width, by_id[2].dst_height) == (4, 4)  # under the clamp
     assert by_id[3].decode_error is not None and by_id[3].resized is None
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(1, 12),
+    height=st.integers(1, 12),
+    nch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_encode_decode_roundtrip_property(width, height, nch, data):
+    """Any pixel buffer round-trips encode_png -> decode_png_pixels
+    bit-exactly, and decode_png's luma stays in [0, 1]."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * nch,
+                max_size=width * height * nch,
+            )
+        )
+    )
+    blob = encode_png(width, height, nch, px)
+    w, h, got_nch, got_px = decode_png_pixels(blob)
+    assert (w, h, got_nch, bytes(got_px)) == (width, height, nch, px)
+    _, _, luma = decode_png(blob)
+    assert 0.0 <= luma <= 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    width=st.integers(2, 10),
+    height=st.integers(2, 10),
+    dw=st.integers(1, 10),
+    dh=st.integers(1, 10),
+    data=st.data(),
+)
+def test_png_resize_property(width, height, dw, dh, data):
+    """resize_png output has exactly the requested dims, the source
+    channel count, and every output pixel is an actual source pixel
+    (nearest-neighbor never invents values)."""
+    px = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=width * height,
+                     max_size=width * height)
+        )
+    )
+    out = resize_png(encode_png(width, height, 1, px), dw, dh)
+    w, h, nch, got = decode_png_pixels(out)
+    assert (w, h, nch) == (dw, dh, 1)
+    assert set(got) <= set(px)
