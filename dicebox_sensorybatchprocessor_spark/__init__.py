@@ -81,6 +81,7 @@ _ROUND8_PRIORITY = (
     "dedup_survivors",
     "dedup_clusters",
     "mm_image_resize",
+    "mm_audio_feature",
     "decontaminate_ngram",
     "decontaminate_bloom",
     "sim_ann_ivf_persisted",

@@ -258,6 +258,76 @@ def decode_audio(data: bytes) -> tuple[int, int]:
     return sample_rate, n_windows
 
 
+def stub_audio_features(data: bytes) -> tuple[int, list[float]]:
+    """DEFAULT audio-feature hook: decode_audio's hash-derived
+    (sample_rate, window count) plus a hash-derived energy per window —
+    keeps the registered mm_audio_feature twin SQL-oracle-checkable. A
+    production build passes llm.png_codec-style real kernels instead
+    (llm/wav_codec.py:decode_wav is the shipped example — same
+    (bytes) -> (sample_rate, [energy, ...]) contract, raises on corrupt
+    bytes)."""
+    sample_rate, n_windows = decode_audio(data)
+    text = data.decode("utf-8")
+    energies = [
+        round(
+            int(hashlib.md5(f"{text}-w{i}".encode()).hexdigest()[:4], 16) / 65535.0,
+            6,
+        )
+        for i in range(1, n_windows + 1)
+    ]
+    return sample_rate, energies
+
+
+def audio_features_df(
+    df: DataFrame,
+    audio_col: str = "audio",
+    id_col: str = "doc_id",
+    decoder=stub_audio_features,
+) -> DataFrame:
+    """Windowed audio features over a user's binary column: ``decoder``
+    (bytes -> (sample_rate, [energy per window])) drives a 1→N
+    mapInPandas expansion — the windowed-energy/MFCC shape. Blobs that
+    fail to decode come back as ONE quarantine row (null features,
+    decode_error set) rather than a stage failure — same contract as
+    image_meta_df. Map-only: the expansion factor is bounded by the
+    window count, output partitioning follows input partitioning, zero
+    shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, srs, nos, ens, errs = [], [], [], [], []
+            for rid, blob in zip(batch[id_col], batch[audio_col]):
+                try:
+                    sample_rate, energies = decoder(bytes(blob))
+                    for i, e in enumerate(energies, start=1):
+                        ids.append(rid)
+                        srs.append(sample_rate)
+                        nos.append(i)
+                        ens.append(e)
+                        errs.append(None)
+                except Exception as exc:
+                    ids.append(rid)
+                    srs.append(None)
+                    nos.append(None)
+                    ens.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "sample_rate": pd.array(srs, dtype="Int64"),
+                    "window_no": pd.array(nos, dtype="Int64"),
+                    "energy": pd.array(ens, dtype="Float64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(id_col, audio_col).mapInPandas(
+        kernel,
+        f"{id_col} long, sample_rate long, window_no long, energy double,"
+        " decode_error string",
+    )
+
+
 @register(
     "mm_audio_feature",
     oracle="""
@@ -273,41 +343,21 @@ def decode_audio(data: bytes) -> tuple[int, int]:
 def mm_audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extraction plumbing — completes the image/video/audio
     triple: one binary blob → per-window feature rows (the windowed-
-    energy/MFCC shape), a data-dependent 1→N mapInPandas expansion whose
-    window count and per-window energy come from the decode_audio STUB +
-    a hash-derived energy kernel, so the entire pipeline including the
-    Python side is oracle-checkable in SQL. A real build swaps the two
-    kernels for a codec + FFT at this exact seam; batch iteration,
-    Arrow transfer, output schema, and the blob→rows fan-out are real.
-    Scale shape: map-only (zero shuffle) — feature extraction is
+    energy/MFCC shape), a data-dependent 1→N mapInPandas expansion. Thin
+    wrapper over audio_features_df with the stub_audio_features hook
+    (hash-derived sample rate / window count / energies), so the entire
+    pipeline including the Python side is oracle-checkable in SQL; the
+    stub never fails, so the quarantine column is dropped here. A real
+    build passes wav_codec.decode_wav (or an ffmpeg-backed kernel) at
+    the same seam — tests/test_multimodal_codec.py proves it with real
+    RIFF/WAVE bytes including a corrupt-blob quarantine row. Scale
+    shape: map-only (zero shuffle) — feature extraction is
     embarrassingly parallel and the expansion factor is bounded by the
     window count, so output partitioning follows input partitioning."""
-
-    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out_id, out_sr, out_no, out_en = [], [], [], []
-            for doc_id, blob in zip(batch["doc_id"], batch["audio"]):
-                sample_rate, n_windows = decode_audio(blob)
-                text = blob.decode("utf-8")
-                for i in range(1, n_windows + 1):
-                    out_id.append(doc_id)
-                    out_sr.append(sample_rate)
-                    out_no.append(i)
-                    h4 = hashlib.md5(f"{text}-w{i}".encode()).hexdigest()[:4]
-                    out_en.append(round(int(h4, 16) / 65535.0, 6))
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_id,
-                    "sample_rate": out_sr,
-                    "window_no": out_no,
-                    "energy": out_en,
-                }
-            )
-
     d = load(spark, sf_dir, "documents")
     audio = d.select("doc_id", F.col("text").cast("binary").alias("audio"))
-    return audio.mapInPandas(
-        features, "doc_id long, sample_rate long, window_no long, energy double"
+    return audio_features_df(audio, audio_col="audio", id_col="doc_id").select(
+        "doc_id", "sample_rate", "window_no", "energy"
     )
 
 

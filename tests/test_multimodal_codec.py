@@ -210,3 +210,69 @@ def test_png_resize_property(width, height, dw, dh, data):
     w, h, nch, got = decode_png_pixels(out)
     assert (w, h, nch) == (dw, dh, 1)
     assert set(got) <= set(px)
+
+
+# ---- audio seam (WAV) — same discipline: independent in-test writer ----
+
+from dicebox_sensorybatchprocessor_spark.llm.multimodal import audio_features_df
+from dicebox_sensorybatchprocessor_spark.llm.wav_codec import decode_wav, encode_wav
+
+
+def _make_wav(sample_rate, samples16, n_channels=1):
+    """Independent in-test RIFF/WAVE writer (struct only, no wave
+    module): 16-bit PCM, canonical 44-byte header."""
+    data = struct.pack(f"<{len(samples16)}h", *samples16)
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
+                                byte_rate, n_channels * 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_wav_constant_amplitude_rms():
+    # 2048 samples at half amplitude -> two windows, RMS exactly 0.5
+    sr, energies = decode_wav(_make_wav(16000, [16384] * 2048))
+    assert sr == 16000
+    assert energies == [0.5, 0.5]
+
+
+def test_decode_wav_stereo_averages_and_partial_window():
+    # L=+0.5, R=-0.5 -> mono average 0, RMS 0; 100 frames = 1 partial window
+    frames = [16384, -16384] * 100
+    sr, energies = decode_wav(_make_wav(8000, frames, n_channels=2))
+    assert sr == 8000 and energies == [0.0]
+
+
+def test_decode_wav_rejects_corrupt():
+    good = _make_wav(8000, [0] * 10)
+    for bad in (b"not riff at all", good[:20], b""):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_wav_encoder_roundtrips_through_independent_format():
+    sr, energies = decode_wav(encode_wav(22050, [0.5] * 1024))
+    assert sr == 22050
+    assert energies == pytest.approx([0.5], abs=2e-5)  # int16 quantization
+
+
+def test_audio_features_df_real_codec_and_quarantine(spark):
+    """Real WAV bytes + one corrupt blob through the SAME mapInPandas
+    seam the registered twin uses: per-window RMS rows for good blobs,
+    one quarantine row for the corrupt one."""
+    rows = [
+        (1, _make_wav(16000, [16384] * 2048)),   # 2 windows @ 0.5
+        (2, _make_wav(8000, [0] * 100)),          # 1 window @ 0.0
+        (3, b"RIFFgarbage-not-really-a-wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    out = audio_features_df(df, decoder=decode_wav).collect()
+    good = sorted(
+        (r.doc_id, r.sample_rate, r.window_no, r.energy)
+        for r in out if r.decode_error is None
+    )
+    assert good == [(1, 16000, 1, 0.5), (1, 16000, 2, 0.5), (2, 8000, 1, 0.0)]
+    bad = [r for r in out if r.decode_error is not None]
+    assert [r.doc_id for r in bad] == [3] and bad[0].energy is None
