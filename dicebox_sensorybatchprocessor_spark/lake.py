@@ -289,6 +289,9 @@ class ManifestTable:
         for rel in files:
             meta = pq.ParquetFile(os.path.join(self.root, rel)).metadata
             cols: dict[str, list] = {}
+            if meta.num_row_groups == 0:  # empty file: no stats, must-keep
+                out[rel] = cols
+                continue
             for ci in range(meta.num_columns):
                 name = meta.row_group(0).column(ci).path_in_schema
                 if name not in stat_cols:

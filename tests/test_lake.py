@@ -349,3 +349,14 @@ def test_changes_between_versions(spark, tmp_path):
     assert ch12 == {(2, "update"), (4, "insert")}
     ch13 = {(r.k, r.change_type) for r in t.changes(spark, 1, 3).collect()}
     assert ch13 == {(2, "update"), (4, "insert"), (3, "delete")}
+
+
+def test_file_stats_tolerate_empty_files(spark, tmp_path):
+    """A zero-row data file (empty partition) must not break stats
+    collection; it carries no stats and is therefore must-keep."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    files = t.stage(df, n_files=4)  # 1 row across 4 files -> 3 empty
+    t.commit(files, base_version=0, stat_cols=("k",))
+    assert _rows(t.read_range(spark, "k", 1, 1)) == [(1, "a")]
+    assert _rows(t.read_range(spark, "k", 99, 99)) == []
