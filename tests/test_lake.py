@@ -360,3 +360,21 @@ def test_file_stats_tolerate_empty_files(spark, tmp_path):
     t.commit(files, base_version=0, stat_cols=("k",))
     assert _rows(t.read_range(spark, "k", 1, 1)) == [(1, "a")]
     assert _rows(t.read_range(spark, "k", 99, 99)) == []
+
+
+def test_merge_replay_is_content_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a sink crash the checkpoint
+    REPLAYS the last micro-batch, re-applying its merge. The keyed merge
+    is deterministic (anti-join + updates), so a replay commits a new
+    version with IDENTICAL content — the upsert sink is effectively-once
+    in content even though the version counter ticks. Holds for both
+    whole-snapshot and bucketed partial-rewrite merges."""
+    for nb in (None, 4):
+        t = ManifestTable(str(tmp_path / f"t{nb}"))
+        merge_upsert(t, _df(spark, [(1, "a"), (2, "b")]), ("k",), n_buckets=nb)
+        batch2 = _df(spark, [(2, "B"), (3, "c")])
+        merge_upsert(t, batch2, ("k",))
+        before = _rows(t.read(spark))
+        merge_upsert(t, batch2, ("k",))  # simulated checkpoint replay
+        assert _rows(t.read(spark)) == before, nb
+        assert t.latest_version() == 3
