@@ -943,6 +943,7 @@ def upsert_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     n_buckets: int | None = None,
+    txn_app_id: str | None = None,
 ):
     """Streaming MERGE (upsert) sink through the manifest-commit
     protocol: each micro-batch — optionally reshaped by ``transform``
@@ -957,24 +958,69 @@ def upsert_stream(
     (partial-rewrite MERGE — the sink cost a resident stream needs:
     proportional to the delta, not the accumulated state). Returns the
     started StreamingQuery; read the result via
-    ``ManifestTable(root).read(spark)``."""
+    ``ManifestTable(root).read(spark)``.
+
+    Exactly-once (r9): every micro-batch commit records a
+    ``(txn_app_id, batch_id)`` transaction in the manifest, so when the
+    checkpoint replays a batch whose commit DID land before a crash,
+    the merge is skipped outright (lake.merge_upsert txn contract) —
+    protocol-level idempotence on top of the merge's content
+    idempotence. ``txn_app_id`` defaults to the checkpoint directory
+    name, the same identity the replay itself is keyed by; pass an
+    explicit stable id when the checkpoint path changes across
+    deployments."""
+    import os as _os
+
     from dicebox_sensorybatchprocessor_spark import lake
     from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
 
     t = lake.ManifestTable(table) if isinstance(table, str) else table
     keys = tuple(key_cols)
+    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_upsert_")
+    app_id = txn_app_id or f"upsert_stream:{_os.path.basename(_os.path.normpath(ck))}"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         b = transform(batch_df) if transform is not None else batch_df
-        lake.merge_upsert(t, b, keys, n_buckets=n_buckets)
-
-    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_upsert_")
+        lake.merge_upsert(
+            t, b, keys, n_buckets=n_buckets, txn=(app_id, int(batch_id))
+        )
     writer = stream.writeStream.foreachBatch(merge).option(
         "checkpointLocation", ck
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_changes(
+    table,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    n_buckets: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Apply a CDC feed (insert/update/delete rows, optionally ordered
+    by ``seq_col``) to a lake table in one atomic commit — net-effect
+    semantics: per key, the feed's LAST event wins; a history ending in
+    delete removes the key. The consumer side of ``ManifestTable
+    .changes()`` / any Debezium-shaped stream; thin face over
+    :func:`lake.merge_apply` (which documents routing, bucket partial
+    rewrites, and the ``txn`` exactly-once skip). ``table`` is a
+    ManifestTable or root path; returns the committed version."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    return lake.merge_apply(
+        t,
+        changes,
+        tuple(key_cols),
+        op_col=op_col,
+        seq_col=seq_col,
+        n_buckets=n_buckets,
+        txn=txn,
+    )
 
 
 def cosine_topk(

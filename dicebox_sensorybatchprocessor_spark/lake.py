@@ -204,12 +204,19 @@ class ManifestTable:
             os.unlink(tmp)
         _fsync_dir(os.path.dirname(final))
 
+    def txn_version(self, app_id: str, version: int | None = None) -> int:
+        """Highest transaction id committed under ``app_id`` as of the
+        snapshot (-1 if the app never committed). The idempotence check
+        an exactly-once writer performs before re-applying a batch."""
+        return int(self.snapshot(version).get("txns", {}).get(app_id, -1))
+
     def commit(
         self,
         files: list[str],
         base_version: int,
         bucket_meta: dict | None = None,
         stat_cols: tuple[str, ...] = (),
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Publish ``files`` as version ``base_version + 1``. Raises
         :class:`CommitConflict` if that version already exists (the
@@ -218,9 +225,25 @@ class ManifestTable:
         bucket_keys, file_buckets} so merges can plan partial rewrites;
         ``stat_cols`` records per-file [min, max] zone maps for those
         columns so read_range/prune_files can skip files without
-        opening them."""
+        opening them.
+
+        ``txn=(app_id, txn_id)`` records a writer transaction in the
+        manifest (the Delta ``txn`` action): the table remembers, per
+        application id, the highest transaction id it has absorbed —
+        carried forward through every later commit — so an idempotent
+        writer (a streaming foreachBatch replaying after a crash) checks
+        :meth:`txn_version` and SKIPS batches the table already holds.
+        Content-idempotent merges make replays harmless; the txn record
+        makes them FREE (no re-stage, no re-shuffle) and protects
+        non-idempotent transforms (appends) too."""
         next_v = base_version + 1
         manifest = {"version": next_v, "base": base_version, "files": files}
+        txns = dict(self.snapshot(base_version).get("txns", {}))
+        if txn is not None:
+            app_id, txn_id = txn
+            txns[app_id] = max(int(txn_id), int(txns.get(app_id, -1)))
+        if txns:
+            manifest["txns"] = txns
         if bucket_meta:
             manifest.update(bucket_meta)
         if stat_cols:
@@ -490,6 +513,8 @@ def merge_upsert(
     n_buckets: int | None = None,
     schema_evolution: bool = False,
     stat_cols: tuple[str, ...] = (),
+    txn: tuple[str, int] | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> int:
     """Keyed MERGE (upsert) through the manifest protocol: rows in
     ``updates`` replace same-key rows of the current snapshot, unseen
@@ -518,11 +543,29 @@ def merge_upsert(
     null; reads of an evolved table need ``merge_schema=True`` until a
     compaction rewrites every file under the widest schema. Off by
     default so an accidental column rename surfaces as an
-    analysis error instead of silently forking the schema."""
+    analysis error instead of silently forking the schema.
+
+    ``txn=(app_id, txn_id)`` makes the merge EXACTLY-ONCE under replay:
+    if the snapshot already records ``txn_id`` (or newer) for
+    ``app_id``, the merge returns the current version without staging a
+    byte — the idempotent-foreachBatch contract a streaming sink needs
+    when its checkpoint replays a batch whose commit DID land before
+    the crash.
+
+    ``delete_keys`` (rows carrying at least ``key_cols``) removes those
+    keys in the same atomic commit — the WHEN MATCHED DELETE leg;
+    :func:`merge_apply` builds on it to apply a full CDC feed."""
     spark = updates.sparkSession
     keys = list(key_cols)
+    change_keys = updates.select(*keys)
+    if delete_keys is not None:
+        change_keys = change_keys.unionByName(delete_keys.select(*keys))
     for _ in range(max_retries):
         snap = table.snapshot()
+        if txn is not None and int(
+            snap.get("txns", {}).get(txn[0], -1)
+        ) >= int(txn[1]):
+            return snap["version"]
         nb = snap.get("n_buckets") if snap["files"] else n_buckets
         if snap["files"] and snap.get("n_buckets"):
             if list(snap["bucket_keys"]) != keys:
@@ -533,7 +576,7 @@ def merge_upsert(
             fb = snap["file_buckets"]
             touched = {
                 r["b"]
-                for r in updates.select(
+                for r in change_keys.select(
                     _bucket_of(tuple(keys), nb).alias("b")
                 ).distinct().collect()
             }
@@ -547,7 +590,7 @@ def merge_upsert(
                     *[table.root + "/" + f for f in rewrite_files]
                 )
                 merged = old.join(
-                    updates.select(*keys), keys, "left_anti"
+                    change_keys, keys, "left_anti"
                 ).unionByName(updates, allowMissingColumns=schema_evolution)
             else:
                 merged = updates
@@ -567,7 +610,7 @@ def merge_upsert(
                     spark, snap["version"], merge_schema=schema_evolution
                 )
                 merged = old.join(
-                    updates.select(*keys), keys, "left_anti"
+                    change_keys, keys, "left_anti"
                 ).unionByName(updates, allowMissingColumns=schema_evolution)
             else:
                 merged = updates
@@ -587,7 +630,78 @@ def merge_upsert(
                 snap["version"],
                 bucket_meta=meta,
                 stat_cols=tuple(snap.get("stat_cols") or stat_cols),
+                txn=txn,
             )
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries")
+
+
+def merge_apply(
+    table: ManifestTable,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("delete", "d"),
+    max_retries: int = 5,
+    n_buckets: int | None = None,
+    schema_evolution: bool = False,
+    stat_cols: tuple[str, ...] = (),
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Apply a CDC change feed — rows tagged insert/update/delete — to
+    the table in ONE atomic commit: the consumer side of a Debezium /
+    table-changes stream. ``changes`` carries the payload columns plus
+    ``op_col``; ops in ``delete_ops`` (case-insensitive) remove the key,
+    anything else upserts the row.
+
+    ``seq_col`` (an ordering column: LSN, commit ts, version) collapses
+    multi-event keys to their LAST event before applying — without it a
+    key may appear at most once per feed (violations raise, because
+    silently applying both orders of {update, delete} forks replicas).
+    Collapse-then-apply is what makes the op NET-EFFECT semantics: a key
+    whose history ends in delete is absent even if inserted in the same
+    feed, and the whole feed costs one window (or none) + one merge,
+    whatever its event count. Bucketed tables route BOTH upserts and
+    deletes to their buckets, so the commit still rewrites only touched
+    buckets; ``txn`` gives replayed feeds the exactly-once skip."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+    op_norm = F.lower(F.col(op_col).cast("string"))
+    if seq_col is not None:
+        w = W.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), op_norm.desc()
+        )
+        last = (
+            changes.withColumn("__sbp_rn", F.row_number().over(w))
+            .filter(F.col("__sbp_rn") == 1)
+            .drop("__sbp_rn")
+        )
+    else:
+        dup = (
+            changes.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.take(1):
+            raise ValueError(
+                "merge_apply without seq_col requires at most one change "
+                "per key; pass seq_col to collapse multi-event keys"
+            )
+        last = changes
+    is_delete = op_norm.isin([o.lower() for o in delete_ops])
+    upserts = last.filter(~is_delete).select(*payload)
+    deletes = last.filter(is_delete).select(*keys)
+    return merge_upsert(
+        table,
+        upserts,
+        tuple(keys),
+        max_retries=max_retries,
+        n_buckets=n_buckets,
+        schema_evolution=schema_evolution,
+        stat_cols=stat_cols,
+        txn=txn,
+        delete_keys=deletes,
+    )

@@ -378,3 +378,107 @@ def test_merge_replay_is_content_idempotent(spark, tmp_path):
         merge_upsert(t, batch2, ("k",))  # simulated checkpoint replay
         assert _rows(t.read(spark)) == before, nb
         assert t.latest_version() == 3
+
+
+def test_txn_commit_records_and_carries_forward(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(t.stage(_df(spark, [(1, "a")])), 0, txn=("app", 0))
+    assert t.txn_version("app") == 0
+    assert t.txn_version("other") == -1
+    # a txn-less commit carries the record forward
+    t.commit(t.stage(_df(spark, [(1, "b")])), 1)
+    assert t.txn_version("app") == 0
+    # a newer txn advances it; an older one can never regress it
+    t.commit(t.stage(_df(spark, [(1, "c")])), 2, txn=("app", 5))
+    t.commit(t.stage(_df(spark, [(1, "d")])), 3, txn=("app", 2))
+    assert t.txn_version("app") == 5
+
+
+def test_txn_merge_replay_is_protocol_noop(spark, tmp_path):
+    """A replayed (app, batch) merge must not even stage data: the
+    version stays put and the data directory gains no files."""
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(1, "a"), (2, "b")]), ("k",), txn=("s", 0))
+    merge_upsert(t, _df(spark, [(2, "B"), (3, "c")]), ("k",), txn=("s", 1))
+    v = t.latest_version()
+    before = _rows(t.read(spark))
+
+    def n_data_files():
+        return sum(
+            len(fs) for _, _, fs in os.walk(os.path.join(t.root, "data"))
+        )
+
+    files_before = n_data_files()
+    # replay batch 1 with DIFFERENT (wrong) content: protocol skip means
+    # the table cannot be corrupted by a divergent replay either
+    assert merge_upsert(
+        t, _df(spark, [(3, "WRONG")]), ("k",), txn=("s", 1)
+    ) == v
+    assert t.latest_version() == v
+    assert n_data_files() == files_before
+    assert _rows(t.read(spark)) == before
+    # a different app id with the same txn id is a distinct transaction
+    merge_upsert(t, _df(spark, [(9, "z")]), ("k",), txn=("s2", 1))
+    assert t.latest_version() == v + 1
+
+
+def test_merge_apply_net_effect_with_deletes(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), ("k",))
+    feed = spark.createDataFrame(
+        [
+            (2, "b2", "update", 10),
+            (3, None, "delete", 10),
+            (4, "d", "insert", 10),
+            # multi-event key: insert then delete -> net absent
+            (5, "e", "insert", 11),
+            (5, None, "delete", 12),
+            # multi-event key: delete then re-insert -> net present
+            (1, None, "delete", 11),
+            (1, "a2", "insert", 12),
+        ],
+        "k int, v string, op string, seq int",
+    )
+    lake.merge_apply(t, feed, ("k",), op_col="op", seq_col="seq")
+    assert _rows(t.read(spark)) == [(1, "a2"), (2, "b2"), (4, "d")]
+
+
+def test_merge_apply_requires_seq_for_multi_event_keys(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(1, "a")]), ("k",))
+    feed = spark.createDataFrame(
+        [(1, "x", "update"), (1, None, "delete")], "k int, v string, op string"
+    )
+    with pytest.raises(ValueError, match="seq_col"):
+        lake.merge_apply(t, feed, ("k",), op_col="op")
+
+
+def test_merge_apply_bucketed_routes_deletes_and_reuses_untouched(spark, tmp_path):
+    """Deletes route to buckets exactly like upserts: a feed touching one
+    bucket's keys leaves every other bucket's files byte-identical (same
+    path reused in the new manifest)."""
+    from dicebox_sensorybatchprocessor_spark.lake import _bucket_of
+
+    t = ManifestTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(40)], "k int, v string"
+    )
+    merge_upsert(t, base, ("k",), n_buckets=8)
+    snap1 = t.snapshot()
+    # keys 7 and 23: find a delete key and an update key
+    feed = spark.createDataFrame(
+        [(7, None, "delete", 1), (23, "NEW", "update", 1)],
+        "k int, v string, op string, seq int",
+    )
+    touched = {
+        r.b
+        for r in feed.select(
+            _bucket_of(("k",), 8).alias("b")
+        ).distinct().collect()
+    }
+    lake.merge_apply(t, feed, ("k",), op_col="op", seq_col="seq")
+    snap2 = t.snapshot()
+    untouched_before = {f for f in snap1["files"] if snap1["file_buckets"][f] not in touched}
+    assert untouched_before <= set(snap2["files"])  # reused verbatim
+    rows = dict(_rows(t.read(spark)))
+    assert 7 not in rows and rows[23] == "NEW" and rows[0] == "v0"
