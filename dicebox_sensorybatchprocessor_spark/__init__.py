@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "dicebox_sensorybatchprocessor_spark.operators.analytics",
     "dicebox_sensorybatchprocessor_spark.operators.maintenance",
     "dicebox_sensorybatchprocessor_spark.operators.quality",
+    "dicebox_sensorybatchprocessor_spark.operators.lakeops",
     "dicebox_sensorybatchprocessor_spark.functions.families",
     "dicebox_sensorybatchprocessor_spark.llm.udx",
     "dicebox_sensorybatchprocessor_spark.llm.dedup",
@@ -86,6 +87,12 @@ _ROUND8_PRIORITY = (
     "decontaminate_bloom",
     "sim_ann_ivf_persisted",
     "mm_image_meta",
+    # -- round 9 additions (no CORRECTNESS_r08 was recorded — the r8
+    # boundary commit never landed — so the r8 window composition stays
+    # live and new queries join its touched head; regenerated with
+    # scripts/plan_window.py --tuple) --
+    "lake_cdc_apply",
+    "lake_incremental_mv",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

@@ -1,0 +1,290 @@
+"""Incremental materialized aggregate views over :class:`lake.ManifestTable`.
+
+A 100 TB pipeline cannot afford to recompute its rollups from scratch
+after every merge — the whole point of a versioned lake is that a commit
+NAMES its delta. This module exploits exactly that: between any two
+manifest versions, the rows that changed are precisely the contents of
+the data files ADDED minus the data files REMOVED (a merge rewrites only
+touched buckets; every carried-over file is byte-identical by path).
+So an aggregate view refreshes by
+
+    delta(group) = agg(added files) - agg(removed files)
+
+one scan of the delta files + one keyed shuffle — cost proportional to
+the commit, never to the table. Rows a rewrite carried along unchanged
+cancel arithmetically (+x then -x), so the identity holds for ANY
+commit, including compactions (where plus/minus cover the whole table
+and the delta nets to zero).
+
+Measure algebra:
+
+* ``count`` / ``sum`` / ``avg`` are fully incremental. Sums are held in
+  the state as fixed-point int64 units (``round(x * 10^scale)``), so
+  adding deltas across thousands of refreshes is exact and
+  order-insensitive — a double accumulator would drift. A group stays
+  exact while ``|rows| * max|x| * 10^scale < 2^63`` (≈9e12 at unit
+  values, scale 6): beyond that, widen to the hi/lo decomposition of
+  ``utils.fixed_point_sum``.
+* ``min`` / ``max`` are NOT invertible under deletes (removing the
+  current min needs the runner-up). Affected groups — exactly the
+  groups present in the delta — are REPAIRED from the new snapshot via
+  a broadcast semi-join on the group key: one filtered scan whose cost
+  drops to the touched files when the base table is clustered on a
+  group column (zone maps prune the rest). Unaffected groups keep their
+  stored extrema untouched.
+
+The view's state is itself a :class:`lake.ManifestTable` (atomic
+publish, time travel, readable mid-refresh), and each refresh commit
+records ``mv_base_version`` — the base version the state reflects — so
+refreshes are restartable and a crashed refresh is simply re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark.lake import CommitConflict, ManifestTable
+
+_ALLOWED = ("count", "sum", "avg", "min", "max")
+
+
+class MaterializedAgg:
+    """An incrementally-maintained ``GROUP BY`` over a lake table.
+
+    ``measures`` maps output name -> (agg, column), agg in
+    {count, sum, avg, min, max}; count ignores its column. Example::
+
+        mv = MaterializedAgg(base, mv_root, ("l_returnflag",),
+                             {"n": ("count", "*"),
+                              "sum_qty": ("sum", "l_quantity"),
+                              "avg_qty": ("avg", "l_quantity")})
+        mv.refresh(spark)          # after every base commit (or batched)
+        mv.read(spark)             # == base GROUP BY, always
+    """
+
+    def __init__(
+        self,
+        base: ManifestTable,
+        mv_root: str,
+        group_cols: tuple[str, ...],
+        measures: dict[str, tuple[str, str]],
+        scale: int = 6,
+    ):
+        if not group_cols or not measures:
+            raise ValueError("MaterializedAgg needs group_cols and measures")
+        for name, (agg, _col) in measures.items():
+            if agg not in _ALLOWED:
+                raise ValueError(f"measure {name!r}: agg must be one of {_ALLOWED}")
+        self.base = base
+        self.table = ManifestTable(mv_root)
+        self.groups = list(group_cols)
+        self.measures = dict(measures)
+        self.scale = int(scale)
+        self._sum_cols = sorted(
+            {col for agg, col in measures.values() if agg in ("sum", "avg")}
+        )
+        self._minmax = {
+            name: (agg, col)
+            for name, (agg, col) in measures.items()
+            if agg in ("min", "max")
+        }
+
+    # -- state encoding ------------------------------------------------
+    def _fp(self, col: str):
+        return F.round(F.col(col) * F.lit(float(10**self.scale)), 0).cast("long")
+
+    def _delta_state(self, plus: DataFrame | None, minus: DataFrame | None) -> DataFrame:
+        """Group-level (±) state from the added/removed file rows: ONE
+        union + ONE hash aggregate (map-side combined), signed so
+        unchanged rows carried through a rewrite cancel exactly."""
+        parts = []
+        if plus is not None:
+            parts.append(plus.withColumn("__sign", F.lit(1)))
+        if minus is not None:
+            parts.append(minus.withColumn("__sign", F.lit(-1)))
+        signed = parts[0]
+        for p in parts[1:]:
+            signed = signed.unionByName(p)
+        aggs = [F.sum("__sign").cast("long").alias("__n")]
+        for col in self._sum_cols:
+            aggs.append(
+                F.sum(F.col("__sign") * self._fp(col)).alias(f"__fp_{col}")
+            )
+        return signed.groupBy(*self.groups).agg(*aggs)
+
+    def _merge_states(self, state: DataFrame | None, delta: DataFrame) -> DataFrame:
+        if state is None:
+            merged = delta
+        else:
+            s = state.select(
+                *self.groups, "__n", *[f"__fp_{c}" for c in self._sum_cols]
+            ).alias("s")
+            d = delta.alias("d")
+            cond = F.lit(True)
+            for g in self.groups:
+                cond = cond & (F.col(f"s.{g}") == F.col(f"d.{g}"))
+            cols = [
+                F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g)
+                for g in self.groups
+            ]
+            cols.append(
+                (
+                    F.coalesce(F.col("s.__n"), F.lit(0))
+                    + F.coalesce(F.col("d.__n"), F.lit(0))
+                ).alias("__n")
+            )
+            for c in self._sum_cols:
+                cols.append(
+                    (
+                        F.coalesce(F.col(f"s.__fp_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d.__fp_{c}"), F.lit(0))
+                    ).alias(f"__fp_{c}")
+                )
+            merged = s.join(d, cond, "full_outer").select(*cols)
+        return merged.filter(F.col("__n") > 0)
+
+    def _attach_minmax(
+        self,
+        spark: SparkSession,
+        merged: DataFrame,
+        delta_groups: DataFrame,
+        old_state: DataFrame | None,
+        v_to: int,
+    ) -> DataFrame:
+        """Repair stored extrema for the groups the delta touched: one
+        broadcast-semi-join-filtered scan of the new snapshot, then
+        coalesce(repaired, previous) per group."""
+        if not self._minmax:
+            return merged
+        cols = sorted({col for _agg, col in self._minmax.values()})
+        repair_aggs = []
+        for name, (agg, col) in self._minmax.items():
+            fn = F.min if agg == "min" else F.max
+            repair_aggs.append(fn(col).alias(f"__r_{name}"))
+        repaired = (
+            self.base.read(spark, v_to)
+            .join(F.broadcast(delta_groups), self.groups, "left_semi")
+            .groupBy(*self.groups)
+            .agg(*repair_aggs)
+        )
+        if old_state is not None:
+            prev = old_state.select(
+                *self.groups,
+                *[F.col(n).alias(f"__p_{n}") for n in self._minmax],
+            )
+            merged = merged.join(prev, self.groups, "left_outer")
+        merged = merged.join(repaired, self.groups, "left_outer")
+        for name in self._minmax:
+            prev_col = (
+                F.col(f"__p_{name}") if old_state is not None else F.lit(None)
+            )
+            merged = merged.withColumn(
+                name, F.coalesce(F.col(f"__r_{name}"), prev_col)
+            )
+        drop = [f"__r_{n}" for n in self._minmax]
+        if old_state is not None:
+            drop += [f"__p_{n}" for n in self._minmax]
+        _ = cols  # group-key clustering on these columns prunes the repair scan
+        return merged.drop(*drop)
+
+    # -- public surface ------------------------------------------------
+    def refreshed_version(self) -> int:
+        """Base-table version the current state reflects (0 = never)."""
+        return int(self.table.snapshot().get("mv_base_version", 0))
+
+    def refresh(self, spark: SparkSession, max_retries: int = 5) -> dict:
+        """Advance the view to the base table's latest version. Returns a
+        ledger: versions walked, files scanned (the commit's delta, not
+        the table), groups changed."""
+        v_to = self.base.latest_version()
+        for _ in range(max_retries):
+            mv_snap = self.table.snapshot()
+            v_from = int(mv_snap.get("mv_base_version", 0))
+            if v_from == v_to:
+                return {
+                    "from_version": v_from,
+                    "to_version": v_to,
+                    "plus_files": 0,
+                    "minus_files": 0,
+                    "noop": True,
+                }
+            old_files = (
+                set(self.base.snapshot(v_from)["files"]) if v_from else set()
+            )
+            new_files = set(self.base.snapshot(v_to)["files"])
+            plus = sorted(new_files - old_files)
+            minus = sorted(old_files - new_files)
+            if not plus and not minus:
+                # file-identical versions (e.g. a txn-only commit): the
+                # state is already correct — just advance the watermark,
+                # reusing the state files verbatim
+                try:
+                    self.table.commit(
+                        mv_snap["files"],
+                        mv_snap["version"],
+                        bucket_meta={"mv_base_version": v_to},
+                    )
+                except CommitConflict:
+                    continue
+                return {
+                    "from_version": v_from,
+                    "to_version": v_to,
+                    "plus_files": 0,
+                    "minus_files": 0,
+                    "noop": True,
+                }
+            read = lambda rels: spark.read.parquet(  # noqa: E731
+                *[self.base.root + "/" + r for r in rels]
+            )
+            delta = self._delta_state(
+                read(plus) if plus else None, read(minus) if minus else None
+            )
+            old_state = (
+                self.table.read(spark) if mv_snap["files"] else None
+            )
+            merged = self._merge_states(old_state, delta)
+            merged = self._attach_minmax(
+                spark, merged, delta.select(*self.groups), old_state, v_to
+            )
+            files = self.table.stage(merged)
+            try:
+                self.table.commit(
+                    files,
+                    mv_snap["version"],
+                    bucket_meta={"mv_base_version": v_to},
+                )
+            except CommitConflict:
+                continue
+            return {
+                "from_version": v_from,
+                "to_version": v_to,
+                "plus_files": len(plus),
+                "minus_files": len(minus),
+                "noop": False,
+            }
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The view as the user declared it: groups + named measures."""
+        state = self.table.read(spark)
+        factor = float(10**self.scale)
+        cols = [F.col(g) for g in self.groups]
+        for name, (agg, col) in self.measures.items():
+            if agg == "count":
+                cols.append(F.col("__n").alias(name))
+            elif agg == "sum":
+                cols.append(
+                    (F.col(f"__fp_{col}").cast("double") / F.lit(factor)).alias(name)
+                )
+            elif agg == "avg":
+                cols.append(
+                    (
+                        F.col(f"__fp_{col}").cast("double")
+                        / F.lit(factor)
+                        / F.col("__n").cast("double")
+                    ).alias(name)
+                )
+            else:  # min / max: stored directly
+                cols.append(F.col(name))
+        return state.select(*cols)

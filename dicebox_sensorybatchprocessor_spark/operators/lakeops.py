@@ -1,0 +1,257 @@
+"""Registered lake-protocol operators (round 9): CDC apply and the
+incremental materialized view, end-to-end over fixture tables.
+
+Both run a full multi-commit lifecycle against a scratch
+:class:`lake.ManifestTable` inside one registered query, so the driver's
+DuckDB oracle verifies the *final table state* the protocol produced —
+the same trick stream_upsert_merge uses. The deterministic change feeds
+are DERIVED from the fixture tables (no randomness, no wall clock), so
+the oracle can re-derive them in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark import lake
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.lake import ManifestTable, merge_upsert
+from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+    scratch_dir,
+)
+
+
+@register(
+    cache_plan=False,
+    name="lake_cdc_apply",
+    oracle=f"""
+    WITH feed AS (
+      SELECT o_orderkey AS k, o_custkey,
+             'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+             1 AS seq, 'update' AS op
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), 1, 'delete'
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', 0.5 * o_totalprice,
+             1, 'insert'
+      FROM orders WHERE o_orderkey % 100 = 1
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), 2, 'delete'
+      FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 3 = 0
+    ),
+    net AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+        FROM feed) t
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT k FROM feed)
+      UNION ALL
+      SELECT k, o_custkey, o_orderstatus, o_totalprice FROM net
+      WHERE op <> 'delete'
+    )
+    SELECT o_orderstatus, o_orderkey % 10 AS k_mod,
+           count(*) AS n,
+           {fixed_point_sum_sql("o_totalprice", 2)} AS sum_price
+    FROM final GROUP BY o_orderstatus, k_mod
+    """,
+)
+def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (lake.merge_apply / api.apply_changes): a derived
+    insert/update/delete feed — including a key whose history is
+    update@1 then delete@2, so net-effect collapse must drop it — lands
+    on a bucketed ManifestTable in ONE atomic commit; deletes route to
+    buckets exactly like upserts, so only touched buckets rewrite. The
+    oracle recomputes the net feed and final state in SQL; the result
+    is the final state rolled up by (status, key mod 10), which
+    separates inserted ('N'), updated ('U'), deleted, and untouched
+    keys into distinct groups."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_cdc_apply_"))
+    merge_upsert(table, orders, ("o_orderkey",), n_buckets=8)
+
+    nul_b, nul_s, nul_d = (
+        F.lit(None).cast("long"),
+        F.lit(None).cast("string"),
+        F.lit(None).cast("double"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("update").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 10 == 7).select(
+        F.col("o_orderkey"), nul_b.alias("o_custkey"),
+        nul_s.alias("o_orderstatus"), nul_d.alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("delete").alias("op"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("insert").alias("op"),
+    )
+    dele2 = orders.filter(
+        (F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey"), nul_b.alias("o_custkey"),
+        nul_s.alias("o_orderstatus"), nul_d.alias("o_totalprice"),
+        F.lit(2).alias("seq"), F.lit("delete").alias("op"),
+    )
+    feed = upd.unionByName(dele).unionByName(ins).unionByName(dele2)
+    api.apply_changes(table, feed, ("o_orderkey",), op_col="op", seq_col="seq")
+    return (
+        table.read(spark)
+        .groupBy(
+            "o_orderstatus", (F.col("o_orderkey") % 10).alias("k_mod")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_MV_AVG = (
+    f"({fixed_point_sum_sql('l_quantity', 6)}) / CAST(count(*) AS DOUBLE)"
+)
+
+
+@register(
+    cache_plan=False,
+    name="lake_incremental_mv",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+    ),
+    b2 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 25 = 0 THEN 'Z' ELSE l_returnflag END
+               AS l_returnflag,
+             l_quantity + 10 AS l_quantity
+      FROM base WHERE l_orderkey % 5 = 0
+    ),
+    after2 AS (
+      SELECT * FROM base WHERE l_orderkey % 5 <> 0
+      UNION ALL SELECT * FROM b2
+    ),
+    after3 AS (SELECT * FROM after2 WHERE l_orderkey % 7 <> 0),
+    b4key AS (
+      SELECT l_orderkey, l_linenumber FROM base
+      WHERE l_orderkey % 5 <> 0 AND l_orderkey % 7 <> 0
+      ORDER BY l_orderkey, l_linenumber LIMIT 1
+    ),
+    final AS (
+      SELECT a.l_orderkey, a.l_linenumber, a.l_returnflag,
+             a.l_quantity + CASE WHEN b.l_orderkey IS NOT NULL THEN 5 ELSE 0 END
+               AS l_quantity
+      FROM after3 a LEFT JOIN b4key b
+        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    )
+    SELECT l_returnflag, count(*) AS n,
+           {fixed_point_sum_sql("l_quantity", 6)} AS sum_qty,
+           {_MV_AVG} AS avg_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           TRUE AS incremental
+    FROM final GROUP BY l_returnflag
+    """,
+)
+def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (mv.MaterializedAgg): a GROUP BY
+    over a bucketed lake table is refreshed after (1) the initial load,
+    (2) an update batch that moves rows between groups, (3) a CDC
+    delete feed — and every refresh computes its delta from the
+    commit's added/removed files ONLY (never a full rescan; min/max
+    repair reads just the delta's groups via a broadcast semi-join).
+    The ``incremental`` claim column asserts, as a value the oracle
+    checks, that the post-update refreshes scanned fewer files than the
+    table holds; the remaining columns must equal a from-scratch GROUP
+    BY of the final state, which the oracle computes directly."""
+    from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_mv_base_"))
+    merge_upsert(table, li, ("l_orderkey", "l_linenumber"), n_buckets=8)
+    view = MaterializedAgg(
+        table,
+        scratch_dir(prefix="sbp_mv_state_"),
+        ("l_returnflag",),
+        {
+            "n": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "avg_qty": ("avg", "l_quantity"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+    )
+    view.refresh(spark)
+
+    batch2 = li.filter(F.col("l_orderkey") % 5 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 25 == 0, "Z")
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        (F.col("l_quantity") + 10).alias("l_quantity"),
+    )
+    merge_upsert(table, batch2, ("l_orderkey", "l_linenumber"))
+    ledger2 = view.refresh(spark)
+
+    feed = li.filter(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("double").alias("l_quantity"),
+        F.lit(1).alias("seq"),
+        F.lit("delete").alias("op"),
+    )
+    lake.merge_apply(
+        table, feed, ("l_orderkey", "l_linenumber"), op_col="op", seq_col="seq"
+    )
+    ledger3 = view.refresh(spark)
+
+    # single-key commit: the delta-proportional refresh claim — one
+    # bucket rewrites, so the refresh reads 2 files however big the table
+    batch4 = (
+        li.filter((F.col("l_orderkey") % 5 != 0) & (F.col("l_orderkey") % 7 != 0))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (F.col("l_quantity") + 5).alias("l_quantity"),
+        )
+    )
+    merge_upsert(table, batch4, ("l_orderkey", "l_linenumber"))
+    ledger4 = view.refresh(spark)
+
+    n_files = len(table.snapshot()["files"])
+    incremental = (
+        not any(led["noop"] for led in (ledger2, ledger3, ledger4))
+        and ledger4["plus_files"] + ledger4["minus_files"] < n_files
+        and ledger4["plus_files"] <= 1
+    )
+    return view.read(spark).withColumn("incremental", F.lit(incremental))

@@ -1,0 +1,175 @@
+"""Incremental materialized views (mv.MaterializedAgg): after every
+base-table commit, an incremental refresh must equal the from-scratch
+GROUP BY — while scanning only the commit's file delta, never the full
+table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark import lake
+from dicebox_sensorybatchprocessor_spark.lake import ManifestTable, merge_upsert
+from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+
+def _base_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, grp string, x double")
+
+
+def _expected(spark, table):
+    return sorted(
+        (r.grp, r.n, round(r.sum_x, 6), round(r.avg_x, 6))
+        for r in table.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.avg("x").alias("avg_x"),
+        )
+        .collect()
+    )
+
+
+def _got(spark, mv):
+    return sorted(
+        (r.grp, r.n, round(r.sum_x, 6), round(r.avg_x, 6))
+        for r in mv.read(spark).collect()
+    )
+
+
+def _mk(spark, tmp_path, n_buckets=4, measures=None):
+    t = ManifestTable(str(tmp_path / "base"))
+    rows = [(k, "ab"[k % 2], float(k) / 4) for k in range(32)]
+    merge_upsert(t, _base_df(spark, rows), ("k",), n_buckets=n_buckets)
+    mv = MaterializedAgg(
+        t,
+        str(tmp_path / "mv"),
+        ("grp",),
+        measures
+        or {
+            "n": ("count", "*"),
+            "sum_x": ("sum", "x"),
+            "avg_x": ("avg", "x"),
+        },
+    )
+    return t, mv
+
+
+def test_initial_refresh_builds_full_view(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path)
+    ledger = mv.refresh(spark)
+    assert not ledger["noop"] and ledger["from_version"] == 0
+    assert _got(spark, mv) == _expected(spark, t)
+
+
+def test_incremental_refresh_tracks_upserts_and_deletes(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path)
+    mv.refresh(spark)
+    # updates (move rows across groups, change values), inserts, deletes
+    merge_upsert(
+        t, _base_df(spark, [(0, "b", 99.5), (1, "a", -2.25), (100, "c", 7.0)]), ("k",)
+    )
+    feed = spark.createDataFrame(
+        [(2, None, None, "delete", 1), (3, None, None, "delete", 1)],
+        "k int, grp string, x double, op string, seq int",
+    )
+    lake.merge_apply(t, feed, ("k",), op_col="op", seq_col="seq")
+    for _ in range(2):  # two commits pending -> one refresh walks both
+        pass
+    ledger = mv.refresh(spark)
+    assert not ledger["noop"]
+    assert _got(spark, mv) == _expected(spark, t)
+    # group "c" appeared; a group emptied by deletes must vanish
+    merge_upsert(
+        t,
+        spark.createDataFrame([(100, )], "k int")
+        .withColumn("grp", F.lit("zz"))
+        .withColumn("x", F.lit(1.0)),
+        ("k",),
+    )
+    mv.refresh(spark)
+    got = _got(spark, mv)
+    assert got == _expected(spark, t)
+    assert not any(g == "c" for g, *_ in got)
+
+
+def test_refresh_scans_only_the_file_delta(spark, tmp_path):
+    """The scale contract: a one-bucket merge against an 8-bucket table
+    refreshes by reading ONLY that bucket's old+new files."""
+    t, mv = _mk(spark, tmp_path, n_buckets=8)
+    mv.refresh(spark)
+    n_total = len(t.snapshot()["files"])
+    merge_upsert(t, _base_df(spark, [(5, "a", 123.0)]), ("k",))
+    ledger = mv.refresh(spark)
+    assert ledger["plus_files"] + ledger["minus_files"] < n_total
+    assert ledger["plus_files"] <= 1 and ledger["minus_files"] <= 1
+    assert _got(spark, mv) == _expected(spark, t)
+
+
+def test_compaction_nets_to_zero(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path)
+    mv.refresh(spark)
+    before = _got(spark, mv)
+    t.compact(spark)
+    ledger = mv.refresh(spark)
+    assert not ledger["noop"]  # files changed, so the delta is computed...
+    assert _got(spark, mv) == before  # ...and cancels exactly
+
+
+def test_minmax_repair_under_deletes(spark, tmp_path):
+    t, mv = _mk(
+        spark,
+        tmp_path,
+        measures={
+            "n": ("count", "*"),
+            "min_x": ("min", "x"),
+            "max_x": ("max", "x"),
+        },
+    )
+    mv.refresh(spark)
+    # delete the current max of group "a" (k=30, x=7.5): repair must
+    # surface the runner-up, which no invertible update could produce
+    feed = spark.createDataFrame(
+        [(30, None, None, "delete", 1)], "k int, grp string, x double, op string, seq int"
+    )
+    lake.merge_apply(t, feed, ("k",), op_col="op", seq_col="seq")
+    mv.refresh(spark)
+    exp = {
+        (r.grp, r.n, r.min_x, r.max_x)
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.min("x").alias("min_x"), F.max("x").alias("max_x"))
+        .collect()
+    }
+    got = {
+        (r.grp, r.n, r.min_x, r.max_x) for r in mv.read(spark).collect()
+    }
+    assert got == exp
+
+
+def test_refresh_is_idempotent_and_restartable(spark, tmp_path):
+    t, mv = _mk(spark, tmp_path)
+    mv.refresh(spark)
+    state = _got(spark, mv)
+    assert mv.refresh(spark)["noop"]  # nothing pending
+    assert _got(spark, mv) == state
+    # crash-restart: a re-created view object resumes from the recorded
+    # watermark (mv_base_version), not from scratch
+    merge_upsert(t, _base_df(spark, [(7, "b", 0.5)]), ("k",))
+    mv2 = MaterializedAgg(
+        t,
+        mv.table.root,
+        ("grp",),
+        {"n": ("count", "*"), "sum_x": ("sum", "x"), "avg_x": ("avg", "x")},
+    )
+    ledger = mv2.refresh(spark)
+    assert ledger["from_version"] > 0 and not ledger["noop"]  # resumed, not rebuilt
+    assert ledger["minus_files"] < len(t.snapshot()["files"])  # delta read only
+    assert _got(spark, mv2) == _expected(spark, t)
+
+
+def test_rejects_unknown_agg(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "base"))
+    with pytest.raises(ValueError, match="agg must be"):
+        MaterializedAgg(t, str(tmp_path / "mv"), ("g",), {"m": ("median", "x")})
