@@ -93,6 +93,7 @@ _ROUND8_PRIORITY = (
     # scripts/plan_window.py --tuple) --
     "lake_cdc_apply",
     "lake_incremental_mv",
+    "lake_zorder_skip",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

@@ -72,6 +72,47 @@ def _bucket_of(key_cols: tuple[str, ...], n_buckets: int):
     ).cast("int")
 
 
+def _zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = 8):
+    """Morton (interleaved-bit) key over rank-quantized columns — the
+    multi-dimensional clustering curve (Delta OPTIMIZE ZORDER BY's
+    shape). Each column is quantized to ``2^bits`` cells by its OWN
+    approximate quantiles (so skew cannot collapse the grid: every cell
+    holds ~equal rows regardless of the value distribution), then the
+    cell numbers' bits interleave. Sorting by the key gives every file a
+    small hyper-rectangle of the value space, so per-file [min, max]
+    zone maps prune on ANY clustered dimension — linear clustering
+    prunes only its leading column. One approxQuantile pass (driver,
+    |cuts| scalars) + a per-row JVM fold over the cut array; no
+    shuffle beyond the final range partition."""
+    from pyspark.sql import functions as F
+
+    n_cells = 1 << bits
+    qs = [i / n_cells for i in range(1, n_cells)]
+    cutlists = df.stat.approxQuantile(
+        [c for c in cols], qs, 0.001
+    ) if len(cols) > 1 else [df.stat.approxQuantile(cols[0], qs, 0.001)]
+    def cell_of(col: str, cuts: list[float]):
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col(col).cast("double") > c, 1).otherwise(0),
+        )
+
+    cells = [cell_of(col, cuts) for col, cuts in zip(cols, cutlists)]
+    z = F.lit(0)
+    for b in range(bits):
+        for i, cell in enumerate(cells):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell, b).bitwiseAND(F.lit(1)),
+                    b * len(cells) + i,
+                )
+            )
+    return z.cast("long")
+
+
 def _fsync_dir(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -266,6 +307,8 @@ class ManifestTable:
         cluster_by: tuple[str, ...] = (),
         n_files: int | None = None,
         stat_cols: tuple[str, ...] = (),
+        cluster_method: str = "range",
+        zorder_bits: int = 8,
     ) -> int:
         """Full-replace commit (last-writer-wins): stage once, retry the
         publish against whatever the latest version becomes.
@@ -275,15 +318,39 @@ class ManifestTable:
         zone maps (``stat_cols``, which defaults to the cluster columns)
         then make ``read_range`` skip almost every file instead of
         almost none. Clustering is what turns file stats from metadata
-        into skipped I/O; unclustered tables keep stats but overlap."""
+        into skipped I/O; unclustered tables keep stats but overlap.
+
+        ``cluster_method="zorder"`` (≥2 cluster columns) clusters on the
+        Morton curve instead of the linear sort: every file owns a small
+        hyper-rectangle of the multi-column value space, so zone maps
+        prune queries filtering ANY clustered column — the layout for
+        tables queried along more than one axis (``read_box``). Linear
+        clustering stays the better choice when one column dominates
+        the workload (it prunes that column perfectly)."""
+        from pyspark.sql import functions as F
+
         if cluster_by:
-            cols = [df[c] for c in cluster_by]
-            df = (
-                df.repartitionByRange(n_files, *cols)
-                if n_files
-                else df.repartitionByRange(*cols)
-            ).sortWithinPartitions(*cols)
             stat_cols = stat_cols or tuple(cluster_by)
+            if cluster_method == "zorder" and len(cluster_by) > 1:
+                zk = "__sbp_zorder"
+                zdf = df.withColumn(
+                    zk, _zorder_key(df, tuple(cluster_by), zorder_bits)
+                )
+                zdf = (
+                    zdf.repartitionByRange(n_files, F.col(zk))
+                    if n_files
+                    else zdf.repartitionByRange(F.col(zk))
+                ).sortWithinPartitions(zk)
+                df = zdf.drop(zk)
+            elif cluster_method not in ("range", "zorder"):
+                raise ValueError(f"unknown cluster_method {cluster_method!r}")
+            else:
+                cols = [df[c] for c in cluster_by]
+                df = (
+                    df.repartitionByRange(n_files, *cols)
+                    if n_files
+                    else df.repartitionByRange(*cols)
+                ).sortWithinPartitions(*cols)
             files = self.stage(df)
         else:
             files = self.stage(df, n_files=n_files)
@@ -374,6 +441,43 @@ class ManifestTable:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def prune_files_box(
+        self, preds: dict[str, tuple], version: int | None = None
+    ) -> list[str]:
+        """Files whose zone maps intersect EVERY [lo, hi] in ``preds``
+        ({col: (lo, hi)}, None = unbounded) — conjunctive multi-column
+        skipping. On a z-ordered table each file owns a hyper-rectangle,
+        so the per-column intersections each discard files and the
+        conjunction compounds; on a linearly-clustered table only the
+        leading column's predicate skips anything."""
+        kept = self.snapshot(version)["files"]
+        for col, (lo, hi) in preds.items():
+            pruned = set(self.prune_files(col, lo, hi, version))
+            kept = [f for f in kept if f in pruned]
+        return kept
+
+    def read_box(
+        self, spark: SparkSession, preds: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Multi-column range scan served by zone maps: only files whose
+        stats intersect every predicate are opened, then the exact
+        filters apply on top. Equal to ``read().filter(...)`` by
+        construction; cheaper by the skipped files."""
+        from pyspark.sql import functions as F
+
+        files = self.prune_files_box(preds, version)
+        base = (
+            spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+            if files
+            else self.read(spark, version).filter(F.lit(False))
+        )
+        for col, (lo, hi) in preds.items():
+            if lo is not None:
+                base = base.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                base = base.filter(F.col(col) <= F.lit(hi))
+        return base
 
     def changes(
         self,

@@ -131,6 +131,59 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    cache_plan=False,
+    name="lake_zorder_skip",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {fixed_point_sum_sql("o_totalprice", 2)} AS sum_price,
+           TRUE AS prunes_kmod, TRUE AS prunes_price
+    FROM (SELECT o_orderkey % 1000 AS k_mod, o_totalprice, o_orderpriority
+          FROM orders) t
+    WHERE k_mod BETWEEN 100 AND 300
+      AND o_totalprice BETWEEN 100000.0 AND 200000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def lake_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering + zone-map data skipping: the
+    orders table is clustered on TWO independent dimensions
+    (o_orderkey % 1000, o_totalprice) so every file owns a small
+    rectangle of the value space, and a 2-D box query opens only files
+    whose manifest [min, max] stats intersect BOTH ranges. The
+    prunes_kmod / prunes_price claim columns assert — as values the
+    oracle checks — that each SINGLE-dimension predicate already skips
+    files, which linear clustering can only deliver for its leading
+    column; the aggregates of the box query itself must equal the plain
+    filtered GROUP BY the oracle runs (skipping never drops a row)."""
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 1000).alias("k_mod"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_zorder_"))
+    table.overwrite(
+        orders,
+        cluster_by=("k_mod", "o_totalprice"),
+        cluster_method="zorder",
+        n_files=16,
+    )
+    n_total = len(table.snapshot()["files"])
+    prunes_kmod = len(table.prune_files("k_mod", 100, 300)) < n_total
+    prunes_price = (
+        len(table.prune_files("o_totalprice", 100000.0, 200000.0)) < n_total
+    )
+    box = table.read_box(
+        spark, {"k_mod": (100, 300), "o_totalprice": (100000.0, 200000.0)}
+    )
+    return box.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        F.lit(prunes_kmod).alias("prunes_kmod"),
+        F.lit(prunes_price).alias("prunes_price"),
+    )
+
+
 _MV_AVG = (
     f"({fixed_point_sum_sql('l_quantity', 6)}) / CAST(count(*) AS DOUBLE)"
 )

@@ -482,3 +482,43 @@ def test_merge_apply_bucketed_routes_deletes_and_reuses_untouched(spark, tmp_pat
     assert untouched_before <= set(snap2["files"])  # reused verbatim
     rows = dict(_rows(t.read(spark)))
     assert 7 not in rows and rows[23] == "NEW" and rows[0] == "v0"
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Two independent uniform dims: linear (x,y) clustering prunes x
+    boxes but leaves y boxes nearly unpruned (every file spans most of
+    y); z-order prunes both, which is its entire reason to exist."""
+    rows = [(i, float(i % 101), float((i * 7919) % 103)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    lin = ManifestTable(str(tmp_path / "lin"))
+    lin.overwrite(df, cluster_by=("x", "y"), n_files=16)
+    zo = ManifestTable(str(tmp_path / "zo"))
+    zo.overwrite(df, cluster_by=("x", "y"), n_files=16, cluster_method="zorder")
+    total = len(zo.snapshot()["files"])
+    x_box, y_box = {"x": (10.0, 30.0)}, {"y": (10.0, 30.0)}
+    assert len(lin.prune_files_box(x_box)) < total  # leading dim: linear fine
+    zx, zy = len(zo.prune_files_box(x_box)), len(zo.prune_files_box(y_box))
+    assert zx < total and zy < total  # z-order prunes BOTH dims
+    assert zy < len(lin.prune_files_box(y_box))  # the case linear can't serve
+    # conjunctive box compounds the per-dim skipping
+    box = {"x": (10.0, 30.0), "y": (40.0, 80.0)}
+    assert len(zo.prune_files_box(box)) <= min(zx, total)
+    # correctness: box read == full scan + filter, file skipping loses no row
+    exp = sorted(
+        r.id
+        for r in zo.read(spark)
+        .filter("x between 10 and 30 and y between 40 and 80")
+        .collect()
+    )
+    got = sorted(r.id for r in zo.read_box(spark, box).collect())
+    assert got == exp and len(got) > 0
+
+
+def test_zorder_requires_two_columns_and_valid_method(spark, tmp_path):
+    df = _df(spark, [(1, "a")])
+    t = ManifestTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="cluster_method"):
+        t.overwrite(df, cluster_by=("k",), cluster_method="hilbert")
+    # single-column zorder degrades to range clustering (same semantics)
+    t.overwrite(df, cluster_by=("k",), cluster_method="zorder")
+    assert _rows(t.read(spark)) == [(1, "a")]
