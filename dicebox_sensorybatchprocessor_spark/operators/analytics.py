@@ -591,3 +591,72 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_units).cast("double") / 10000.0).alias("revenue"),
         )
     )
+
+
+@register(
+    "events_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(SUM(CASE WHEN nxt IS NOT NULL THEN nxt - t ELSE 0 END)
+                  AS BIGINT) AS active_us,
+             SUM(CASE WHEN nxt IS NOT NULL
+                      THEN CAST(round(value * 1000000.0, 0) AS HUGEINT)
+                           * (nxt - t)
+                      ELSE CAST(0 AS HUGEINT) END) AS wv
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events, active_us,
+           floor((CAST(wv AS DOUBLE) / 1000000.0 / CAST(active_us AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS twap
+    FROM agg WHERE active_us > 0
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the user's next event, so the average weights each
+    reading by its holding duration in MICROSECONDS — the step-function
+    integral a last-observation-carried-forward sensor/price series
+    needs, where a plain AVG over-counts bursts of readings. One lead()
+    window + one hash agg = one shuffle on user_id. Products are
+    (fixed-point value units) x (µs duration) in decimal(38,0) — a
+    double accumulator would be partition-order-dependent and an int64
+    overflows at day-long gaps — and the final division mirrors the
+    oracle's IEEE operation order, with stable_round closing the
+    half-point hazard. Users with a single event (no holding interval)
+    are excluded, as is each user's last reading."""
+    ev = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(t, F.col("event_id"))
+    nxt = F.lead(t).over(w)
+    dt = (nxt - t).cast("decimal(38,0)")
+    units = F.round(F.col("value") * 1000000.0, 0).cast("decimal(38,0)")
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(nxt.isNotNull(), nxt - t).otherwise(F.lit(0)).alias("dt_us"),
+        F.when(nxt.isNotNull(), units * dt)
+        .otherwise(F.lit(0).cast("decimal(38,0)"))
+        .alias("wv"),
+    )
+    agg = seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("dt_us").cast("long").alias("active_us"),
+        F.sum("wv").alias("wv"),
+    )
+    return agg.filter(F.col("active_us") > 0).select(
+        "user_id",
+        "n_events",
+        "active_us",
+        stable_round(
+            F.col("wv").cast("double")
+            / F.lit(1000000.0)
+            / F.col("active_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )

@@ -167,6 +167,9 @@ def lake_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_by=("k_mod", "o_totalprice"),
         cluster_method="zorder",
         n_files=16,
+        # 64 cells/dim: plenty of rectangle resolution for 16 files, and
+        # the per-row quantize fold costs 4x less than the 256-cell default
+        zorder_bits=6,
     )
     n_total = len(table.snapshot()["files"])
     prunes_kmod = len(table.prune_files("k_mod", 100, 300)) < n_total
