@@ -95,6 +95,7 @@ _ROUND8_PRIORITY = (
     "lake_incremental_mv",
     "lake_zorder_skip",
     "events_twap",
+    "lake_compact_small",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

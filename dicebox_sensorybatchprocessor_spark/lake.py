@@ -363,6 +363,55 @@ class ManifestTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def append(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Blind append: stage ``df`` and commit old ∪ new files. Never
+        reads existing data — the O(batch) ingest verb a streaming sink
+        uses when rows are immutable facts (events, logs) and MERGE's
+        key semantics would buy nothing. On a bucketed table the batch
+        is staged bucket-partitioned and the bucket map extends, so
+        later keyed merges still rewrite only touched buckets (a bucket
+        may then hold several files; merges read them all). Appends
+        fragment by design — :meth:`compact_small` is the matching
+        maintenance verb, O(small files) not O(table). ``txn`` gives a
+        replaying writer the exactly-once skip, which appends need even
+        more than merges: a replayed append DUPLICATES rows."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            if txn is not None and int(
+                snap.get("txns", {}).get(txn[0], -1)
+            ) >= int(txn[1]):
+                return snap["version"]
+            if snap.get("n_buckets"):
+                new_map = self.stage_bucketed(
+                    df, tuple(snap["bucket_keys"]), snap["n_buckets"]
+                )
+                files = snap["files"] + sorted(new_map)
+                meta = {
+                    "n_buckets": snap["n_buckets"],
+                    "bucket_keys": snap["bucket_keys"],
+                    "file_buckets": {**snap["file_buckets"], **new_map},
+                }
+            else:
+                files = snap["files"] + self.stage(df, n_files=n_files)
+                meta = None
+            try:
+                return self.commit(
+                    files,
+                    snap["version"],
+                    bucket_meta=meta,
+                    stat_cols=tuple(snap.get("stat_cols", ())),
+                    txn=txn,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     # -- data skipping ---------------------------------------------------
     def collect_file_stats(
         self, files: list[str], stat_cols: tuple[str, ...]
@@ -569,6 +618,81 @@ class ManifestTable:
                 "n_files_before": n_before,
                 "n_files_after": len(files),
                 "total_bytes": total_bytes,
+                "n_output_files_planned": n_out,
+            }
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """Bin-packing compaction: rewrite ONLY the files smaller than
+        ``small_file_bytes`` (default ``target_file_bytes // 2``) into
+        ~target-sized files, and carry every already-right-sized file
+        into the next snapshot byte-identical. Maintenance cost scales
+        with the fragmented tail a streaming ingest leaves behind, not
+        the table — ``compact()`` is O(table) and at lake scale a
+        nightly OPTIMIZE must be O(small files) or it never finishes.
+        Zone maps for carried files are re-read from unchanged footers,
+        so skipping survives the commit. Fewer than two small files is a
+        no-op (version unchanged, nothing staged). Bucketed tables are
+        rejected: each MERGE already rewrites a touched bucket into one
+        file, so their fragmentation is bounded by design — use
+        ``compact()`` to re-settle an evolved schema instead."""
+        small = (
+            small_file_bytes
+            if small_file_bytes is not None
+            else target_file_bytes // 2
+        )
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            if snap.get("n_buckets"):
+                raise ValueError(
+                    "bucketed tables stay one-file-per-bucket; use compact()"
+                )
+            sizes = {
+                f: os.path.getsize(os.path.join(self.root, f))
+                for f in snap["files"]
+            }
+            small_files = [f for f in snap["files"] if sizes[f] < small]
+            keep_files = [f for f in snap["files"] if sizes[f] >= small]
+            if len(small_files) < 2:
+                return {
+                    "version": snap["version"],
+                    "n_files_before": len(snap["files"]),
+                    "n_files_after": len(snap["files"]),
+                    "n_files_rewritten": 0,
+                    "n_files_carried": len(snap["files"]),
+                    "bytes_rewritten": 0,
+                    "n_output_files_planned": 0,
+                }
+            bytes_small = sum(sizes[f] for f in small_files)
+            n_out = max(1, math.ceil(bytes_small / target_file_bytes))
+            # mergeSchema: the small tail may straddle a schema evolution;
+            # the packed files settle under the widest schema of the TAIL
+            # only — carried files are untouched by contract
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in small_files]
+            )
+            new_files = self.stage(df, n_files=n_out)
+            try:
+                version = self.commit(
+                    keep_files + new_files,
+                    snap["version"],
+                    stat_cols=tuple(snap.get("stat_cols", ())),
+                )
+            except CommitConflict:
+                continue
+            return {
+                "version": version,
+                "n_files_before": len(snap["files"]),
+                "n_files_after": len(keep_files) + len(new_files),
+                "n_files_rewritten": len(small_files),
+                "n_files_carried": len(keep_files),
+                "bytes_rewritten": bytes_small,
                 "n_output_files_planned": n_out,
             }
         raise CommitConflict(f"gave up after {max_retries} retries")

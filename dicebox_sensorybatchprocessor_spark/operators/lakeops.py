@@ -11,6 +11,8 @@ the oracle can re-derive them in SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,6 +186,75 @@ def lake_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
         F.lit(prunes_kmod).alias("prunes_kmod"),
         F.lit(prunes_price).alias("prunes_price"),
+    )
+
+
+@register(
+    cache_plan=False,
+    name="lake_compact_small",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {fixed_point_sum_sql("o_totalprice", 2)} AS sum_price,
+           TRUE AS big_file_carried, TRUE AS packed_tail,
+           TRUE AS replay_skipped
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def lake_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest lifecycle closed by O(small-files) maintenance:
+    a big overwrite plus eight blind ``table.append`` micro-batches (the
+    O(batch) ingest verb — no read of existing data) leave the
+    fragmented tail every streaming sink leaves, then
+    ``compact_small`` bin-packs ONLY the files under the size threshold
+    and carries the right-sized file into the new snapshot
+    byte-identical (claimed by path AND size — ``compact()`` would
+    rewrite it too, which at lake scale turns a nightly OPTIMIZE into a
+    full-table job). One append replays under its txn id and must be
+    skipped without committing a version — a replayed blind append
+    DUPLICATES rows, so exactly-once matters most on this verb. The
+    aggregate columns assert the compacted table still equals the plain
+    orders GROUP BY the oracle runs."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_compact_small_"))
+    big = orders.filter(F.col("o_orderkey") % 10 < 7)
+    tail = orders.filter(F.col("o_orderkey") % 10 >= 7)
+    table.overwrite(big, n_files=1)
+    big_rel = table.snapshot()["files"][0]
+    big_size = os.path.getsize(os.path.join(table.root, big_rel))
+    for i in range(8):
+        table.append(
+            tail.filter((F.col("o_orderkey") / 10).cast("long") % 8 == i),
+            n_files=1,
+            txn=("ingest", i),
+        )
+    v_before_replay = table.latest_version()
+    table.append(tail.limit(5), n_files=1, txn=("ingest", 7))  # replay
+    replay_skipped = table.latest_version() == v_before_replay
+
+    ledger = table.compact_small(
+        spark,
+        target_file_bytes=1 << 30,
+        small_file_bytes=big_size,
+    )
+    files_after = table.snapshot()["files"]
+    big_file_carried = (
+        big_rel in files_after
+        and os.path.getsize(os.path.join(table.root, big_rel)) == big_size
+        and ledger["n_files_carried"] == 1
+    )
+    packed_tail = (
+        ledger["n_files_rewritten"] == 8
+        and ledger["n_files_before"] == 9
+        and len(files_after) == 2
+    )
+    return table.read(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        F.lit(big_file_carried).alias("big_file_carried"),
+        F.lit(packed_tail).alias("packed_tail"),
+        F.lit(replay_skipped).alias("replay_skipped"),
     )
 
 

@@ -522,3 +522,79 @@ def test_zorder_requires_two_columns_and_valid_method(spark, tmp_path):
     # single-column zorder degrades to range clustering (same semantics)
     t.overwrite(df, cluster_by=("k",), cluster_method="zorder")
     assert _rows(t.read(spark)) == [(1, "a")]
+
+
+def test_append_blind_ingest_and_txn_replay(spark, tmp_path):
+    """append never reads existing data, extends the snapshot, and a
+    replayed append under the same txn id is a protocol no-op — the verb
+    where exactly-once matters most, since a replayed blind append
+    duplicates rows instead of converging."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), txn=("job", 0))
+    t.append(_df(spark, [(2, "b")]), txn=("job", 1))
+    v = t.latest_version()
+    t.append(_df(spark, [(2, "DUP")]), txn=("job", 1))  # replay
+    assert t.latest_version() == v
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_append_bucketed_extends_map_and_merge_still_partial(spark, tmp_path):
+    """A bucketed append stages bucket-partitioned files and extends the
+    bucket map, so a later keyed merge still rewrites only touched
+    buckets — reading ALL files of a touched bucket (append may have
+    left several)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(i, f"v{i}") for i in range(8)]), ("k",), n_buckets=4)
+    t.append(_df(spark, [(100, "app"), (3, "dup-key")]))
+    snap = t.snapshot()
+    assert len(snap["files"]) == len(snap["file_buckets"])
+    # append on a keyed table is blind: key 3 now has two rows
+    assert sorted(r.k for r in t.read(spark).collect()).count(3) == 2
+    untouched_before = [
+        f for f in snap["files"]
+        if snap["file_buckets"][f] != snap["file_buckets"][snap["files"][0]]
+    ]
+    merge_upsert(t, _df(spark, [(3, "MERGED")]), ("k",))
+    after = t.snapshot()
+    # merge collapsed the duplicate (rewrote every file of key 3's bucket)
+    assert [r.v for r in t.read(spark).filter("k = 3").collect()] == ["MERGED"]
+    # buckets not containing key 3 carried byte-identical paths
+    b3 = {f: b for f, b in snap["file_buckets"].items()}
+    touched_bucket = None
+    for f, b in after["file_buckets"].items():
+        if f not in b3:
+            touched_bucket = b
+    for f, b in b3.items():
+        if b != touched_bucket:
+            assert f in after["files"]
+
+
+def test_compact_small_packs_tail_and_carries_big_file(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(i, "x" * 64) for i in range(5000)]), n_files=1)
+    big = t.snapshot()["files"][0]
+    big_size = os.path.getsize(os.path.join(t.root, big))
+    for i in range(6):
+        t.append(_df(spark, [(10000 + i, "tail")]), n_files=1)
+    ledger = t.compact_small(
+        spark, target_file_bytes=1 << 30, small_file_bytes=big_size
+    )
+    assert ledger["n_files_rewritten"] == 6
+    assert ledger["n_files_carried"] == 1
+    snap = t.snapshot()
+    assert len(snap["files"]) == 2 and big in snap["files"]
+    assert os.path.getsize(os.path.join(t.root, big)) == big_size
+    assert t.read(spark).count() == 5006
+    # fewer than two small files -> no-op, no version burned
+    v = t.latest_version()
+    ledger2 = t.compact_small(
+        spark, target_file_bytes=1 << 30, small_file_bytes=1
+    )
+    assert ledger2["n_files_rewritten"] == 0 and t.latest_version() == v
+
+
+def test_compact_small_rejects_bucketed(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(1, "a")]), ("k",), n_buckets=2)
+    with pytest.raises(ValueError, match="bucket"):
+        t.compact_small(spark)
