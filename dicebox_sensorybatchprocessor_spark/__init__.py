@@ -96,6 +96,7 @@ _ROUND8_PRIORITY = (
     "lake_zorder_skip",
     "events_twap",
     "lake_compact_small",
+    "stream_lake_mv",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

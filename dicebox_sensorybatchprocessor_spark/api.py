@@ -944,6 +944,7 @@ def upsert_stream(
     available_now: bool = True,
     n_buckets: int | None = None,
     txn_app_id: str | None = None,
+    refresh_views=(),
 ):
     """Streaming MERGE (upsert) sink through the manifest-commit
     protocol: each micro-batch — optionally reshaped by ``transform``
@@ -968,7 +969,9 @@ def upsert_stream(
     idempotence. ``txn_app_id`` defaults to the checkpoint directory
     name, the same identity the replay itself is keyed by; pass an
     explicit stable id when the checkpoint path changes across
-    deployments."""
+    deployments. ``refresh_views`` (mv.MaterializedAgg instances over
+    this table) refresh after every commit, each reading only the
+    commit's file delta."""
     import os as _os
 
     from dicebox_sensorybatchprocessor_spark import lake
@@ -984,7 +987,56 @@ def upsert_stream(
         lake.merge_upsert(
             t, b, keys, n_buckets=n_buckets, txn=(app_id, int(batch_id))
         )
+        for view in refresh_views:
+            view.refresh(batch_df.sparkSession)
     writer = stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", ck
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def append_stream(
+    stream: DataFrame,
+    table,
+    transform=None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    n_files: int | None = None,
+    txn_app_id: str | None = None,
+    refresh_views=(),
+):
+    """Streaming blind-APPEND sink through the manifest-commit protocol:
+    each micro-batch — optionally reshaped by ``transform`` — lands as
+    one atomic lake commit that never reads existing data
+    (``ManifestTable.append``), the O(batch) path for immutable facts
+    (events, logs, sensor readings). Exactly-once is carried by a
+    ``(txn_app_id, batch_id)`` manifest transaction: when the checkpoint
+    replays a batch whose commit landed before a crash, the append is
+    skipped outright — which matters MORE here than for the merge sink,
+    since a replayed blind append duplicates rows instead of converging.
+    ``refresh_views`` (mv.MaterializedAgg instances over this table)
+    refresh after every commit, each reading only the batch's files —
+    the streaming rollup pattern: fact stream in, always-current
+    aggregate out, per-trigger cost proportional to the trigger.
+    Returns the started StreamingQuery."""
+    import os as _os
+
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_append_")
+    app_id = txn_app_id or f"append_stream:{_os.path.basename(_os.path.normpath(ck))}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = transform(batch_df) if transform is not None else batch_df
+        t.append(b, n_files=n_files, txn=(app_id, int(batch_id)))
+        for view in refresh_views:
+            view.refresh(batch_df.sparkSession)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", ck
     )
     if available_now:

@@ -1147,3 +1147,92 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n_events")
     )
+
+
+_LAKEMV_SUM = (
+    "CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE)"
+    " / 1000000.0"
+)
+
+
+@register(
+    cache_plan=False,
+    name="stream_lake_mv",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           {_LAKEMV_SUM} AS sum_value,
+           ({_LAKEMV_SUM}) / CAST(count(*) AS DOUBLE) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value,
+           TRUE AS append_only, TRUE AS mv_stepped, TRUE AS exactly_once
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_lake_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming rollup, end-to-end through the lake: an immutable
+    fact stream (events in three maxFilesPerTrigger=1 micro-batches)
+    lands via the blind-APPEND sink (api.append_stream — one atomic
+    lake commit per batch, O(batch), exactly-once via manifest txn
+    records keyed by batch id), and an incremental materialized view
+    over the table refreshes after EVERY commit, reading only that
+    commit's files. Per-trigger cost is proportional to the trigger on
+    both legs — the shape a resident 100 TB ingest needs, where neither
+    the table nor the rollup can be recomputed per batch. Claim columns
+    the oracle checks as values: append_only (each base version's files
+    are a superset of the previous — appends never rewrite),
+    mv_stepped (the view committed a refresh per batch and its
+    watermark reached the base head — maintained, not recomputed at the
+    end), exactly_once (the manifest holds the last batch's txn id).
+    The view's content must equal the from-scratch GROUP BY over all
+    events, which the oracle computes directly."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
+    from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+    spark = _streaming_session(spark)
+    raw = _events_raw(spark, sf_dir)
+    parts = [raw.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    staged = _stage_files(spark, parts, "lakemv", cache_key=sf_dir)
+    table = lake.ManifestTable(scratch_dir(prefix="sbp_lakemv_store_"))
+    view = MaterializedAgg(
+        table,
+        scratch_dir(prefix="sbp_lakemv_state_"),
+        ("event_type",),
+        {
+            "n_events": ("count", "*"),
+            "sum_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    stream = _events_stream(spark, staged, max_files=1)
+    q = api.append_stream(
+        stream,
+        table,
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_lakemv_"),
+        txn_app_id="stream_lake_mv",
+        refresh_views=(view,),
+        n_files=1,
+    )
+    q.awaitTermination()
+
+    v_base = table.latest_version()
+    append_only = v_base == 3 and all(
+        set(table.snapshot(v - 1)["files"]) < set(table.snapshot(v)["files"])
+        for v in range(2, v_base + 1)
+    )
+    mv_stepped = (
+        view.refreshed_version() == v_base
+        and view.table.latest_version() >= v_base
+    )
+    exactly_once = table.txn_version("stream_lake_mv") == 2
+    return view.read(spark).select(
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+        F.lit(append_only).alias("append_only"),
+        F.lit(mv_stepped).alias("mv_stepped"),
+        F.lit(exactly_once).alias("exactly_once"),
+    )

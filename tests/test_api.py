@@ -977,3 +977,70 @@ def test_upsert_stream_bucketed_partial_rewrite(spark, tmp_path):
     assert len(reused) >= len(s1["files"]) - 1 > 0
     rows = {r.k: r.v for r in table.read(spark).collect()}
     assert rows[3] == "v1" and rows[4] == "v0" and len(rows) == 32
+
+
+def test_append_stream_with_maintained_view(spark, tmp_path):
+    """api.append_stream: blind-append each micro-batch as one atomic
+    lake commit (no read of existing data), refresh the attached
+    MaterializedAgg per commit; the view must track the stream exactly
+    and the append must be exactly-once under txn replay semantics."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+    batches = [
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, x double"),
+        spark.createDataFrame([("a", 3.0)], "g string, x double"),
+        spark.createDataFrame([("b", 4.0), ("b", 5.0)], "g string, x double"),
+    ]
+    stream = api.replay_stream(
+        spark, batches, name="api_append_test", max_files_per_trigger=1
+    )
+    table = lake.ManifestTable(str(tmp_path / "t"))
+    view = MaterializedAgg(
+        table,
+        str(tmp_path / "mv"),
+        ("g",),
+        {"n": ("count", "*"), "sx": ("sum", "x"), "mx": ("max", "x")},
+    )
+    q = api.append_stream(
+        stream,
+        table,
+        checkpoint_dir=str(tmp_path / "ck"),
+        txn_app_id="app_test",
+        refresh_views=(view,),
+    )
+    q.awaitTermination()
+    assert table.latest_version() == 3  # one atomic commit per batch
+    assert table.read(spark).count() == 5  # appends never collapse rows
+    assert table.txn_version("app_test") == 2
+    assert view.refreshed_version() == 3  # maintained through the stream
+    got = {r.g: (r.n, r.sx, r.mx) for r in view.read(spark).collect()}
+    assert got == {"a": (2, 4.0, 3.0), "b": (3, 11.0, 5.0)}
+
+
+def test_upsert_stream_refresh_views(spark, tmp_path):
+    """upsert_stream(refresh_views=...): the view follows keyed MERGE
+    semantics — a later version of a key replaces its contribution."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+    batches = [
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k int, g string, x double"),
+        spark.createDataFrame([(1, "a", 10.0)], "k int, g string, x double"),
+    ]
+    stream = api.replay_stream(
+        spark, batches, name="api_upsert_mv_test", max_files_per_trigger=1
+    )
+    table = lake.ManifestTable(str(tmp_path / "t"))
+    view = MaterializedAgg(
+        table, str(tmp_path / "mv"), ("g",),
+        {"n": ("count", "*"), "sx": ("sum", "x")},
+    )
+    q = api.upsert_stream(
+        stream, table, ("k",),
+        checkpoint_dir=str(tmp_path / "ck"),
+        refresh_views=(view,),
+    )
+    q.awaitTermination()
+    got = {r.g: (r.n, r.sx) for r in view.read(spark).collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 2.0)}
