@@ -97,6 +97,7 @@ _ROUND8_PRIORITY = (
     "events_twap",
     "lake_compact_small",
     "stream_lake_mv",
+    "lake_merge_into",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

@@ -1044,6 +1044,26 @@ def append_stream(
     return writer.start()
 
 
+def merge_into(
+    table,
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+    **legs,
+):
+    """Conditional MERGE INTO — the full WHEN MATCHED [AND cond] THEN
+    UPDATE SET / DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT
+    statement over a lake table, one atomic commit, bucket-routed
+    partial rewrite. Thin wrapper over :func:`lake.merge_into` (which
+    documents the legs: ``matched_update`` expressions over ``t.*`` and
+    ``s.*``, ``matched_update_condition``, ``matched_delete_condition``,
+    ``insert_unmatched`` / ``insert_condition``, plus ``txn`` for
+    exactly-once replays)."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    return lake.merge_into(t, source, tuple(key_cols), **legs)
+
+
 def apply_changes(
     table,
     changes: DataFrame,

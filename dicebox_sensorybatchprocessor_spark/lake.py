@@ -933,3 +933,146 @@ def merge_apply(
         txn=txn,
         delete_keys=deletes,
     )
+
+
+def merge_into(
+    table: ManifestTable,
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+    matched_update: dict[str, str] | None = None,
+    matched_update_condition: str | None = None,
+    matched_delete_condition: str | None = None,
+    insert_unmatched: bool = True,
+    insert_condition: str | None = None,
+    max_retries: int = 5,
+    n_buckets: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Conditional MERGE (the full Delta/SQL:2003 MERGE INTO statement,
+    where :func:`merge_upsert` is the replace-whole-row special case):
+
+    * WHEN MATCHED [AND ``matched_delete_condition``] THEN DELETE
+    * WHEN MATCHED [AND ``matched_update_condition``] THEN UPDATE SET
+      ``matched_update`` — {target column: SQL expression over ``t.*``
+      (current row) and ``s.*`` (source row)}, unlisted columns keep
+      their target values; matched rows failing both conditions stay
+      byte-for-byte (delete is tested first, as in Delta)
+    * WHEN NOT MATCHED [AND ``insert_condition`` over ``s.*``] THEN
+      INSERT (source must carry every target column; extra source
+      columns are join inputs only and never land)
+
+    Execution is ONE plan over the touched region: full-outer join of
+    region rows with the (broadcast-eligible) source on the keys, one
+    CASE per column — no per-leg passes. Bucketed tables rewrite only
+    the buckets holding source keys and carry every other file
+    byte-identical, exactly like merge_upsert; ``txn`` gives replays
+    the exactly-once skip. Duplicate source keys raise (two legs
+    updating one target row is nondeterministic — same rule as Delta),
+    which costs one O(source) aggregate, never an O(table) pass."""
+    from pyspark.sql import functions as F
+
+    spark = source.sparkSession
+    keys = list(key_cols)
+    matched_update = dict(matched_update or {})
+    if source.groupBy(*keys).count().filter(F.col("count") > 1).take(1):
+        raise ValueError(
+            "merge_into source has duplicate keys: collapse the feed first "
+            "(merge_apply seq_col does this for CDC streams)"
+        )
+
+    def rewrite(region: DataFrame) -> DataFrame:
+        tcols = region.columns
+        src = source.withColumn("__s", F.lit(1)).alias("s")
+        tgt = region.withColumn("__t", F.lit(1)).alias("t")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        j = tgt.join(src, cond, "full_outer")
+        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        src_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+        del_c = (
+            F.expr(matched_delete_condition)
+            if matched_delete_condition
+            else F.lit(False)
+        )
+        upd_c = (
+            F.expr(matched_update_condition)
+            if matched_update_condition
+            else F.lit(True)
+        )
+        ins_c = F.expr(insert_condition) if insert_condition else F.lit(True)
+        deleted = matched & del_c
+        updated = matched & ~del_c & upd_c & F.lit(bool(matched_update))
+        inserted = src_only & F.lit(insert_unmatched) & ins_c
+        kept = j.filter(~deleted & ~(src_only & ~inserted))
+        out = []
+        for c in tcols:
+            val = F.col(f"t.{c}")
+            if c in matched_update:
+                val = F.when(updated, F.expr(matched_update[c])).otherwise(val)
+            out.append(F.when(inserted, F.col(f"s.{c}")).otherwise(val).alias(c))
+        return kept.select(*out)
+
+    for _ in range(max_retries):
+        snap = table.snapshot()
+        if not snap["files"]:
+            raise ValueError(
+                "merge_into needs an existing target; create the table "
+                "first (overwrite / append / merge_upsert)"
+            )
+        if txn is not None and int(
+            snap.get("txns", {}).get(txn[0], -1)
+        ) >= int(txn[1]):
+            return snap["version"]
+        nb = snap.get("n_buckets") or n_buckets
+        if snap.get("n_buckets"):
+            if list(snap["bucket_keys"]) != keys:
+                raise ValueError(
+                    f"table is bucketed by {snap['bucket_keys']}, merge keyed "
+                    f"by {keys} cannot route buckets"
+                )
+            fb = snap["file_buckets"]
+            touched = {
+                r["b"]
+                for r in source.select(
+                    _bucket_of(tuple(keys), nb).alias("b")
+                ).distinct().collect()
+            }
+            keep_files = [f for f in snap["files"] if fb[f] not in touched]
+            rewrite_files = [f for f in snap["files"] if fb[f] in touched]
+            tcols = table.read(spark, snap["version"]).columns
+            region = (
+                spark.read.parquet(*[table.root + "/" + f for f in rewrite_files])
+                if rewrite_files
+                else table.read(spark, snap["version"]).limit(0)
+            )
+            merged = rewrite(region).select(*tcols)
+            new_map = table.stage_bucketed(merged, tuple(keys), nb)
+            files = keep_files + sorted(new_map)
+            meta = {
+                "n_buckets": nb,
+                "bucket_keys": keys,
+                "file_buckets": {**{f: fb[f] for f in keep_files}, **new_map},
+            }
+        else:
+            merged = rewrite(table.read(spark, snap["version"]))
+            if nb:
+                new_map = table.stage_bucketed(merged, tuple(keys), nb)
+                files, meta = sorted(new_map), {
+                    "n_buckets": nb,
+                    "bucket_keys": keys,
+                    "file_buckets": new_map,
+                }
+            else:
+                files, meta = table.stage(merged), None
+        try:
+            return table.commit(
+                files,
+                snap["version"],
+                bucket_meta=meta,
+                stat_cols=tuple(snap.get("stat_cols", ())),
+                txn=txn,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} retries")

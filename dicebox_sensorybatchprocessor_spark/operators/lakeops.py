@@ -191,6 +191,101 @@ def lake_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     cache_plan=False,
+    name="lake_merge_into",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+             CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice * 0.1 AS delta
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', o_totalprice * 2.0,
+             o_orderpriority, 'I', 0.0
+      FROM orders WHERE o_orderkey % 100 = 1
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL AND s.op <> 'D'
+                       AND t.o_totalprice >= 100000.0
+                  THEN 'U' ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL AND s.op <> 'D'
+                       AND t.o_totalprice >= 100000.0
+                  THEN t.o_totalprice + s.delta
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL OR s.op <> 'D'
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+      FROM src s LEFT JOIN tgt t ON t.o_orderkey = s.o_orderkey
+      WHERE t.o_orderkey IS NULL AND s.o_totalprice > 50000.0
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           {fixed_point_sum_sql("o_totalprice", 2)} AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def lake_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO (lake.merge_into / api.merge_into): one
+    derived source feed drives every leg of the SQL:2003 / Delta MERGE
+    statement against a bucketed orders table in ONE atomic commit —
+    WHEN MATCHED AND op='D' THEN DELETE; WHEN MATCHED AND the TARGET
+    row clears a price threshold THEN UPDATE with an expression mixing
+    both sides (t.o_totalprice + s.delta) — matched rows failing both
+    conditions stay byte-for-byte; WHEN NOT MATCHED AND the source
+    price clears a threshold THEN INSERT (the below-threshold inserts
+    must NOT land). Executes as one full-outer join + one CASE per
+    column over only the buckets holding source keys. The oracle
+    replays the same statement as a CTE and the final state is rolled
+    up by status, which separates deleted / updated / inserted /
+    untouched keys into distinct groups."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_merge_into_"))
+    merge_upsert(table, orders, ("o_orderkey",), n_buckets=8)
+
+    matched = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 20 == 0, "D").otherwise("U").alias("op"),
+        (F.col("o_totalprice") * 0.1).alias("delta"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        F.lit(0.0).alias("delta"),
+    )
+    api.merge_into(
+        table,
+        matched.unionByName(inserts),
+        ("o_orderkey",),
+        matched_update={
+            "o_totalprice": "t.o_totalprice + s.delta",
+            "o_orderstatus": "'U'",
+        },
+        matched_update_condition="t.o_totalprice >= 100000.0",
+        matched_delete_condition="s.op = 'D'",
+        insert_condition="s.o_totalprice > 50000.0",
+    )
+    return table.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    cache_plan=False,
     name="lake_compact_small",
     oracle=f"""
     SELECT o_orderpriority, count(*) AS n,

@@ -598,3 +598,81 @@ def test_compact_small_rejects_bucketed(spark, tmp_path):
     merge_upsert(t, _df(spark, [(1, "a")]), ("k",), n_buckets=2)
     with pytest.raises(ValueError, match="bucket"):
         t.compact_small(spark)
+
+
+def test_merge_into_all_four_legs(spark, tmp_path):
+    """One conditional MERGE exercises all legs: matched+delete-cond,
+    matched+update-cond (expression over t.* AND s.*), matched but
+    failing both conditions (row unchanged), unmatched source row
+    passing / failing the insert condition, and target-only rows."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 5.0), (4, "d", 40.0)],
+            "k int, v string, x double",
+        )
+    )
+    src = spark.createDataFrame(
+        [
+            (1, "s1", 1.0, "U"),   # matched, x>=10 -> update: x += s.x, v tagged
+            (2, "s2", 2.0, "D"),   # matched -> delete
+            (3, "s3", 3.0, "U"),   # matched but t.x < 10 -> unchanged
+            (5, "s5", 50.0, "I"),  # unmatched, x > 10 -> insert
+            (6, "s6", 1.0, "I"),   # unmatched, x <= 10 -> NOT inserted
+        ],
+        "k int, v string, x double, op string",
+    )
+    lake.merge_into(
+        t,
+        src,
+        ("k",),
+        matched_update={"x": "t.x + s.x", "v": "concat(t.v, '+')"},
+        matched_update_condition="t.x >= 10.0",
+        matched_delete_condition="s.op = 'D'",
+        insert_condition="s.x > 10.0",
+    )
+    got = sorted((r.k, r.v, r.x) for r in t.read(spark).collect())
+    assert got == [
+        (1, "a+", 11.0),   # updated via expression over both sides
+        (3, "c", 5.0),     # matched, conditions false -> untouched
+        (4, "d", 40.0),    # target-only -> untouched
+        (5, "s5", 50.0),   # conditional insert landed (extra op col dropped)
+    ]
+
+
+def test_merge_into_bucketed_partial_rewrite_and_txn(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(
+        t,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(64)], "k int, x double"
+        ),
+        ("k",),
+        n_buckets=16,
+    )
+    before = t.snapshot()
+    src = spark.createDataFrame([(7, 100.0)], "k int, x double")
+    lake.merge_into(
+        t, src, ("k",), matched_update={"x": "s.x"}, txn=("mi", 0)
+    )
+    after = t.snapshot()
+    from dicebox_sensorybatchprocessor_spark.lake import _bucket_of
+    touched = src.select(_bucket_of(("k",), 16).alias("b")).first()["b"]
+    for f, b in before["file_buckets"].items():
+        assert (f in after["files"]) == (b != touched)  # carried iff untouched
+    assert t.read(spark).filter("k = 7").first()["x"] == 100.0
+    v = t.latest_version()
+    lake.merge_into(  # replay under same txn id: protocol no-op
+        t, src, ("k",), matched_update={"x": "s.x + 999"}, txn=("mi", 0)
+    )
+    assert t.latest_version() == v
+
+
+def test_merge_into_rejects_dup_keys_and_empty_target(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    src = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="existing target"):
+        lake.merge_into(t, src.limit(1), ("k",))
+    t.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        lake.merge_into(t, src, ("k",))
