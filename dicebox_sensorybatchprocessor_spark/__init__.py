@@ -98,6 +98,7 @@ _ROUND8_PRIORITY = (
     "lake_compact_small",
     "stream_lake_mv",
     "lake_merge_into",
+    "events_ohlc",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

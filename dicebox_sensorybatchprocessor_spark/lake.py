@@ -697,6 +697,52 @@ class ManifestTable:
             }
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+        min_small_files: int = 4,
+    ) -> dict:
+        """Stats-driven maintenance router — the verb a scheduler calls
+        without knowing the table's shape. Reads ONLY the manifest +
+        file sizes (no data scan) and routes:
+
+        * bucketed table whose appends have piled files past
+          2 × n_buckets → :meth:`compact` (per-bucket re-coalesce, the
+          only pass that restores one-file-per-bucket);
+        * unbucketed table with ≥ ``min_small_files`` files under the
+          threshold → :meth:`compact_small` (O(small files));
+        * otherwise → no-op (no version burned, no job submitted).
+
+        The decision costs a directory-stat, so calling it after every
+        ingest batch is safe; the expensive pass only runs when the
+        manifest says fragmentation crossed the line."""
+        snap = self.snapshot()
+        if not snap["files"]:
+            return {"action": "noop", "reason": "empty table"}
+        if snap.get("n_buckets"):
+            if len(snap["files"]) >= 2 * int(snap["n_buckets"]):
+                ledger = self.compact(spark, target_file_bytes)
+                return {"action": "compact", **ledger}
+            return {"action": "noop", "reason": "buckets within bound"}
+        small = (
+            small_file_bytes
+            if small_file_bytes is not None
+            else target_file_bytes // 2
+        )
+        n_small = sum(
+            1
+            for f in snap["files"]
+            if os.path.getsize(os.path.join(self.root, f)) < small
+        )
+        if n_small >= min_small_files:
+            ledger = self.compact_small(
+                spark, target_file_bytes, small_file_bytes
+            )
+            return {"action": "compact_small", **ledger}
+        return {"action": "noop", "reason": f"{n_small} small files < {min_small_files}"}
+
     def vacuum(self, retain_versions: int = 1) -> int:
         """Delete data files referenced by NO retained manifest (crash
         orphans and files superseded more than ``retain_versions`` ago),

@@ -660,3 +660,72 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+               AS n_all
+      FROM events
+    )
+    SELECT event_type, bucket,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn = n_all THEN value END) AS close,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS volume
+    FROM seq GROUP BY event_type, bucket
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the time-series resample every
+    market-data / sensor pipeline runs: open = first value in the
+    bucket, close = last (both tie-broken by event_id so the bars are
+    partition- and rerun-deterministic), high/low = extrema, volume =
+    fixed-point sum. ONE shuffle on (event_type, hour): both window
+    functions (row_number ordered, count unordered) share the partition
+    spec so they reuse one Exchange, and close is found as
+    rn == count-over-partition rather than a second descending sort.
+    The hash aggregate that follows is map-side combinable."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    # partition both windows AND the groupBy on the materialized bucket
+    # attribute, so the aggregate's requirement is satisfied by the
+    # window's Exchange — one shuffle total, not two
+    seq = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "bucket").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type", "bucket"))
+        .alias("n_all"),
+    )
+    return seq.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("n_all"), F.col("value"))).alias(
+            "close"
+        ),
+        F.count("*").alias("n_events"),
+        fixed_point_sum(F.col("value"), 6).alias("volume"),
+    )

@@ -676,3 +676,27 @@ def test_merge_into_rejects_dup_keys_and_empty_target(spark, tmp_path):
     t.overwrite(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="duplicate keys"):
         lake.merge_into(t, src, ("k",))
+
+
+def test_optimize_routes_by_manifest_stats(spark, tmp_path):
+    """optimize(): unbucketed fragmentation -> compact_small; bucketed
+    append pile-up -> per-bucket compact; tidy tables -> no-op with no
+    version burned (the decision is manifest-only, never a scan)."""
+    t = ManifestTable(str(tmp_path / "u"))
+    t.overwrite(_df(spark, [(i, "x" * 64) for i in range(5000)]), n_files=1)
+    assert t.optimize(spark)["action"] == "noop"  # one big file: tidy
+    for i in range(4):
+        t.append(_df(spark, [(9000 + i, "t")]), n_files=1)
+    led = t.optimize(spark, small_file_bytes=10_000)
+    assert led["action"] == "compact_small" and led["n_files_rewritten"] == 4
+    assert t.optimize(spark, small_file_bytes=10_000)["action"] == "noop"
+
+    b = ManifestTable(str(tmp_path / "b"))
+    merge_upsert(b, _df(spark, [(i, "v") for i in range(32)]), ("k",), n_buckets=4)
+    assert b.optimize(spark)["action"] == "noop"
+    for i in range(8):  # appends pile files past 2x n_buckets
+        b.append(_df(spark, [(100 + i, "a")]))
+    led = b.optimize(spark)
+    assert led["action"] == "compact"
+    assert len(b.snapshot()["files"]) == 4  # one file per bucket again
+    assert b.read(spark).count() == 40
