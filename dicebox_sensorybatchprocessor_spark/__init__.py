@@ -99,6 +99,7 @@ _ROUND8_PRIORITY = (
     "stream_lake_mv",
     "lake_merge_into",
     "events_ohlc",
+    "events_resample",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

@@ -729,3 +729,93 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         fixed_point_sum(F.col("value"), 6).alias("volume"),
     )
+
+
+@register(
+    "events_resample",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    last_per_hour AS (SELECT user_id, h, value FROM hourly WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1
+      FROM last_per_hour GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.h, l.value,
+             l.value IS NOT NULL AS is_observed
+      FROM grid g LEFT JOIN last_per_hour l
+        ON g.user_id = l.user_id AND g.h = l.h
+    )
+    SELECT user_id, h AS hour,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING
+           ) AS value,
+           is_observed
+    FROM joined
+    """,
+)
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular per-user series onto a regular hourly grid
+    with last-observation-carried-forward fill — the step every
+    downstream model/join needs before aligning sensors sampled at
+    different rates. Three shuffles, each on user-ish keys: (1) last
+    reading per (user, hour) via one descending row_number (tie-broken
+    by event_id — deterministic under partitioning); (2) per-user grid
+    bounds, then the grid itself GENERATED DISTRIBUTEDLY with
+    sequence()+explode — one row per user expands to its hours on the
+    executors, no driver-side calendar; (3) a left join back onto
+    observations plus one ordered window whose last(ignorenulls) fills
+    gaps forward. Unobserved grid hours are flagged, not silently
+    fabricated. At 100 TB the grid never materializes on any single
+    node: it is partitioned by user before the fill window."""
+    ev = load(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.select(
+        "user_id",
+        h.alias("h"),
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", h).orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    last_per_hour = hourly.filter(F.col("rn") == 1).drop("rn")
+    bounds = last_per_hour.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    joined = grid.join(last_per_hour, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "value",
+        F.col("value").isNotNull().alias("is_observed"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.last("value", ignorenulls=True).over(w).alias("value"),
+        "is_observed",
+    )
