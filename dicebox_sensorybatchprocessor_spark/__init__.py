@@ -100,6 +100,7 @@ _ROUND8_PRIORITY = (
     "lake_merge_into",
     "events_ohlc",
     "events_resample",
+    "lake_constraints_restore",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

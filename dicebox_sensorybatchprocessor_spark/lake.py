@@ -188,6 +188,123 @@ class ManifestTable:
         return reader.parquet(*files)
 
     # -- writer protocol ----------------------------------------------
+    def _validate(self, df: DataFrame) -> DataFrame:
+        """Enforce the table's CHECK constraints on data about to be
+        staged — the write boundary, so bad rows are rejected BEFORE a
+        commit can name them (a reader never sees a violating row, and
+        the error points at the writer that produced it). One combined
+        O(batch) pass with take(1) early-exit; existing rows pass by
+        induction (they were validated when staged). Raises with the
+        names of every violated constraint for the first bad row."""
+        from pyspark.sql import functions as F
+
+        cons = self.snapshot().get("constraints", {})
+        if not cons:
+            return df
+        combined = F.lit(True)
+        probes = []
+        for name, expr in cons.items():
+            ok = F.coalesce(F.expr(expr), F.lit(False))
+            combined = combined & ok
+            probes.append(ok.alias(f"__c_{name}"))
+        bad = (
+            df.filter(~combined)
+            .select(F.struct(*df.columns).alias("__row"), *probes)
+            .take(1)
+        )
+        if bad:
+            failed = [name for name in cons if not bad[0][f"__c_{name}"]]
+            raise ValueError(
+                f"constraint violation {failed}: first bad row "
+                f"{bad[0]['__row'].asDict()!r}"
+            )
+        return df
+
+    def set_constraint(
+        self, name: str, expr: str, spark: SparkSession | None = None
+    ) -> int:
+        """Add a CHECK constraint (SQL boolean expression over the
+        table's columns; NULL counts as a violation, as in SQL CHECK
+        with Delta's stricter null handling). Existing data is
+        validated FIRST — a constraint the table already violates is
+        rejected, never recorded. The constraint rides the manifest and
+        every later append / merge / overwrite enforces it on the data
+        it writes. Returns the metadata-only commit's version."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if snap["files"]:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    "set_constraint on a non-empty table needs a spark "
+                    "session to validate existing data"
+                )
+            bad = (
+                self.read(spark)
+                .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+                .take(1)
+            )
+            if bad:
+                raise ValueError(
+                    f"existing data violates {name!r}: {bad[0].asDict()!r}"
+                )
+        cons = dict(snap.get("constraints", {}))
+        cons[name] = expr
+        return self._metadata_commit(snap, {"constraints": cons})
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        cons = dict(snap.get("constraints", {}))
+        cons.pop(name, None)
+        return self._metadata_commit(snap, {"constraints": cons})
+
+    def _metadata_commit(self, snap: dict, extra: dict) -> int:
+        """Commit the current file set unchanged with updated metadata,
+        preserving bucket shape and stat columns."""
+        meta = {
+            k: snap[k]
+            for k in ("n_buckets", "bucket_keys", "file_buckets")
+            if k in snap
+        }
+        meta.update(extra)
+        return self.commit(
+            snap["files"],
+            snap["version"],
+            bucket_meta=meta,
+            stat_cols=tuple(snap.get("stat_cols", ())),
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE: make an earlier snapshot current by committing its
+        file set (and bucket/constraint metadata) as a NEW version —
+        history is never rewritten, so readers of intermediate versions
+        are unaffected and the bad versions stay inspectable. The
+        restored files must still exist (i.e. the version is inside the
+        vacuum retention window); zero data movement otherwise."""
+        old = self.snapshot(version)
+        for f in old["files"]:
+            if not os.path.exists(os.path.join(self.root, f)):
+                raise ValueError(
+                    f"cannot restore v{version}: data file {f} was vacuumed"
+                )
+        cur = self.snapshot()
+        meta = {
+            k: old[k]
+            for k in ("n_buckets", "bucket_keys", "file_buckets")
+            if k in old
+        }
+        # pin the OLD constraint set (possibly none) — restore reverts
+        # metadata too, and commit's carry-forward must not resurrect
+        # constraints added after the restored version
+        meta["constraints"] = old.get("constraints", {})
+        return self.commit(
+            old["files"],
+            cur["version"],
+            bucket_meta=meta,
+            stat_cols=tuple(old.get("stat_cols", ())),
+        )
+
     def stage_bucketed(
         self, df: DataFrame, key_cols: tuple[str, ...], n_buckets: int
     ) -> dict[str, int]:
@@ -279,7 +396,8 @@ class ManifestTable:
         non-idempotent transforms (appends) too."""
         next_v = base_version + 1
         manifest = {"version": next_v, "base": base_version, "files": files}
-        txns = dict(self.snapshot(base_version).get("txns", {}))
+        base_snap = self.snapshot(base_version)
+        txns = dict(base_snap.get("txns", {}))
         if txn is not None:
             app_id, txn_id = txn
             txns[app_id] = max(int(txn_id), int(txns.get(app_id, -1)))
@@ -287,6 +405,11 @@ class ManifestTable:
             manifest["txns"] = txns
         if bucket_meta:
             manifest.update(bucket_meta)
+        # constraints ride every commit unless the caller overrides them
+        # (set/drop_constraint, restore); dropping the key would silently
+        # disarm the table on the next merge
+        if "constraints" not in manifest and base_snap.get("constraints"):
+            manifest["constraints"] = base_snap["constraints"]
         if stat_cols:
             manifest["stat_cols"] = sorted(stat_cols)
             manifest["file_stats"] = self.collect_file_stats(files, tuple(stat_cols))
@@ -329,6 +452,7 @@ class ManifestTable:
         the workload (it prunes that column perfectly)."""
         from pyspark.sql import functions as F
 
+        df = self._validate(df)
         if cluster_by:
             stat_cols = stat_cols or tuple(cluster_by)
             if cluster_method == "zorder" and len(cluster_by) > 1:
@@ -381,6 +505,7 @@ class ManifestTable:
         maintenance verb, O(small files) not O(table). ``txn`` gives a
         replaying writer the exactly-once skip, which appends need even
         more than merges: a replayed append DUPLICATES rows."""
+        df = self._validate(df)
         for _ in range(max_retries):
             snap = self.snapshot()
             if txn is not None and int(
@@ -830,6 +955,7 @@ def merge_upsert(
     keys in the same atomic commit — the WHEN MATCHED DELETE leg;
     :func:`merge_apply` builds on it to apply a full CDC feed."""
     spark = updates.sparkSession
+    updates = table._validate(updates)
     keys = list(key_cols)
     change_keys = updates.select(*keys)
     if delete_keys is not None:
@@ -1028,14 +1154,26 @@ def merge_into(
 
     def rewrite(region: DataFrame) -> DataFrame:
         tcols = region.columns
+        if insert_unmatched:
+            missing = [c for c in tcols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"insert leg needs every target column in the source; "
+                    f"missing {missing} — pass insert_unmatched=False for "
+                    f"an update/delete-only merge"
+                )
+        # LEFT join + anti-join insert leg, never a full outer: both legs
+        # are broadcast-eligible on the (usually small) source, so the
+        # region — the big side — is scanned WITHOUT being shuffled. A
+        # full-outer equi-join would force a key shuffle of the whole
+        # region even for a one-row source.
         src = source.withColumn("__s", F.lit(1)).alias("s")
-        tgt = region.withColumn("__t", F.lit(1)).alias("t")
+        tgt = region.alias("t")
         cond = F.lit(True)
         for k in keys:
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
-        j = tgt.join(src, cond, "full_outer")
-        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
-        src_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+        j = tgt.join(src, cond, "left_outer")
+        matched = F.col("s.__s").isNotNull()
         del_c = (
             F.expr(matched_delete_condition)
             if matched_delete_condition
@@ -1046,18 +1184,27 @@ def merge_into(
             if matched_update_condition
             else F.lit(True)
         )
-        ins_c = F.expr(insert_condition) if insert_condition else F.lit(True)
-        deleted = matched & del_c
         updated = matched & ~del_c & upd_c & F.lit(bool(matched_update))
-        inserted = src_only & F.lit(insert_unmatched) & ins_c
-        kept = j.filter(~deleted & ~(src_only & ~inserted))
+        kept = j.filter(~(matched & del_c))
         out = []
         for c in tcols:
             val = F.col(f"t.{c}")
             if c in matched_update:
                 val = F.when(updated, F.expr(matched_update[c])).otherwise(val)
-            out.append(F.when(inserted, F.col(f"s.{c}")).otherwise(val).alias(c))
-        return kept.select(*out)
+            out.append(val.alias(c))
+        result = kept.select(*out)
+        if insert_unmatched:
+            ins_c = (
+                F.expr(insert_condition) if insert_condition else F.lit(True)
+            )
+            inserts = (
+                source.alias("s")
+                .join(region.select(*keys), keys, "left_anti")
+                .filter(ins_c)
+                .select(*tcols)
+            )
+            result = result.unionByName(inserts)
+        return result
 
     for _ in range(max_retries):
         snap = table.snapshot()
@@ -1092,7 +1239,7 @@ def merge_into(
                 if rewrite_files
                 else table.read(spark, snap["version"]).limit(0)
             )
-            merged = rewrite(region).select(*tcols)
+            merged = table._validate(rewrite(region).select(*tcols))
             new_map = table.stage_bucketed(merged, tuple(keys), nb)
             files = keep_files + sorted(new_map)
             meta = {
@@ -1101,7 +1248,7 @@ def merge_into(
                 "file_buckets": {**{f: fb[f] for f in keep_files}, **new_map},
             }
         else:
-            merged = rewrite(table.read(spark, snap["version"]))
+            merged = table._validate(rewrite(table.read(spark, snap["version"])))
             if nb:
                 new_map = table.stage_bucketed(merged, tuple(keys), nb)
                 files, meta = sorted(new_map), {

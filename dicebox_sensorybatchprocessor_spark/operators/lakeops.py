@@ -353,6 +353,73 @@ def lake_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    cache_plan=False,
+    name="lake_constraints_restore",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n,
+           {fixed_point_sum_sql("c_acctbal", 2)} AS sum_bal,
+           TRUE AS bad_write_rejected, TRUE AS no_version_burned,
+           TRUE AS restored_state_clean, TRUE AS history_intact
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def lake_constraints_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-boundary CHECK constraints + RESTORE: the table declares
+    c_acctbal >= -1000 (validated against existing data FIRST — a
+    constraint the table already violates is never recorded), a
+    violating merge is rejected WITHOUT burning a version (readers
+    never see a bad row — enforcement is at the writer, where the error
+    names the constraint and the first bad row), a valid merge then
+    corrupts state legally, and RESTORE rolls back to the pre-merge
+    version as a NEW commit — history is untouched, so the bad version
+    stays inspectable for forensics. The final state must equal the
+    original customer rollup, which the oracle computes directly."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_constraints_"))
+    merge_upsert(table, cust, ("c_custkey",), n_buckets=8)
+    table.set_constraint("bal_floor", "c_acctbal >= -1000.0", spark)
+    v_clean = table.latest_version()
+
+    bad = cust.limit(1).select(
+        "c_custkey", "c_mktsegment", F.lit(-999999.0).alias("c_acctbal")
+    )
+    bad_write_rejected = False
+    try:
+        merge_upsert(table, bad, ("c_custkey",))
+    except ValueError as exc:
+        bad_write_rejected = "bal_floor" in str(exc)
+    no_version_burned = table.latest_version() == v_clean
+
+    legal = cust.orderBy("c_custkey").limit(10).select(
+        "c_custkey", F.lit("DRIFTED").alias("c_mktsegment"), "c_acctbal"
+    )
+    merge_upsert(table, legal, ("c_custkey",))
+    v_bad = table.latest_version()
+    table.restore(v_clean)
+    restored_state_clean = (
+        table.read(spark).filter(F.col("c_mktsegment") == "DRIFTED").count()
+        == 0
+    )
+    history_intact = (
+        table.read(spark, v_bad)
+        .filter(F.col("c_mktsegment") == "DRIFTED")
+        .count()
+        == 10
+        and table.latest_version() == v_bad + 1
+    )
+    return table.read(spark).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        fixed_point_sum(F.col("c_acctbal"), 2).alias("sum_bal"),
+        F.lit(bad_write_rejected).alias("bad_write_rejected"),
+        F.lit(no_version_burned).alias("no_version_burned"),
+        F.lit(restored_state_clean).alias("restored_state_clean"),
+        F.lit(history_intact).alias("history_intact"),
+    )
+
+
 _MV_AVG = (
     f"({fixed_point_sum_sql('l_quantity', 6)}) / CAST(count(*) AS DOUBLE)"
 )

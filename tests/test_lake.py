@@ -700,3 +700,81 @@ def test_optimize_routes_by_manifest_stats(spark, tmp_path):
     assert led["action"] == "compact"
     assert len(b.snapshot()["files"]) == 4  # one file per bucket again
     assert b.read(spark).count() == 40
+
+
+def test_check_constraints_guard_every_write_verb(spark, tmp_path):
+    """CHECK constraints ride the manifest and reject bad rows at the
+    write boundary: a violating append/merge/merge_into never commits a
+    version, NULL counts as a violation, constraints survive unrelated
+    commits (carry-forward), and dropping one re-allows the write.
+    Tables with no constraints pay nothing (no extra action)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, x double")
+    )
+    with pytest.raises(ValueError, match="existing data violates"):
+        t.set_constraint("too_strict", "x > 15.0", spark)
+    t.set_constraint("x_positive", "x > 0.0", spark)
+    v = t.latest_version()
+
+    with pytest.raises(ValueError, match="x_positive"):
+        t.append(spark.createDataFrame([(3, -1.0)], "k int, x double"))
+    with pytest.raises(ValueError, match="x_positive"):  # NULL violates
+        t.append(
+            spark.createDataFrame([(3, None)], "k int, x double")
+        )
+    assert t.latest_version() == v  # no version burned by rejects
+
+    t.append(spark.createDataFrame([(3, 3.0)], "k int, x double"))
+    with pytest.raises(ValueError, match="x_positive"):
+        merge_upsert(
+            t, spark.createDataFrame([(1, -5.0)], "k int, x double"), ("k",)
+        )
+    with pytest.raises(ValueError, match="x_positive"):  # update expr output
+        lake.merge_into(
+            t,
+            spark.createDataFrame([(2, 100.0)], "k int, d double"),
+            ("k",),
+            matched_update={"x": "t.x - s.d"},
+            insert_unmatched=False,
+        )
+    with pytest.raises(ValueError, match="insert_unmatched"):
+        lake.merge_into(  # partial source with the insert leg on: clear error
+            t,
+            spark.createDataFrame([(2, 1.0)], "k int, d double"),
+            ("k",),
+            matched_update={"x": "t.x + s.d"},
+        )
+    snap = t.snapshot()
+    assert snap.get("constraints") == {"x_positive": "x > 0.0"}  # carried
+
+    t.drop_constraint("x_positive")
+    t.append(spark.createDataFrame([(4, -1.0)], "k int, x double"))
+    assert t.read(spark).count() == 4
+
+
+def test_restore_reverts_data_and_metadata_without_rewriting_history(
+    spark, tmp_path
+):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.latest_version()
+    t.set_constraint("k_pos", "k > 0", spark)
+    merge_upsert(t, _df(spark, [(2, "CHANGED"), (3, "c")]), ("k",))
+    assert t.read(spark).count() == 3
+    v_bad = t.latest_version()
+
+    t.restore(v1)
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]  # data reverted
+    assert not t.snapshot().get("constraints")  # metadata reverted too
+    # history is intact: the bad version is still inspectable
+    assert _rows(t.read(spark, v_bad)) == [(1, "a"), (2, "CHANGED"), (3, "c")]
+    # restore is a NEW version, not a rewrite
+    assert t.latest_version() == v_bad + 1
+
+    t.vacuum(retain_versions=1)
+    # expired versions fail explicitly at snapshot resolution (vacuum
+    # removes manifest + files together); the ValueError leg of restore
+    # covers externally-deleted data files under a surviving manifest
+    with pytest.raises(FileNotFoundError):
+        t.restore(v_bad)
