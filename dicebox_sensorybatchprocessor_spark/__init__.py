@@ -101,6 +101,7 @@ _ROUND8_PRIORITY = (
     "events_ohlc",
     "events_resample",
     "lake_constraints_restore",
+    "lake_update_delete",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

@@ -1064,6 +1064,26 @@ def merge_into(
     return lake.merge_into(t, source, tuple(key_cols), **legs)
 
 
+def update_where(table, spark, set_exprs: dict[str, str], condition: str, **kw):
+    """UPDATE ... SET ... WHERE over a lake table: one atomic commit,
+    only files containing matching rows rewrite (thin wrapper over
+    :func:`lake.update_where`, which documents touched-file pruning,
+    bucket-key protection, and constraint validation)."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    return lake.update_where(t, spark, set_exprs, condition, **kw)
+
+
+def delete_where(table, spark, condition: str, **kw):
+    """DELETE ... WHERE over a lake table: one atomic commit with
+    touched-file pruning (thin wrapper over :func:`lake.delete_where`)."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    return lake.delete_where(t, spark, condition, **kw)
+
+
 def apply_changes(
     table,
     changes: DataFrame,

@@ -1269,3 +1269,163 @@ def merge_into(
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_retries} retries")
+
+
+def _touched_files(
+    table: ManifestTable, spark: SparkSession, snap: dict, condition: str
+) -> list[str]:
+    """Root-relative data files that contain at least one row matching
+    ``condition`` — the file-pruning pass behind UPDATE/DELETE: one
+    scan with the predicate PUSHED DOWN (parquet row-group stats and
+    manifest zone maps both help), emitting only distinct file names.
+    Files with no matching row are carried into the next version
+    byte-identical, so the rewrite cost is O(files with matches), not
+    O(table)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        table.read(spark, snap["version"])
+        .filter(F.expr(condition))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    prefix = "file://" + os.path.abspath(table.root) + "/"
+    touched = set()
+    for r in rows:
+        p = r["f"]
+        if p.startswith(prefix):
+            touched.add(p[len(prefix):])
+        else:  # no scheme (local FS without file:// normalization)
+            touched.add(os.path.relpath(p, os.path.abspath(table.root)))
+    return [f for f in snap["files"] if f in touched]
+
+
+def delete_where(
+    table: ManifestTable,
+    spark: SparkSession,
+    condition: str,
+    max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """DELETE FROM table WHERE condition, as one atomic commit: files
+    containing matching rows are rewritten with the predicate inverted;
+    every other file is carried byte-identical (see
+    :func:`_touched_files`). Bucketed tables restage the touched rows
+    bucket-partitioned so the bucket map stays exact. Returns a ledger
+    {version, n_files_touched, n_files_carried}."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        snap = table.snapshot()
+        if not snap["files"]:
+            raise ValueError("delete_where needs an existing table")
+        if txn is not None and int(
+            snap.get("txns", {}).get(txn[0], -1)
+        ) >= int(txn[1]):
+            return {"version": snap["version"], "n_files_touched": 0,
+                    "n_files_carried": len(snap["files"]), "noop": True}
+        touched = _touched_files(table, spark, snap, condition)
+        if not touched:
+            return {"version": snap["version"], "n_files_touched": 0,
+                    "n_files_carried": len(snap["files"]), "noop": True}
+        keep = [f for f in snap["files"] if f not in set(touched)]
+        remainder = spark.read.parquet(
+            *[table.root + "/" + f for f in touched]
+        ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        if snap.get("n_buckets"):
+            new_map = table.stage_bucketed(
+                remainder, tuple(snap["bucket_keys"]), snap["n_buckets"]
+            )
+            fb = snap["file_buckets"]
+            files = keep + sorted(new_map)
+            meta = {
+                "n_buckets": snap["n_buckets"],
+                "bucket_keys": snap["bucket_keys"],
+                "file_buckets": {**{f: fb[f] for f in keep}, **new_map},
+            }
+        else:
+            files, meta = keep + table.stage(remainder), None
+        try:
+            version = table.commit(
+                files, snap["version"], bucket_meta=meta,
+                stat_cols=tuple(snap.get("stat_cols", ())), txn=txn,
+            )
+        except CommitConflict:
+            continue
+        return {"version": version, "n_files_touched": len(touched),
+                "n_files_carried": len(keep), "noop": False}
+    raise CommitConflict(f"gave up after {max_retries} retries")
+
+
+def update_where(
+    table: ManifestTable,
+    spark: SparkSession,
+    set_exprs: dict[str, str],
+    condition: str,
+    max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """UPDATE table SET col = expr, ... WHERE condition, as one atomic
+    commit with the same touched-file pruning as :func:`delete_where`:
+    only files holding matching rows rewrite (non-matching rows in
+    those files are carried through the rewrite unchanged), everything
+    else is reused byte-identical. On bucketed tables the bucket KEY
+    columns cannot be updated (a key change moves the row's bucket —
+    that is a delete + insert, i.e. :func:`merge_apply`'s job). CHECK
+    constraints validate the rewritten rows."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        snap = table.snapshot()
+        if not snap["files"]:
+            raise ValueError("update_where needs an existing table")
+        if snap.get("n_buckets"):
+            bad = set(set_exprs) & set(snap["bucket_keys"])
+            if bad:
+                raise ValueError(
+                    f"cannot update bucket key columns {sorted(bad)}; "
+                    f"route a key change as delete+insert (merge_apply)"
+                )
+        if txn is not None and int(
+            snap.get("txns", {}).get(txn[0], -1)
+        ) >= int(txn[1]):
+            return {"version": snap["version"], "n_files_touched": 0,
+                    "n_files_carried": len(snap["files"]), "noop": True}
+        touched = _touched_files(table, spark, snap, condition)
+        if not touched:
+            return {"version": snap["version"], "n_files_touched": 0,
+                    "n_files_carried": len(snap["files"]), "noop": True}
+        keep = [f for f in snap["files"] if f not in set(touched)]
+        region = spark.read.parquet(*[table.root + "/" + f for f in touched])
+        hit = F.coalesce(F.expr(condition), F.lit(False))
+        cols = [
+            F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in region.columns
+        ]
+        rewritten = table._validate(region.select(*cols))
+        if snap.get("n_buckets"):
+            new_map = table.stage_bucketed(
+                rewritten, tuple(snap["bucket_keys"]), snap["n_buckets"]
+            )
+            fb = snap["file_buckets"]
+            files = keep + sorted(new_map)
+            meta = {
+                "n_buckets": snap["n_buckets"],
+                "bucket_keys": snap["bucket_keys"],
+                "file_buckets": {**{f: fb[f] for f in keep}, **new_map},
+            }
+        else:
+            files, meta = keep + table.stage(rewritten), None
+        try:
+            version = table.commit(
+                files, snap["version"], bucket_meta=meta,
+                stat_cols=tuple(snap.get("stat_cols", ())), txn=txn,
+            )
+        except CommitConflict:
+            continue
+        return {"version": version, "n_files_touched": len(touched),
+                "n_files_carried": len(keep), "noop": False}
+    raise CommitConflict(f"gave up after {max_retries} retries")

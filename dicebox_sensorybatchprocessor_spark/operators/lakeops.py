@@ -355,6 +355,77 @@ def lake_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     cache_plan=False,
+    name="lake_update_delete",
+    oracle=f"""
+    WITH updated AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey BETWEEN 2000 AND 2999
+                       AND o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders
+    ),
+    final AS (
+      SELECT * FROM updated
+      WHERE NOT (o_orderkey BETWEEN 8000 AND 8499 AND o_orderstatus = 'F')
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           {fixed_point_sum_sql("o_totalprice", 2)} AS sum_price,
+           TRUE AS update_pruned, TRUE AS delete_pruned,
+           TRUE AS carried_by_path
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def lake_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE and DELETE with touched-file pruning
+    (lake.update_where / delete_where, api twins): orders is clustered
+    on o_orderkey into 16 files, an UPDATE bumps urgent orders in one
+    key band and a DELETE drops finished orders in another — each
+    statement identifies the files containing matching rows with ONE
+    pushdown scan, rewrites only those, and carries the rest
+    byte-identical (the *_pruned / carried_by_path claims assert all
+    three as oracle-checked values). This is the O(matching-files)
+    mutation a 100 TB table needs: the alternative — rewriting the
+    table per UPDATE — never finishes. The final state must equal the
+    oracle's CASE/filter replay of both statements."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    table = ManifestTable(scratch_dir(prefix="sbp_upd_del_"))
+    table.overwrite(orders, cluster_by=("o_orderkey",), n_files=16)
+    n_total = len(table.snapshot()["files"])
+    before = set(table.snapshot()["files"])
+
+    led_u = api.update_where(
+        table,
+        spark,
+        {"o_totalprice": "o_totalprice * 1.1"},
+        "o_orderkey BETWEEN 2000 AND 2999 AND o_orderpriority = '1-URGENT'",
+    )
+    led_d = api.delete_where(
+        table,
+        spark,
+        "o_orderkey BETWEEN 8000 AND 8499 AND o_orderstatus = 'F'",
+    )
+    after = set(table.snapshot()["files"])
+    update_pruned = 0 < led_u["n_files_touched"] < n_total
+    delete_pruned = 0 < led_d["n_files_touched"] < n_total
+    carried_by_path = len(before & after) >= n_total - (
+        led_u["n_files_touched"] + led_d["n_files_touched"]
+    )
+    return table.read(spark).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        fixed_point_sum(F.col("o_totalprice"), 2).alias("sum_price"),
+        F.lit(update_pruned).alias("update_pruned"),
+        F.lit(delete_pruned).alias("delete_pruned"),
+        F.lit(carried_by_path).alias("carried_by_path"),
+    )
+
+
+@register(
+    cache_plan=False,
     name="lake_constraints_restore",
     oracle=f"""
     SELECT c_mktsegment, count(*) AS n,

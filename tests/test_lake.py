@@ -778,3 +778,58 @@ def test_restore_reverts_data_and_metadata_without_rewriting_history(
     # covers externally-deleted data files under a surviving manifest
     with pytest.raises(FileNotFoundError):
         t.restore(v_bad)
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE prunes at file granularity: a clustered table where the
+    predicate hits one file's value range rewrites exactly that file;
+    every other file is carried byte-identical; no-match deletes are
+    protocol no-ops (no version burned)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k int, x double"
+    )
+    t.overwrite(df, cluster_by=("k",), n_files=8)
+    before = set(t.snapshot()["files"])
+    led = lake.delete_where(t, spark, "k >= 100 and k < 150")
+    # a 50-key range over 8 range-clustered files touches the 1-2 files
+    # whose value ranges intersect it; everything else is carried
+    assert 1 <= led["n_files_touched"] <= 2
+    assert led["n_files_carried"] == 8 - led["n_files_touched"]
+    after = set(t.snapshot()["files"])
+    assert len(before & after) == led["n_files_carried"]  # carried by path
+    assert t.read(spark).count() == 950
+    assert t.read(spark).filter("k = 120").count() == 0
+    v = t.latest_version()
+    led = lake.delete_where(t, spark, "k = 123")  # already gone
+    assert led["noop"] and t.latest_version() == v
+
+
+def test_update_where_prunes_validates_and_guards_bucket_keys(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(
+        t,
+        spark.createDataFrame(
+            [(i, float(i), "a") for i in range(100)], "k int, x double, g string"
+        ),
+        ("k",),
+        n_buckets=4,
+    )
+    t.set_constraint("x_cap", "x <= 1000.0", spark)
+    with pytest.raises(ValueError, match="bucket key"):
+        lake.update_where(t, spark, {"k": "k + 1"}, "x < 10.0")
+    with pytest.raises(ValueError, match="x_cap"):  # constraint on output
+        lake.update_where(t, spark, {"x": "x + 100000.0"}, "k = 5")
+    led = lake.update_where(
+        t, spark, {"x": "x * 2.0", "g": "'upd'"}, "k >= 90"
+    )
+    assert not led["noop"] and led["n_files_touched"] >= 1
+    got = {r.k: (r.x, r.g) for r in t.read(spark).filter("k >= 88").collect()}
+    assert got[88] == (88.0, "a") and got[95] == (190.0, "upd")
+    assert t.read(spark).count() == 100
+    # txn replay: skipped outright
+    v = t.latest_version()
+    lake.update_where(t, spark, {"x": "0.0"}, "k = 1", txn=("u", 0))
+    lake.update_where(t, spark, {"x": "999.0"}, "k = 1", txn=("u", 0))
+    assert t.latest_version() == v + 1
+    assert t.read(spark).filter("k = 1").first()["x"] == 0.0
