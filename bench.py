@@ -126,6 +126,12 @@ SQL_BLOCK = [
     "lake_cdc_apply",
     "lake_incremental_mv",
     "lake_zorder_skip",
+    "lake_merge_into",
+    "lake_update_delete",
+    # round 9: time-series analytics (plain DataFrame plans, no lake state)
+    "events_twap",
+    "events_ohlc",
+    "events_resample",
     # round 8: compaction through the manifest-commit protocol — warm
     # re-runs re-compact the (already compact) snapshot into the next
     # version, so this times one full scan + staged write + atomic
