@@ -102,6 +102,7 @@ _ROUND8_PRIORITY = (
     "events_resample",
     "lake_constraints_restore",
     "lake_update_delete",
+    "sim_pq_topk",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

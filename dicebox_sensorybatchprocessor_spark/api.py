@@ -1930,3 +1930,139 @@ def lag_features(
         shifted = F.lag(src, off, default) if off > 0 else F.lead(src, -off, default)
         out = out.withColumn(new_col, shifted.over(w))
     return out
+
+
+def pq_index(
+    df,
+    vec_col: str = "embedding",
+    n_segments: int = 8,
+    n_codes: int = 32,
+    seed: int = 42,
+    id_cols: tuple[str, ...] = (),
+):
+    """Product-quantization index build — the memory-side ANN scale path
+    (IVF shrinks the SEARCH, PQ shrinks the BYTES): vectors are
+    L2-normalized (so inner product = cosine), split into
+    ``n_segments`` sub-vectors, and each segment gets its own seeded
+    KMeans codebook of ``n_codes`` centroids. A vector is then stored
+    as ``n_segments`` small codes — for a 64-dim float vector at 8×32
+    that is 8 bytes instead of 256, a 32× compression that lets a
+    1000-executor cluster hold a trillion-vector index in RAM. Returns
+    (df + ``codes`` array column, codebooks[s][j][dim]). The KMeans
+    builds are ingest-time cost, one small driver loop over segments."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % n_segments:
+        raise ValueError(f"dim {dim} not divisible by {n_segments} segments")
+    w = dim // n_segments
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    out = df.withColumn("__sbp_unit", unit)
+    codebooks = []
+    for s in range(n_segments):
+        seg = F.slice(F.col("__sbp_unit"), s * w + 1, w)
+        out = out.withColumn("__sbp_seg", array_to_vector(seg))
+        model = KMeans(
+            k=n_codes,
+            seed=seed + s,
+            featuresCol="__sbp_seg",
+            predictionCol=f"__sbp_c{s}",
+        ).fit(out)
+        out = model.transform(out)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    codes = F.array(*[F.col(f"__sbp_c{s}") for s in range(n_segments)])
+    keep = [c for c in df.columns if c != vec_col] if id_cols == () else list(id_cols)
+    return (
+        out.select(*keep, codes.alias("codes")),
+        codebooks,
+    )
+
+
+def pq_topk(
+    codes_df,
+    codebooks: list,
+    query_vec: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+):
+    """Asymmetric-distance top-k over a PQ index: the query stays
+    full-precision, each segment's dot products against its codebook
+    become a tiny lookup table BAKED INTO THE PLAN as array literals
+    (n_segments × n_codes floats — broadcast-free, JVM-only), and each
+    stored vector's approximate cosine is ``Σ_s LUT_s[code_s]`` — one
+    element_at per segment, no vector arithmetic per row at all. The
+    final top-k is TakeOrderedAndProject (per-partition heaps), never a
+    global sort. This is the query-side economics PQ exists for: score
+    cost per candidate is n_segments array lookups on an 8-byte code."""
+    import math as _math
+
+    n_segments = len(codebooks)
+    w = len(codebooks[0][0])
+    qn = _math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    score = F.lit(0.0)
+    for s in range(n_segments):
+        qs = q[s * w : (s + 1) * w]
+        lut = [
+            sum(a * b for a, b in zip(qs, code)) for code in codebooks[s]
+        ]
+        arr = F.array(*[F.lit(float(v)) for v in lut])
+        score = score + F.element_at(arr, F.col("codes")[s] + 1)
+    return (
+        codes_df.select(id_col, score.alias("pq_cosine"))
+        .orderBy(F.col("pq_cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_search(
+    vectors,
+    codes_df,
+    codebooks: list,
+    query_vec: list,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """PQ search as production runs it: the 8-byte-per-vector ADC scan
+    shortlists ``shortlist`` candidates (pq_topk — array-lookup cost,
+    the full-precision corpus is never touched), then ONLY those rows
+    join back to their full vectors for an exact cosine re-rank. At
+    100 TB the economics are: stage 1 scans S-byte codes for everything
+    (RAM-resident at 32× compression), stage 2 reads shortlist/N of the
+    full vectors — the same shrink-then-verify shape as the banded
+    dedup and IVF paths. Recall is a tunable of ``shortlist``; the
+    registered twin pins it as an oracle-checked claim."""
+    import math as _math
+
+    cand = pq_topk(codes_df, codebooks, query_vec, k=shortlist, id_col=id_col)
+    qn = _math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    qarr = F.array(*[F.lit(float(x) / qn) for x in query_vec])
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    cos = (
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col), qarr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / nrm
+    )
+    return (
+        vectors.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(id_col, cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
