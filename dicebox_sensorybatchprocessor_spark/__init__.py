@@ -103,6 +103,7 @@ _ROUND8_PRIORITY = (
     "lake_constraints_restore",
     "lake_update_delete",
     "sim_pq_topk",
+    "stream_lake_cdc",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

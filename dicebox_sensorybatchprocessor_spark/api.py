@@ -2066,3 +2066,59 @@ def pq_search(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cdc_stream(
+    stream: DataFrame,
+    table,
+    key_cols: tuple[str, ...],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    n_buckets: int | None = None,
+    txn_app_id: str | None = None,
+    refresh_views=(),
+):
+    """Streaming CDC consumer — the third streaming lake sink next to
+    :func:`upsert_stream` (keyed replace) and :func:`append_stream`
+    (immutable facts): each micro-batch is a slice of a change feed
+    (insert/update/delete rows tagged in ``op_col``, ordered by
+    ``seq_col``) applied net-effect in ONE atomic commit via
+    :func:`lake.merge_apply` — a key whose history within the batch
+    ends in delete is absent, deletes route to buckets exactly like
+    upserts, and the ``(txn_app_id, batch_id)`` manifest transaction
+    skips replayed batches outright. This is the Debezium-topic →
+    lake-table path: per-trigger cost proportional to the batch's key
+    spread, never the table. ``refresh_views`` maintains
+    mv.MaterializedAgg rollups per commit, so deletes flow through to
+    the aggregates incrementally too."""
+    import os as _os
+
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    t = lake.ManifestTable(table) if isinstance(table, str) else table
+    keys = tuple(key_cols)
+    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_api_cdc_")
+    app_id = txn_app_id or f"cdc_stream:{_os.path.basename(_os.path.normpath(ck))}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        lake.merge_apply(
+            t,
+            batch_df,
+            keys,
+            op_col=op_col,
+            seq_col=seq_col,
+            n_buckets=n_buckets,
+            txn=(app_id, int(batch_id)),
+        )
+        for view in refresh_views:
+            view.refresh(batch_df.sparkSession)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", ck
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1236,3 +1236,97 @@ def stream_lake_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(mv_stepped).alias("mv_stepped"),
         F.lit(exactly_once).alias("exactly_once"),
     )
+
+
+@register(
+    cache_plan=False,
+    name="stream_lake_cdc",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000.0, 0) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS sum_value,
+           TRUE AS exactly_once
+    FROM events e
+    WHERE e.event_id % 5 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM events d
+        WHERE d.event_id = e.event_id + 1
+          AND d.event_id % 11 = 0 AND d.event_id % 3 >= 1
+      )
+    GROUP BY event_type
+    """,
+)
+def stream_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumption end-to-end (api.cdc_stream — the
+    Debezium-topic → lake-table path): three micro-batches of a derived
+    change feed land as three atomic net-effect commits. The feed
+    exercises the two orderings that break naive consumers: keys whose
+    IN-BATCH history is insert@1 → delete@2 (net-effect collapse must
+    drop them — event_id % 5 = 0), and CROSS-BATCH deletes where a
+    later batch retracts a key an earlier commit inserted (batch i
+    deletes key e-1 for its events with e % 11 = 0 — strictly
+    backward-pointing so arrival order is deterministic). Deletes route
+    to buckets exactly like upserts, so each commit rewrites only
+    touched buckets; the exactly_once claim pins the manifest txn
+    record of the last batch id. The final table must equal the
+    oracle's closed-form filter over raw events."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
+
+    spark = _streaming_session(spark)
+    raw = _events_raw(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    nul_s, nul_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+
+    def feed_slice(i: int) -> DataFrame:
+        sl = raw.filter(F.col("event_id") % 3 == i)
+        ins = sl.select(
+            "event_id", "event_type", "value",
+            F.lit("insert").alias("op"), F.lit(1).alias("seq"),
+        )
+        inbatch_del = sl.filter(F.col("event_id") % 5 == 0).select(
+            "event_id", nul_s.alias("event_type"), nul_d.alias("value"),
+            F.lit("delete").alias("op"), F.lit(2).alias("seq"),
+        )
+        crossbatch_del = (
+            sl.filter((F.col("event_id") % 11 == 0) & (F.lit(i) >= 1))
+            .select(
+                (F.col("event_id") - 1).alias("event_id"),
+                nul_s.alias("event_type"), nul_d.alias("value"),
+                F.lit("delete").alias("op"), F.lit(2).alias("seq"),
+            )
+        )
+        return ins.unionByName(inbatch_del).unionByName(crossbatch_del)
+
+    staged = _stage_files(
+        spark, [feed_slice(i) for i in range(3)], "lakecdc", cache_key=sf_dir
+    )
+    feed_schema = "event_id BIGINT, event_type STRING, value DOUBLE, op STRING, seq INT"
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    table = lake.ManifestTable(scratch_dir(prefix="sbp_lakecdc_store_"))
+    lake.merge_upsert(  # schema-bearing empty v1 so batch 1 can route buckets
+        table,
+        raw.limit(0),
+        ("event_id",),
+        n_buckets=8,
+    )
+    q = api.cdc_stream(
+        stream,
+        table,
+        ("event_id",),
+        op_col="op",
+        seq_col="seq",
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_lakecdc_"),
+        txn_app_id="stream_lake_cdc",
+    )
+    q.awaitTermination()
+    exactly_once = table.txn_version("stream_lake_cdc") == 2
+    return table.read(spark).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        fixed_point_sum(F.col("value"), 6).alias("sum_value"),
+        F.lit(exactly_once).alias("exactly_once"),
+    )

@@ -1044,3 +1044,50 @@ def test_upsert_stream_refresh_views(spark, tmp_path):
     q.awaitTermination()
     got = {r.g: (r.n, r.sx) for r in view.read(spark).collect()}
     assert got == {"a": (1, 10.0), "b": (1, 2.0)}
+
+
+def test_cdc_stream_applies_feed_with_maintained_view(spark, tmp_path):
+    """api.cdc_stream: three micro-batches of a CDC feed (including an
+    update->delete history within one batch that net-effect collapse
+    must drop, and a cross-batch delete of an earlier insert) land as
+    three atomic commits; the attached view tracks inserts AND deletes
+    incrementally."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+    schema = "k int, g string, x double, op string, seq int"
+    batches = [
+        spark.createDataFrame(
+            [(1, "a", 1.0, "insert", 1), (2, "a", 2.0, "insert", 1),
+             (3, "b", 3.0, "insert", 1)], schema),
+        spark.createDataFrame(
+            [(2, "a", 20.0, "update", 2), (3, None, None, "delete", 2),
+             (4, "b", 4.0, "insert", 2),
+             (4, "b", 40.0, "update", 3), (4, None, None, "delete", 4)],
+            schema),
+        spark.createDataFrame([(1, None, None, "delete", 5)], schema),
+    ]
+    table = lake.ManifestTable(str(tmp_path / "t"))
+    lake.merge_upsert(  # create the keyed store first (empty feed tables
+        table,          # need a schema-bearing v1)
+        spark.createDataFrame([], "k int, g string, x double"),
+        ("k",), n_buckets=4,
+    )
+    view = MaterializedAgg(
+        table, str(tmp_path / "mv"), ("g",),
+        {"n": ("count", "*"), "sx": ("sum", "x")},
+    )
+    stream = api.replay_stream(
+        spark, batches, name="api_cdc_test", max_files_per_trigger=1
+    )
+    q = api.cdc_stream(
+        stream, table, ("k",), op_col="op", seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ck"), refresh_views=(view,),
+    )
+    q.awaitTermination()
+    assert table.latest_version() == 4  # 1 create + 3 batch commits
+    got = sorted((r.k, r.g, r.x) for r in table.read(spark).collect())
+    assert got == [(2, "a", 20.0)]  # k1 deleted, k3 deleted, k4 net-dropped
+    assert {r.g: (r.n, r.sx) for r in view.read(spark).collect()} == {
+        "a": (1, 20.0)
+    }
