@@ -104,6 +104,7 @@ _ROUND8_PRIORITY = (
     "lake_update_delete",
     "sim_pq_topk",
     "stream_lake_cdc",
+    "agg_weighted_percentiles",
     # -- oldest-driver-green rotation fill --
     "agg_minmax_by",  # last green r1
     "scan_parquet",  # last green r1

@@ -819,3 +819,65 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w).alias("value"),
         "is_observed",
     )
+
+
+@register(
+    "agg_weighted_percentiles",
+    oracle="""
+    WITH seq AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+             ) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(CASE WHEN 4 * cum >= tot THEN l_extendedprice END) AS p25,
+           min(CASE WHEN 2 * cum >= tot THEN l_extendedprice END) AS p50,
+           min(CASE WHEN 10 * cum >= 9 * tot THEN l_extendedprice END) AS p90,
+           CAST(max(tot) AS DOUBLE) / 100.0 AS total_weight
+    FROM seq GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (price percentiles weighted by quantity):
+    the inventory/VWAP-style distribution question a plain
+    percentile() answers wrongly when rows carry different weights.
+    The cut point is the first value whose CUMULATIVE weight reaches
+    p × total — computed with integer-only threshold tests
+    (4·cum ≥ tot, 2·cum ≥ tot, 10·cum ≥ 9·tot over fixed-point weight
+    units), so no floating multiply can disagree between engines, and
+    a (price, orderkey, linenumber) total order pins accumulation
+    deterministically. ONE shuffle: both window functions and the
+    final hash aggregate share the l_returnflag partitioning (same
+    exchange-reuse shape as events_ohlc). At 100 TB this is the exact
+    form; the sketch family (sketch_quantiles) is the one-pass
+    approximate alternative when a shuffle per grouping is too dear."""
+    li = load(spark, sf_dir, "lineitem")
+    units = F.round(F.col("l_quantity") * 100.0, 0).cast("long")
+    win_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_all = Window.partitionBy("l_returnflag")
+    seq = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(units).over(win_ord).alias("cum"),
+        F.sum(units).over(win_all).alias("tot"),
+    )
+    price = F.col("l_extendedprice")
+    return seq.groupBy("l_returnflag").agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("tot"), price)).alias("p25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), price)).alias("p50"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("tot"), price)
+        ).alias("p90"),
+        (F.max("tot").cast("double") / 100.0).alias("total_weight"),
+    )
