@@ -2122,3 +2122,37 @@ def cdc_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pq_save(codes_df, codebooks: list, path: str) -> None:
+    """Persist a PQ index (same amortize-the-ingest story as ivf_save):
+    codes as parquet — the 16-bytes-per-vector relation queries scan —
+    and the codebooks as a tiny companion parquet. A production layout
+    pairs this with ivf_save: IVF cells partition the codes, PQ codes
+    compress what remains in each cell."""
+    import os
+
+    spark = codes_df.sparkSession
+    codes_df.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    rows = [
+        (s, j, [float(x) for x in code])
+        for s, book in enumerate(codebooks)
+        for j, code in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "segment int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "books"))
+
+
+def pq_load(spark, path: str):
+    """(codes_df, codebooks) from :func:`pq_save`'s layout."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    rows = spark.read.parquet(os.path.join(path, "books")).collect()
+    n_seg = 1 + max(r["segment"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    books = [[None] * n_codes for _ in range(n_seg)]
+    for r in rows:
+        books[r["segment"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return codes, books

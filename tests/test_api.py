@@ -1091,3 +1091,70 @@ def test_cdc_stream_applies_feed_with_maintained_view(spark, tmp_path):
     assert {r.g: (r.n, r.sx) for r in view.read(spark).collect()} == {
         "a": (1, 20.0)
     }
+
+
+def test_pq_save_load_probe_identical(spark, tmp_path):
+    """pq_search over a LOADED PQ index returns results identical to the
+    just-built one — the amortize-the-ingest story for the memory-side
+    ANN leg (same contract as test_ivf_save_load_probe_identical)."""
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "label", "embedding")
+    qvec = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    corpus = e.filter("vec_id <> 0")
+    codes, books = api.pq_index(
+        corpus, vec_col="embedding", n_segments=8, n_codes=16, seed=7
+    )
+    path = str(tmp_path / "pq")
+    api.pq_save(codes, books, path)
+    codes2, books2 = api.pq_load(spark, path)
+    assert books2 == books
+
+    def run(c, b):
+        return [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in api.pq_search(corpus, c, b, qvec, k=5, shortlist=30).collect()
+        ]
+
+    assert run(codes2, books2) == run(codes, books)
+
+
+def test_mv_refresh_nets_zero_across_compact_small(spark, tmp_path):
+    """compact_small rewrites only the fragmented tail; the MV refresh
+    over that commit must cancel arithmetically (the packed rows appear
+    as +, the small files' rows as -, carried rows appear in NEITHER)
+    and leave the view equal to a from-scratch recompute."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.mv import MaterializedAgg
+
+    t = lake.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i)) for i in range(3000)],
+            "k int, g string, x double",
+        ),
+        n_files=1,
+    )
+    for i in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(10_000 + i, "g0", 1.0)], "k int, g string, x double"
+            ),
+            n_files=1,
+        )
+    view = MaterializedAgg(
+        t, str(tmp_path / "mv"), ("g",),
+        {"n": ("count", "*"), "sx": ("sum", "x"), "mx": ("max", "x")},
+    )
+    view.refresh(spark)
+    before = {r.g: (r.n, r.sx, r.mx) for r in view.read(spark).collect()}
+    t.compact_small(spark, target_file_bytes=1 << 30, small_file_bytes=10_000)
+    led = view.refresh(spark)
+    assert not led["noop"] and led["minus_files"] == 4  # tail only, not 5
+    after = {r.g: (r.n, r.sx, r.mx) for r in view.read(spark).collect()}
+    assert after == before
+    direct = {
+        r.g: (r.n, r.sx, r.mx)
+        for r in t.read(spark).groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"), F.max("x").alias("mx"))
+        .collect()
+    }
+    assert after == direct

@@ -495,3 +495,62 @@ def test_dq_drift_two_profile_scans_tiny_join(spark):
     assert tree.count("Scan parquet") == 2, tree
     assert "SortMergeJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_events_ohlc_single_exchange(spark):
+    """Both OHLC window functions and the following hash aggregate must
+    share ONE shuffle on (event_type, hour) — the bucket is materialized
+    before the windows precisely so the aggregate's requirement is
+    satisfied by the window Exchange."""
+    tree = _final_tree(_plan(spark, "events_ohlc"))
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_weighted_percentiles_single_exchange(spark):
+    """agg_weighted_percentiles: ordered cumsum window, partition-total
+    window, and the final aggregate all reuse the l_returnflag
+    partitioning — one Exchange, no join."""
+    tree = _final_tree(_plan(spark, "agg_weighted_percentiles"))
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_merge_into_plans_left_join_never_full_outer(spark, tmp_path):
+    """merge_into's update/delete leg must be a LEFT join of the region
+    onto the source — never the full-outer equi-join it replaced, which
+    forces a key shuffle of the whole region even for a one-row source.
+    A left join is AQE-convertible to broadcast at runtime (full outer
+    is not); a parquet-backed small source with stats broadcasts
+    statically. The pre-execution plan is what lake.stage receives, so
+    we assert the join TYPE here (broadcast conversion is AQE's runtime
+    call for stats-free local relations)."""
+    from dicebox_sensorybatchprocessor_spark import lake
+
+    t = lake.ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(50_000).selectExpr("CAST(id AS INT) k", "CAST(id AS DOUBLE) x")
+    )
+    plans = []
+    real_stage = t.stage
+
+    def capturing_stage(df, n_files=None):
+        plans.append(
+            spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return real_stage(df, n_files=n_files)
+
+    t.stage = capturing_stage
+    lake.merge_into(
+        t,
+        spark.createDataFrame([(7, 1.0)], "k int, d double"),
+        ("k",),
+        matched_update={"x": "t.x + s.d"},
+        insert_unmatched=False,
+    )
+    t.stage = real_stage
+    assert plans, "merge staged nothing"
+    assert "LeftOuter" in plans[0], plans[0]
+    assert "FullOuter" not in plans[0], plans[0]
+    assert "CartesianProduct" not in plans[0], plans[0]
