@@ -833,3 +833,86 @@ def test_update_where_prunes_validates_and_guards_bucket_keys(spark, tmp_path):
     lake.update_where(t, spark, {"x": "999.0"}, "k = 1", txn=("u", 0))
     assert t.latest_version() == v + 1
     assert t.read(spark).filter("k = 1").first()["x"] == 0.0
+
+
+def test_merge_into_matches_reference_model_over_random_legs(spark, tmp_path):
+    """merge_into vs a plain-Python reference model of the MERGE
+    statement, across a grid of leg combinations (update-only,
+    delete-only, insert-only, all-three, condition-on/off) over a
+    deterministic pseudo-random target/source pair. Every combination
+    runs against a FRESH table restored from the same base version, so
+    the legs are independent."""
+    rows = [(k, (k * 7919) % 97 / 10.0) for k in range(200)]
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(rows, "k int, x double"))
+    v_base = t.latest_version()
+    src_rows = [
+        (k, (k * 31) % 13 / 10.0, "D" if k % 9 == 0 else "U")
+        for k in range(150, 250)
+    ]
+    src = spark.createDataFrame(src_rows, "k int, d double, op string")
+    src_full = src.selectExpr("k", "d AS x", "d", "op")  # insert needs x
+
+    target = dict(rows)
+    cases = [
+        dict(matched_update={"x": "t.x + s.d"},
+             matched_update_condition="t.x >= 3.0",
+             matched_delete_condition="s.op = 'D'",
+             insert_unmatched=False),
+        dict(matched_update=None, matched_delete_condition="s.op = 'D'",
+             insert_unmatched=False),
+        dict(matched_update={"x": "s.d * 2.0"}, insert_unmatched=False),
+        dict(matched_update={"x": "t.x + s.d"},
+             matched_update_condition="t.x >= 3.0",
+             matched_delete_condition="s.op = 'D'",
+             insert_unmatched=True, insert_condition="s.d > 0.5"),
+    ]
+    for i, legs in enumerate(cases):
+        t.restore(v_base)
+        source = src_full if legs.get("insert_unmatched") else src
+        lake.merge_into(t, source, ("k",), **legs)
+        # reference model
+        expect = dict(target)
+        for k, d, op in src_rows:
+            if k in expect:
+                if legs.get("matched_delete_condition") and op == "D":
+                    del expect[k]
+                elif legs.get("matched_update"):
+                    cond = legs.get("matched_update_condition")
+                    if cond is None or expect[k] >= 3.0:
+                        ex = legs["matched_update"]["x"]
+                        expect[k] = expect[k] + d if "t.x + s.d" in ex else d * 2.0
+            elif legs.get("insert_unmatched") and d > 0.5:
+                expect[k] = d
+        got = {r.k: r.x for r in t.read(spark).collect()}
+        assert got == pytest.approx(expect), f"case {i}: {legs}"
+
+
+def test_update_where_retries_across_racing_commit(spark, tmp_path):
+    """A commit landing between update_where's snapshot resolution and
+    its publish must force a retry from the NEW snapshot — the racing
+    writer's rows survive AND the update applies to them if they
+    match."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double"))
+    real_commit, injected = t.commit, []
+
+    def racing_commit(files, base_version, **kwargs):
+        if not injected:
+            injected.append(True)
+            real_commit(
+                t.stage(
+                    t.read(spark).unionByName(
+                        spark.createDataFrame([(9, 9.0)], "k int, x double")
+                    )
+                ),
+                base_version,
+            )
+        return real_commit(files, base_version, **kwargs)
+
+    t.commit = racing_commit
+    led = lake.update_where(t, spark, {"x": "x * 10.0"}, "k >= 2")
+    t.commit = real_commit
+    assert not led["noop"]
+    got = sorted((r.k, r.x) for r in t.read(spark).collect())
+    assert got == [(1, 1.0), (2, 20.0), (9, 90.0)]  # race row updated too
