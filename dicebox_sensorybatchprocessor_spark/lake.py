@@ -822,6 +822,58 @@ class ManifestTable:
             }
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    def compact_buckets(
+        self, spark: SparkSession, max_retries: int = 5
+    ) -> dict:
+        """Partial per-bucket compaction: re-coalesce ONLY the buckets
+        that hold more than one file (the residue of blind appends on a
+        bucketed table) and carry every single-file bucket's file
+        byte-identical. Maintenance cost is O(fragmented buckets) —
+        :meth:`compact` stays the O(table) pass that also settles an
+        evolved schema under one widest footer."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            if not snap.get("n_buckets"):
+                raise ValueError("compact_buckets needs a bucketed table")
+            fb = snap["file_buckets"]
+            counts: dict[int, int] = {}
+            for b in fb.values():
+                counts[b] = counts.get(b, 0) + 1
+            multi = {b for b, n in counts.items() if n > 1}
+            if not multi:
+                return {
+                    "version": snap["version"],
+                    "n_buckets_rewritten": 0,
+                    "n_files_carried": len(snap["files"]),
+                    "noop": True,
+                }
+            keep = [f for f in snap["files"] if fb[f] not in multi]
+            rewrite = [f for f in snap["files"] if fb[f] in multi]
+            df = spark.read.parquet(*[self.root + "/" + f for f in rewrite])
+            new_map = self.stage_bucketed(
+                df, tuple(snap["bucket_keys"]), snap["n_buckets"]
+            )
+            files = keep + sorted(new_map)
+            meta = {
+                "n_buckets": snap["n_buckets"],
+                "bucket_keys": snap["bucket_keys"],
+                "file_buckets": {**{f: fb[f] for f in keep}, **new_map},
+            }
+            try:
+                version = self.commit(
+                    files, snap["version"], bucket_meta=meta,
+                    stat_cols=tuple(snap.get("stat_cols", ())),
+                )
+            except CommitConflict:
+                continue
+            return {
+                "version": version,
+                "n_buckets_rewritten": len(multi),
+                "n_files_carried": len(keep),
+                "noop": False,
+            }
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
     def optimize(
         self,
         spark: SparkSession,
@@ -834,8 +886,8 @@ class ManifestTable:
         file sizes (no data scan) and routes:
 
         * bucketed table whose appends have piled files past
-          2 × n_buckets → :meth:`compact` (per-bucket re-coalesce, the
-          only pass that restores one-file-per-bucket);
+          2 × n_buckets → :meth:`compact_buckets` (re-coalesces ONLY
+          the multi-file buckets, carries the rest byte-identical);
         * unbucketed table with ≥ ``min_small_files`` files under the
           threshold → :meth:`compact_small` (O(small files));
         * otherwise → no-op (no version burned, no job submitted).
@@ -848,8 +900,8 @@ class ManifestTable:
             return {"action": "noop", "reason": "empty table"}
         if snap.get("n_buckets"):
             if len(snap["files"]) >= 2 * int(snap["n_buckets"]):
-                ledger = self.compact(spark, target_file_bytes)
-                return {"action": "compact", **ledger}
+                ledger = self.compact_buckets(spark)
+                return {"action": "compact_buckets", **ledger}
             return {"action": "noop", "reason": "buckets within bound"}
         small = (
             small_file_bytes

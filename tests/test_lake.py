@@ -694,12 +694,25 @@ def test_optimize_routes_by_manifest_stats(spark, tmp_path):
     b = ManifestTable(str(tmp_path / "b"))
     merge_upsert(b, _df(spark, [(i, "v") for i in range(32)]), ("k",), n_buckets=4)
     assert b.optimize(spark)["action"] == "noop"
+    before_files = set(b.snapshot()["files"])
+    before_fb = dict(b.snapshot()["file_buckets"])
     for i in range(8):  # appends pile files past 2x n_buckets
         b.append(_df(spark, [(100 + i, "a")]))
+    appended_buckets = {
+        bb for f, bb in b.snapshot()["file_buckets"].items()
+        if f not in before_fb
+    }
     led = b.optimize(spark)
-    assert led["action"] == "compact"
-    assert len(b.snapshot()["files"]) == 4  # one file per bucket again
+    assert led["action"] == "compact_buckets"
+    assert led["n_buckets_rewritten"] == len(appended_buckets)
+    after = b.snapshot()
+    # single-file buckets untouched by the appends carried byte-identical
+    for f, bb in before_fb.items():
+        if bb not in appended_buckets:
+            assert f in after["files"]
+    assert len(after["files"]) == 4  # one file per bucket again
     assert b.read(spark).count() == 40
+    assert b.compact_buckets(spark)["noop"]  # already tidy: no version
 
 
 def test_check_constraints_guard_every_write_verb(spark, tmp_path):
