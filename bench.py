@@ -195,6 +195,7 @@ def _lake_block(spark, sf_dir: str) -> dict[str, float]:
         "mv_full_recompute_s": round(full_s, 4),
         "mv_delta_files_read": ledger["plus_files"] + ledger["minus_files"],
         "mv_table_files_total": float(len(table.snapshot()["files"])),
+        "mv_refresh_mode": ledger["mode"],  # auto-router pick (r10)
     }
 
 
@@ -337,12 +338,16 @@ def _skew_stream_block(spark, sf_dir: str) -> dict[str, float]:
     lifecycle). ×64 matches the batch pair — at ×16 the availableNow
     lifecycle's fixed cost (~1.4 s) masks the join-stage skew and plain
     ties salted; at ×64 the hot reducer is the visible straggler
-    ((7+1)/8 stage tail) and salting wins ~15-35% wall depending on
-    machine regime (scripts/profile_stream_skew.py decomposition: the
-    addBatch salting margin is ~23% — identical to the batch join's —
-    the lifecycle overhead is only ~0.2 s, and the ceiling is the
-    non-skewed 38M-row scan share; salt_n=8 is the sweet spot, 16
-    regresses on dim explosion — NOTES.md round 6)."""
+    ((7+1)/8 stage tail). The salting margin is regime-dependent and
+    VOLATILE at bench's n=2 sampling: the r9 bench snapshot showed
+    salted LOSING 23% on a drifted machine-day, but the r10
+    re-adjudication with scripts/profile_stream_skew.py's addBatch
+    decomposition (best-of-3 per variant, idle machine) measured plain
+    addBatch 5.52 s vs salted_8 2.64 s — salting HALVES the micro-batch
+    join when the hot reducer dominates, lifecycle overhead is only
+    ~0.1-0.2 s, and salt_n=8 remains the sweet spot (16 regresses on
+    dim explosion). Trust the decomposition, not a single bench delta —
+    NOTES.md round-10 adjudication holds the numbers."""
     from pyspark.sql import functions as F
 
     from dicebox_sensorybatchprocessor_spark.io import load

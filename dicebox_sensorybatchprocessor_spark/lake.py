@@ -32,9 +32,18 @@ protocol reduced to its load-bearing core:
   with atomic swap. :class:`ManifestTable` therefore refuses non-local
   roots rather than pretending rename is atomic there; plugging an
   object-store commit service in means overriding ``_publish`` only.
-  Manifests hold a plain file list — at petabyte scale you shard that
-  list (Iceberg's manifest-of-manifests), an extension the JSON schema
-  (``files`` list per version) already permits.
+* **Manifest scale (round 10)** — manifests are DELTA-encoded: each
+  version's JSON names only the files its commit added/removed (plus
+  the small table metadata in full), and every ``_CKPT_EVERY`` commits
+  a parquet CHECKPOINT (one row per live file: path, bucket, stats)
+  snapshots the full state — Delta's checkpoint + log-segment shape.
+  Snapshot resolution reads the nearest checkpoint (columnar, no JSON
+  parse of the file list) plus at most ``_CKPT_EVERY`` delta JSONs, so
+  a million-file table resolves in O(checkpoint + recent deltas), not
+  O(full file list as JSON) per version; per-file zone-map stats are
+  likewise collected only for ADDED files and carried forward.
+  Pre-round-10 self-contained manifests (a ``files`` key) still
+  resolve — the reader treats them as their own checkpoint.
 
 Readers load ``spark.read.parquet(*files)`` — partition pruning, filter
 pushdown, and column pruning behave exactly as on a directory scan, and
@@ -55,6 +64,12 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_sbp_manifests"
 _DATA_DIR = "data"
 _V_DIGITS = 12
+# a parquet checkpoint of the full live-file state lands every N commits;
+# snapshot resolution therefore reads <= N delta JSONs + one checkpoint
+_CKPT_EVERY = 10
+# per-file keys of a resolved snapshot — delta-encoded on disk, never
+# stored whole in a v2 manifest JSON
+_PER_FILE_KEYS = ("add", "remove", "add_buckets", "add_stats", "fmt", "n_files")
 
 
 class CommitConflict(RuntimeError):
@@ -86,6 +101,15 @@ def _zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = 8):
     shuffle beyond the final range partition."""
     from pyspark.sql import functions as F
 
+    # The interleave must stay inside a 64-bit long: bit positions run
+    # up to bits*len(cols)-1 and Java shiftleft wraps its distance mod
+    # the operand width, so 32-bit cells put bit 31 in the SIGN position
+    # (high cells sort first) and >=5 columns collide bits entirely.
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder key needs {bits * len(cols)} interleaved bits; "
+            f"only 63 fit a long — lower bits or cluster fewer columns"
+        )
     n_cells = 1 << bits
     qs = [i / n_cells for i in range(1, n_cells)]
     cutlists = df.stat.approxQuantile(
@@ -100,8 +124,10 @@ def _zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = 8):
             + F.when(F.col(col).cast("double") > c, 1).otherwise(0),
         )
 
-    cells = [cell_of(col, cuts) for col, cuts in zip(cols, cutlists)]
-    z = F.lit(0)
+    cells = [
+        cell_of(col, cuts).cast("long") for col, cuts in zip(cols, cutlists)
+    ]
+    z = F.lit(0).cast("long")
     for b in range(bits):
         for i, cell in enumerate(cells):
             z = z.bitwiseOR(
@@ -136,12 +162,133 @@ class ManifestTable:
         self.root = root.split("://", 1)[-1]
         os.makedirs(os.path.join(self.root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
+        # resolved-snapshot memo: versions are immutable once published,
+        # so a resolution never goes stale (vacuum clears it — expiry is
+        # the one event that invalidates time travel)
+        self._snap_cache: dict[int, dict] = {}
 
     # -- snapshot resolution ------------------------------------------
     def _manifest_path(self, version: int) -> str:
         return os.path.join(
             self.root, _MANIFEST_DIR, f"v{version:0{_V_DIGITS}d}.json"
         )
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(
+            self.root, _MANIFEST_DIR, f"ckpt_v{version:0{_V_DIGITS}d}.parquet"
+        )
+
+    def _read_manifest_json(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _write_checkpoint(self, version: int, snap: dict) -> None:
+        """Materialize the resolved state at ``version`` as one parquet
+        file (path, bucket, stats-JSON per live file). Deterministic
+        content — racing writers of the same version produce identical
+        bytes, so a plain atomic replace suffices."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = snap["files"]
+        fb = snap.get("file_buckets", {})
+        fs = snap.get("file_stats", {})
+        table = pa.table(
+            {
+                "path": pa.array(files, type=pa.string()),
+                "bucket": pa.array(
+                    [fb.get(f) for f in files], type=pa.int64()
+                ),
+                "stats": pa.array(
+                    [json.dumps(fs[f]) if f in fs else None for f in files],
+                    type=pa.string(),
+                ),
+            }
+        )
+        final = self._ckpt_path(version)
+        tmp = final + "." + uuid.uuid4().hex + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+
+    def _read_checkpoint(self, version: int) -> dict:
+        """Full per-file state at a checkpointed version — columnar read,
+        no JSON parse of the file list."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._ckpt_path(version))
+        files = t.column("path").to_pylist()
+        buckets = t.column("bucket").to_pylist()
+        stats = t.column("stats").to_pylist()
+        return {
+            "files": files,
+            "file_buckets": {
+                f: int(b) for f, b in zip(files, buckets) if b is not None
+            },
+            "file_stats": {
+                f: json.loads(s) for f, s in zip(files, stats) if s is not None
+            },
+        }
+
+    def _resolve(self, v: int) -> dict:
+        """Resolve version ``v`` to a full snapshot dict (files +
+        per-file maps + metadata). Legacy self-contained manifests (a
+        ``files`` key) return as-is; v2 delta manifests replay from the
+        nearest checkpoint or legacy base — at most ``_CKPT_EVERY``
+        O(delta) JSON reads plus one columnar checkpoint read."""
+        m = self._read_manifest_json(v)
+        if "files" in m:
+            return m
+        if os.path.exists(self._ckpt_path(v)):
+            # checkpointed at v itself (vacuum pins the oldest retained
+            # version this way): the checkpoint already includes v's delta
+            state = self._read_checkpoint(v)
+            chain: list[dict] = []
+            files0: dict[str, None] = dict.fromkeys(state["files"])
+            out0 = {k: val for k, val in m.items() if k not in _PER_FILE_KEYS}
+            out0["files"] = list(files0)
+            if out0.get("n_buckets"):
+                out0["file_buckets"] = state["file_buckets"]
+            if out0.get("stat_cols"):
+                out0["file_stats"] = state["file_stats"]
+            return out0
+        chain = [m]
+        state = None
+        base = m["base"]
+        while base > 0:
+            if os.path.exists(self._ckpt_path(base)):
+                state = self._read_checkpoint(base)
+                break
+            mb = self._read_manifest_json(base)
+            if "files" in mb:
+                state = {
+                    "files": list(mb["files"]),
+                    "file_buckets": dict(mb.get("file_buckets", {})),
+                    "file_stats": dict(mb.get("file_stats", {})),
+                }
+                break
+            chain.append(mb)
+            base = mb["base"]
+        if state is None:
+            state = {"files": [], "file_buckets": {}, "file_stats": {}}
+        files: dict[str, None] = dict.fromkeys(state["files"])
+        fb = dict(state["file_buckets"])
+        fs = dict(state["file_stats"])
+        for d in reversed(chain):
+            for f in d.get("remove", ()):
+                files.pop(f, None)
+                fb.pop(f, None)
+                fs.pop(f, None)
+            for f in d.get("add", ()):
+                files[f] = None
+            fb.update(d.get("add_buckets", {}))
+            fs.update(d.get("add_stats", {}))
+        out = {k: val for k, val in m.items() if k not in _PER_FILE_KEYS}
+        out["files"] = list(files)
+        if out.get("n_buckets"):
+            out["file_buckets"] = {f: fb[f] for f in files if f in fb}
+        if out.get("stat_cols"):
+            out["file_stats"] = {f: fs[f] for f in files if f in fs}
+        return out
 
     def latest_version(self) -> int:
         """Newest committed version, 0 if the table is empty. Torn or
@@ -160,8 +307,16 @@ class ManifestTable:
         v = self.latest_version() if version is None else version
         if v == 0:
             return {"version": 0, "base": 0, "files": []}
-        with open(self._manifest_path(v)) as fh:
-            return json.load(fh)
+        hit = self._snap_cache.get(v)
+        if hit is None:
+            if len(self._snap_cache) > 64:
+                self._snap_cache.clear()
+            hit = self._snap_cache[v] = self._resolve(v)
+        # shallow-copy the mutable top level; nested maps are treated as
+        # read-only by every consumer
+        out = dict(hit)
+        out["files"] = list(hit["files"])
+        return out
 
     def data_files(self, version: int | None = None) -> list[str]:
         return [
@@ -393,10 +548,29 @@ class ManifestTable:
         :meth:`txn_version` and SKIPS batches the table already holds.
         Content-idempotent merges make replays harmless; the txn record
         makes them FREE (no re-stage, no re-shuffle) and protects
-        non-idempotent transforms (appends) too."""
+        non-idempotent transforms (appends) too.
+
+        STORAGE is delta-encoded (round 10): the JSON names only the
+        files this commit added/removed relative to ``base_version``
+        (plus the full small metadata); per-file buckets and zone-map
+        stats ride only for the ADDED files, with stats collected
+        incrementally — carried files keep the stats their adding commit
+        recorded, so commit cost is O(delta), never O(table). Every
+        ``_CKPT_EVERY`` versions a parquet checkpoint snapshots the full
+        state for O(1)-ish resolution."""
         next_v = base_version + 1
-        manifest = {"version": next_v, "base": base_version, "files": files}
         base_snap = self.snapshot(base_version)
+        base_files = base_snap.get("files", [])
+        base_set = set(base_files)
+        file_set = set(files)
+        manifest: dict = {
+            "version": next_v,
+            "base": base_version,
+            "fmt": 2,
+            "n_files": len(files),
+            "add": [f for f in files if f not in base_set],
+            "remove": [f for f in base_files if f not in file_set],
+        }
         txns = dict(base_snap.get("txns", {}))
         if txn is not None:
             app_id, txn_id = txn
@@ -404,15 +578,36 @@ class ManifestTable:
         if txns:
             manifest["txns"] = txns
         if bucket_meta:
-            manifest.update(bucket_meta)
+            meta = dict(bucket_meta)
+            fb = meta.pop("file_buckets", None)
+            manifest.update(meta)
+            if fb is not None:
+                # kept files' buckets carry from base via resolution (a
+                # file's bucket never changes); only added files need rows
+                manifest["add_buckets"] = {
+                    f: fb[f] for f in manifest["add"] if f in fb
+                }
         # constraints ride every commit unless the caller overrides them
         # (set/drop_constraint, restore); dropping the key would silently
         # disarm the table on the next merge
         if "constraints" not in manifest and base_snap.get("constraints"):
             manifest["constraints"] = base_snap["constraints"]
         if stat_cols:
-            manifest["stat_cols"] = sorted(stat_cols)
-            manifest["file_stats"] = self.collect_file_stats(files, tuple(stat_cols))
+            scols = sorted(stat_cols)
+            manifest["stat_cols"] = scols
+            # incremental: footers are opened only for files without
+            # carried stats (added files, or every file if the stat
+            # column set changed)
+            base_stats = (
+                base_snap.get("file_stats", {})
+                if base_snap.get("stat_cols") == scols
+                else {}
+            )
+            need = [f for f in files if f not in base_stats]
+            if need:
+                manifest["add_stats"] = self.collect_file_stats(
+                    need, tuple(stat_cols)
+                )
         fd, tmp = tempfile.mkstemp(
             dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
         )
@@ -421,6 +616,11 @@ class ManifestTable:
             fh.flush()
             os.fsync(fh.fileno())
         self._publish(tmp, self._manifest_path(next_v))
+        if next_v % _CKPT_EVERY == 0:
+            # only the publish winner reaches this line, so the
+            # checkpoint is written once; resolution re-derives the full
+            # state through the very path later readers will use
+            self._write_checkpoint(next_v, self._resolve(next_v))
         return next_v
 
     def overwrite(
@@ -929,19 +1129,39 @@ class ManifestTable:
         scan time. Returns the number of data files removed."""
         latest = self.latest_version()
         keep_versions = range(max(1, latest - retain_versions + 1), latest + 1)
+        oldest_keep = keep_versions[0] if keep_versions else 0
+        # resolve every retained snapshot BEFORE any manifest is removed
+        # (delta chains may run through the versions being expired), and
+        # pin the oldest retained version with a checkpoint so it keeps
+        # resolving once its ancestors' JSONs are gone
+        snaps = {v: self.snapshot(v) for v in keep_versions}
+        if (
+            oldest_keep
+            and "fmt" in self._read_manifest_json(oldest_keep)
+            and not os.path.exists(self._ckpt_path(oldest_keep))
+        ):
+            self._write_checkpoint(oldest_keep, snaps[oldest_keep])
         for name in os.listdir(os.path.join(self.root, _MANIFEST_DIR)):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
-            try:
-                v = int(name[1 : 1 + _V_DIGITS])
-            except ValueError:
-                continue
-            if v not in keep_versions:
-                os.remove(os.path.join(self.root, _MANIFEST_DIR, name))
+            path = os.path.join(self.root, _MANIFEST_DIR, name)
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    v = int(name[1 : 1 + _V_DIGITS])
+                except ValueError:
+                    continue
+                if v not in keep_versions:
+                    os.remove(path)
+            elif name.startswith("ckpt_v") and name.endswith(".parquet"):
+                try:
+                    v = int(name[len("ckpt_v") : len("ckpt_v") + _V_DIGITS])
+                except ValueError:
+                    continue
+                if v < oldest_keep:
+                    os.remove(path)
+        self._snap_cache.clear()
         live = {
             os.path.normpath(os.path.join(self.root, f))
             for v in keep_versions
-            for f in self.snapshot(v)["files"]
+            for f in snaps[v]["files"]
         }
         removed = 0
         data_root = os.path.join(self.root, _DATA_DIR)
@@ -1018,13 +1238,17 @@ def merge_upsert(
             snap.get("txns", {}).get(txn[0], -1)
         ) >= int(txn[1]):
             return snap["version"]
-        nb = snap.get("n_buckets") if snap["files"] else n_buckets
+        # ``or`` (not "if files"): a schema-bearing EMPTY bucketed v1
+        # (e.g. cdc_stream's raw.limit(0) seed) has files == [] but real
+        # bucket metadata — dropping it here would silently degrade the
+        # table to unbucketed full-table merges for every later batch.
+        nb = snap.get("n_buckets") or n_buckets
+        if snap.get("n_buckets") and list(snap["bucket_keys"]) != keys:
+            raise ValueError(
+                f"table is bucketed by {snap['bucket_keys']}, merge keyed "
+                f"by {keys} cannot route buckets"
+            )
         if snap["files"] and snap.get("n_buckets"):
-            if list(snap["bucket_keys"]) != keys:
-                raise ValueError(
-                    f"table is bucketed by {snap['bucket_keys']}, merge keyed "
-                    f"by {keys} cannot route buckets"
-                )
             fb = snap["file_buckets"]
             touched = {
                 r["b"]
@@ -1226,13 +1450,18 @@ def merge_into(
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
         j = tgt.join(src, cond, "left_outer")
         matched = F.col("s.__s").isNotNull()
+        # SQL/Delta MERGE treats a NULL leg condition as NOT satisfied —
+        # coalesce to False so three-valued logic can't make
+        # ~(matched & NULL) silently DROP the row from the kept set
+        # (filter discards NULL predicates, which turned "condition
+        # unknown" into a delete).
         del_c = (
-            F.expr(matched_delete_condition)
+            F.coalesce(F.expr(matched_delete_condition), F.lit(False))
             if matched_delete_condition
             else F.lit(False)
         )
         upd_c = (
-            F.expr(matched_update_condition)
+            F.coalesce(F.expr(matched_update_condition), F.lit(False))
             if matched_update_condition
             else F.lit(True)
         )
@@ -1247,7 +1476,9 @@ def merge_into(
         result = kept.select(*out)
         if insert_unmatched:
             ins_c = (
-                F.expr(insert_condition) if insert_condition else F.lit(True)
+                F.coalesce(F.expr(insert_condition), F.lit(False))
+                if insert_condition
+                else F.lit(True)
             )
             inserts = (
                 source.alias("s")

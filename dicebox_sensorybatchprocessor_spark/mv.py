@@ -111,35 +111,44 @@ class MaterializedAgg:
             aggs.append(
                 F.sum(F.col("__sign") * self._fp(col)).alias(f"__fp_{col}")
             )
+            # signed NON-NULL count per measure column: SQL SUM/AVG skip
+            # NULL values, so dividing by __n (row count) diverges the
+            # moment the column holds a NULL — AVG divides by this.
+            aggs.append(
+                F.sum(
+                    F.col("__sign") * F.col(col).isNotNull().cast("long")
+                ).cast("long").alias(f"__c_{col}")
+            )
         return signed.groupBy(*self.groups).agg(*aggs)
 
     def _merge_states(self, state: DataFrame | None, delta: DataFrame) -> DataFrame:
         if state is None:
             merged = delta
         else:
-            s = state.select(
-                *self.groups, "__n", *[f"__fp_{c}" for c in self._sum_cols]
-            ).alias("s")
+            counters = ["__n"] + [
+                c for col in self._sum_cols for c in (f"__fp_{col}", f"__c_{col}")
+            ]
+            s = state.select(*self.groups, *counters).alias("s")
             d = delta.alias("d")
+            # eqNullSafe, not ==: GROUP BY treats NULL as one group, but
+            # NULL = NULL is never true, so a plain-equality merge would
+            # append a fresh state row for the NULL-keyed group on every
+            # refresh instead of merging it.
             cond = F.lit(True)
             for g in self.groups:
-                cond = cond & (F.col(f"s.{g}") == F.col(f"d.{g}"))
+                cond = cond & F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}"))
             cols = [
-                F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g)
+                F.when(F.col("s.__n").isNotNull(), F.col(f"s.{g}"))
+                .otherwise(F.col(f"d.{g}"))
+                .alias(g)
                 for g in self.groups
             ]
-            cols.append(
-                (
-                    F.coalesce(F.col("s.__n"), F.lit(0))
-                    + F.coalesce(F.col("d.__n"), F.lit(0))
-                ).alias("__n")
-            )
-            for c in self._sum_cols:
+            for c in counters:
                 cols.append(
                     (
-                        F.coalesce(F.col(f"s.__fp_{c}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.__fp_{c}"), F.lit(0))
-                    ).alias(f"__fp_{c}")
+                        F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                    ).alias(c)
                 )
             merged = s.join(d, cond, "full_outer").select(*cols)
         return merged.filter(F.col("__n") > 0)
@@ -162,19 +171,42 @@ class MaterializedAgg:
         for name, (agg, col) in self._minmax.items():
             fn = F.min if agg == "min" else F.max
             repair_aggs.append(fn(col).alias(f"__r_{name}"))
+        # Every join here is NULL-SAFE on the group key: GROUP BY's NULL
+        # group must repair like any other, and plain equality would
+        # leave its extrema permanently stale (semi-join never matches)
+        # or un-joined (left_outer misses the repaired row).
+        dg = delta_groups.select(
+            *[F.col(g).alias(f"__dg_{g}") for g in self.groups]
+        )
+        semi_cond = F.lit(True)
+        for g in self.groups:
+            semi_cond = semi_cond & F.col(g).eqNullSafe(F.col(f"__dg_{g}"))
         repaired = (
             self.base.read(spark, v_to)
-            .join(F.broadcast(delta_groups), self.groups, "left_semi")
+            .join(F.broadcast(dg), semi_cond, "left_semi")
             .groupBy(*self.groups)
             .agg(*repair_aggs)
         )
+
+        def _nullsafe_left(left: DataFrame, right: DataFrame) -> DataFrame:
+            r = right.select(
+                *[F.col(g).alias(f"__rg_{g}") for g in self.groups],
+                *[c for c in right.columns if c not in self.groups],
+            )
+            cond = F.lit(True)
+            for g in self.groups:
+                cond = cond & F.col(g).eqNullSafe(F.col(f"__rg_{g}"))
+            return left.join(r, cond, "left_outer").drop(
+                *[f"__rg_{g}" for g in self.groups]
+            )
+
         if old_state is not None:
             prev = old_state.select(
                 *self.groups,
                 *[F.col(n).alias(f"__p_{n}") for n in self._minmax],
             )
-            merged = merged.join(prev, self.groups, "left_outer")
-        merged = merged.join(repaired, self.groups, "left_outer")
+            merged = _nullsafe_left(merged, prev)
+        merged = _nullsafe_left(merged, repaired)
         for name in self._minmax:
             prev_col = (
                 F.col(f"__p_{name}") if old_state is not None else F.lit(None)
@@ -188,15 +220,57 @@ class MaterializedAgg:
         _ = cols  # group-key clustering on these columns prunes the repair scan
         return merged.drop(*drop)
 
+    def _full_state(self, spark: SparkSession, v_to: int) -> DataFrame:
+        """From-scratch state at base version ``v_to``: ONE scan + ONE
+        hash aggregate producing the exact stored-state schema the
+        incremental path maintains (fixed-point sums, non-null counters,
+        extrema) — the recompute leg of the refresh router."""
+        aggs = [F.count("*").cast("long").alias("__n")]
+        for col in self._sum_cols:
+            aggs.append(F.sum(self._fp(col)).alias(f"__fp_{col}"))
+            aggs.append(
+                F.sum(F.col(col).isNotNull().cast("long"))
+                .cast("long")
+                .alias(f"__c_{col}")
+            )
+        for name, (agg, col) in self._minmax.items():
+            fn = F.min if agg == "min" else F.max
+            aggs.append(fn(col).alias(name))
+        return self.base.read(spark, v_to).groupBy(*self.groups).agg(*aggs)
+
     # -- public surface ------------------------------------------------
     def refreshed_version(self) -> int:
         """Base-table version the current state reflects (0 = never)."""
         return int(self.table.snapshot().get("mv_base_version", 0))
 
-    def refresh(self, spark: SparkSession, max_retries: int = 5) -> dict:
+    def refresh(
+        self,
+        spark: SparkSession,
+        max_retries: int = 5,
+        mode: str = "auto",
+        recompute_ratio: float = 0.6,
+    ) -> dict:
         """Advance the view to the base table's latest version. Returns a
         ledger: versions walked, files scanned (the commit's delta, not
-        the table), groups changed."""
+        the table), groups changed, and ``mode`` — which strategy ran.
+
+        ``mode='auto'`` (default) routes on scan cost: the incremental
+        path reads ``plus + minus`` files, the recompute path reads the
+        new snapshot's files — when the delta's file count exceeds
+        ``recompute_ratio ×`` the snapshot's, a from-scratch GROUP BY is
+        the cheaper plan (one scan, no state join, no min/max repair
+        scan). A compaction commit is the extreme case: plus+minus spans
+        ~2× the table while recompute scans it once. Below the ratio —
+        the steady state this class exists for — cost stays proportional
+        to the commit. There is also a fixed per-refresh overhead (state
+        read + join + commit) that dominates at small scale: measured at
+        sf0.1, a 2-of-16-file delta refreshes in 0.60 s vs 0.42 s
+        recompute (BASELINE.md round-10 note) — the crossover favors
+        incremental only once per-file scan cost outweighs that fixed
+        bill, which is exactly the 100×-scale regime.
+        ``mode='incremental'`` / ``mode='recompute'`` force a path."""
+        if mode not in ("auto", "incremental", "recompute"):
+            raise ValueError(f"unknown refresh mode {mode!r}")
         v_to = self.base.latest_version()
         for _ in range(max_retries):
             mv_snap = self.table.snapshot()
@@ -234,19 +308,27 @@ class MaterializedAgg:
                     "minus_files": 0,
                     "noop": True,
                 }
-            read = lambda rels: spark.read.parquet(  # noqa: E731
-                *[self.base.root + "/" + r for r in rels]
+            recompute = mode == "recompute" or (
+                mode == "auto"
+                and len(plus) + len(minus) > recompute_ratio * max(1, len(new_files))
             )
-            delta = self._delta_state(
-                read(plus) if plus else None, read(minus) if minus else None
-            )
-            old_state = (
-                self.table.read(spark) if mv_snap["files"] else None
-            )
-            merged = self._merge_states(old_state, delta)
-            merged = self._attach_minmax(
-                spark, merged, delta.select(*self.groups), old_state, v_to
-            )
+            if recompute:
+                merged = self._full_state(spark, v_to)
+                plus, minus = sorted(new_files), []
+            else:
+                read = lambda rels: spark.read.parquet(  # noqa: E731
+                    *[self.base.root + "/" + r for r in rels]
+                )
+                delta = self._delta_state(
+                    read(plus) if plus else None, read(minus) if minus else None
+                )
+                old_state = (
+                    self.table.read(spark) if mv_snap["files"] else None
+                )
+                merged = self._merge_states(old_state, delta)
+                merged = self._attach_minmax(
+                    spark, merged, delta.select(*self.groups), old_state, v_to
+                )
             files = self.table.stage(merged)
             try:
                 self.table.commit(
@@ -262,6 +344,7 @@ class MaterializedAgg:
                 "plus_files": len(plus),
                 "minus_files": len(minus),
                 "noop": False,
+                "mode": "recompute" if recompute else "incremental",
             }
         raise CommitConflict(f"gave up after {max_retries} retries")
 
@@ -274,15 +357,22 @@ class MaterializedAgg:
             if agg == "count":
                 cols.append(F.col("__n").alias(name))
             elif agg == "sum":
+                # SQL SUM skips NULL values and returns NULL (not 0) for
+                # an all-NULL group — gate on the non-null counter.
                 cols.append(
-                    (F.col(f"__fp_{col}").cast("double") / F.lit(factor)).alias(name)
+                    F.when(
+                        F.col(f"__c_{col}") > 0,
+                        F.col(f"__fp_{col}").cast("double") / F.lit(factor),
+                    ).alias(name)
                 )
             elif agg == "avg":
+                # AVG divides by the NON-NULL count, not the row count.
                 cols.append(
-                    (
+                    F.when(
+                        F.col(f"__c_{col}") > 0,
                         F.col(f"__fp_{col}").cast("double")
                         / F.lit(factor)
-                        / F.col("__n").cast("double")
+                        / F.col(f"__c_{col}").cast("double"),
                     ).alias(name)
                 )
             else:  # min / max: stored directly

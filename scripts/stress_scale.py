@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Scale-stress the dedup/ANN/lake-MV family at ~sf1 (VERDICT r9 #8).
+
+The driver bench runs at sf0.1; a hidden superlinear term (quadratic
+candidate generation, driver-side state growing with the corpus, a
+shuffle whose width is data-dependent) can hide below that scale and
+detonate on a real cluster. This probe amplifies the sf0.1 fixtures
+×AMP with FRESH ids and per-copy token perturbation (so dedup clusters
+grow ×AMP — the realistic shape: more near-duplicates, same vocabulary)
+and times four scale-critical paths at ×1 vs ×AMP, recording
+
+    wall-clock, output rows, and shuffle bytes written
+    (REST /api/v1 stage totals — the session here enables the UI)
+
+plus the empirical scaling exponent  log(T_amp / T_1) / log(AMP).
+Exponent ≲ 1.1 = linear-ish (scan-bound on a fixed-core box); ≳ 1.5
+flags a superlinear term to chase. Ops:
+
+* dedup_minhash_banded — banded LSH candidates (bucketed, not
+  all-pairs; the within-cluster verify IS expected to grow with
+  cluster size² — that term is the documented cost of exactness on
+  colliding pairs, bounded by band width).
+* dedup_survivors — full pipeline: minhash → verify → connected
+  components → keep-one (the O(log n) star rounds at 10× edges).
+* sim_pq_topk — PQ codebook build + ADC shortlist + exact rerank over
+  ×AMP vectors.
+* lake_incremental_mv — bucketed lake build + 4 commits + routed MV
+  refreshes at ×AMP row count.
+
+Usage: python scripts/stress_scale.py [sf_dir] [amp] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark import all_queries
+from dicebox_sensorybatchprocessor_spark.io import load
+from dicebox_sensorybatchprocessor_spark.session import ensure_engine_conf
+from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
+
+OPS = (
+    "dedup_minhash_banded",
+    "dedup_survivors",
+    "sim_pq_topk",
+    "lake_incremental_mv",
+)
+
+
+def _shuffle_bytes(spark) -> int:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=COMPLETE"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:
+        return -1
+
+
+def _stage_amplified(spark, sf_dir: str, amp: int) -> str:
+    """sf-dir-shaped scratch with documents/embeddings/lineitem ×amp.
+    Documents keep their text plus a per-copy suffix token (near-dup
+    clusters of size amp, fixed vocabulary + 'v<rep>' tail); embeddings
+    keep their vectors (ANN cost scales with row count); lineitem gets
+    fresh composite keys so the lake build sees ×amp distinct rows."""
+    out, fresh = scratch_dir_cached("stress_scale_", cache_key=f"{sf_dir}|{amp}")
+    if not fresh:
+        return out
+    reps = F.explode(F.array(*[F.lit(i) for i in range(amp)]))
+    d = load(spark, sf_dir, "documents").withColumn("rep", reps)
+    (
+        d.select(
+            (F.col("doc_id") * amp + F.col("rep")).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v"), F.col("rep")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    )
+    e = load(spark, sf_dir, "embeddings").withColumn("rep", reps)
+    (
+        e.select(
+            (F.col("vec_id") * amp + F.col("rep")).alias("vec_id"),
+            *[c for c in e.columns if c not in ("vec_id", "rep")],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    li = load(spark, sf_dir, "lineitem").withColumn("rep", reps)
+    (
+        li.select(
+            (F.col("l_orderkey") * amp + F.col("rep")).alias("l_orderkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "rep")],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    amp = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "stress_scale.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sbp-stress-scale")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4058")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    ensure_engine_conf(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    results: dict[str, dict] = {}
+    for level in (1, amp):
+        staged = sf_dir if level == 1 else _stage_amplified(spark, sf_dir, amp)
+        for op in OPS:
+            sb0 = _shuffle_bytes(spark)
+            t0 = time.perf_counter()
+            n = qs[op].fn(spark, staged).count()
+            wall = time.perf_counter() - t0
+            sb1 = _shuffle_bytes(spark)
+            results.setdefault(op, {})[f"x{level}"] = {
+                "wall_s": round(wall, 3),
+                "rows": n,
+                "shuffle_mb": round((sb1 - sb0) / 1e6, 1) if sb0 >= 0 else None,
+            }
+            print(f"x{level} {op}: {wall:.2f}s rows={n}", flush=True)
+    for op, r in results.items():
+        t1, ta = r["x1"]["wall_s"], r[f"x{amp}"]["wall_s"]
+        r["exponent"] = round(math.log(max(ta, 1e-9) / max(t1, 1e-9)) / math.log(amp), 2)
+    with open(out_json, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "amp": amp, "ops": results}, fh, indent=1)
+    print(json.dumps({op: r["exponent"] for op, r in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

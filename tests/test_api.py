@@ -1147,7 +1147,10 @@ def test_mv_refresh_nets_zero_across_compact_small(spark, tmp_path):
     view.refresh(spark)
     before = {r.g: (r.n, r.sx, r.mx) for r in view.read(spark).collect()}
     t.compact_small(spark, target_file_bytes=1 << 30, small_file_bytes=10_000)
-    led = view.refresh(spark)
+    # force the incremental leg: this test exists to prove the ± delta
+    # CANCELS across a partial rewrite (auto mode would route a commit
+    # this delta-heavy to the recompute leg, which proves nothing here)
+    led = view.refresh(spark, mode="incremental")
     assert not led["noop"] and led["minus_files"] == 4  # tail only, not 5
     after = {r.g: (r.n, r.sx, r.mx) for r in view.read(spark).collect()}
     assert after == before

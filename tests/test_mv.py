@@ -173,3 +173,133 @@ def test_rejects_unknown_agg(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "base"))
     with pytest.raises(ValueError, match="agg must be"):
         MaterializedAgg(t, str(tmp_path / "mv"), ("g",), {"m": ("median", "x")})
+
+
+def test_null_group_key_merges_instead_of_duplicating(spark, tmp_path):
+    """GROUP BY treats NULL as one group; the state merge must too.
+    Plain-equality joins never match NULL = NULL, so every refresh used
+    to APPEND a fresh state row for the NULL group — read() then
+    returned duplicates where the base GROUP BY returns one row."""
+    t = ManifestTable(str(tmp_path / "base"))
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "a", 2.0), (3, None, 3.0)],
+        "k int, grp string, x double",
+    )
+    merge_upsert(t, df, ("k",), n_buckets=2)
+    mv = MaterializedAgg(
+        t,
+        str(tmp_path / "mv"),
+        ("grp",),
+        {
+            "n": ("count", "*"),
+            "sum_x": ("sum", "x"),
+            "min_x": ("min", "x"),
+            "max_x": ("max", "x"),
+        },
+    )
+    mv.refresh(spark)
+    # three refreshes touching the NULL group: upsert, delete, upsert
+    merge_upsert(
+        t,
+        spark.createDataFrame([(4, None, 4.0)], "k int, grp string, x double"),
+        ("k",),
+    )
+    mv.refresh(spark)
+    merge_upsert(
+        t,
+        spark.createDataFrame([], "k int, grp string, x double"),
+        ("k",),
+        delete_keys=spark.createDataFrame([(3,)], "k int"),
+    )
+    mv.refresh(spark)
+
+    got = sorted(
+        ((r.grp or ""), r.n, r.sum_x, r.min_x, r.max_x)
+        for r in mv.read(spark).collect()
+    )
+    want = sorted(
+        ((r.grp or ""), r.n, r.sum_x, r.min_x, r.max_x)
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len([g for g, *_ in got if g == ""]) == 1, "NULL group duplicated"
+
+
+def test_avg_and_sum_skip_null_measure_values(spark, tmp_path):
+    """SQL SUM/AVG skip NULL values — AVG divides by the NON-NULL count
+    and an all-NULL group yields NULL, not 0 / a diluted mean."""
+    t = ManifestTable(str(tmp_path / "base"))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", None), (4, "b", None)],
+        "k int, grp string, x double",
+    )
+    merge_upsert(t, df, ("k",), n_buckets=2)
+    mv = MaterializedAgg(
+        t,
+        str(tmp_path / "mv"),
+        ("grp",),
+        {"n": ("count", "*"), "sum_x": ("sum", "x"), "avg_x": ("avg", "x")},
+    )
+    mv.refresh(spark)
+    # delta refresh across a NULL-bearing group too
+    merge_upsert(
+        t,
+        spark.createDataFrame(
+            [(5, "a", 20.0), (6, "b", 6.0)], "k int, grp string, x double"
+        ),
+        ("k",),
+    )
+    mv.refresh(spark)
+
+    got = {r.grp: (r.n, r.sum_x, r.avg_x) for r in mv.read(spark).collect()}
+    want = {
+        r.grp: (r.n, r.sum_x, r.avg_x)
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.avg("x").alias("avg_x"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        n_g, sum_g, avg_g = got[g]
+        n_w, sum_w, avg_w = want[g]
+        assert n_g == n_w
+        for a, b in ((sum_g, sum_w), (avg_g, avg_w)):
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_refresh_router_picks_recompute_past_the_delta_ratio(spark, tmp_path):
+    """auto mode: a small delta refreshes incrementally; a commit whose
+    delta spans the table (compaction: plus+minus ~ 2x files) routes to
+    the one-scan recompute — and both produce the identical view."""
+    t, mv = _mk(spark, tmp_path)
+    led0 = mv.refresh(spark)  # initial build: plus == table -> recompute
+    assert led0["mode"] == "recompute"
+    merge_upsert(t, _base_df(spark, [(5, "a", 99.0)]), ("k",))
+    led1 = mv.refresh(spark)
+    assert led1["mode"] == "incremental"  # 1-bucket delta stays O(delta)
+    t.compact(spark)
+    led2 = mv.refresh(spark)
+    assert led2["mode"] == "recompute"  # delta spans the table
+    assert _got(spark, mv) == _expected(spark, t)
+    # forced modes still converge to the same view
+    merge_upsert(t, _base_df(spark, [(6, "b", -1.0)]), ("k",))
+    assert mv.refresh(spark, mode="recompute")["mode"] == "recompute"
+    assert _got(spark, mv) == _expected(spark, t)
+    with pytest.raises(ValueError, match="mode"):
+        mv.refresh(spark, mode="bogus")
