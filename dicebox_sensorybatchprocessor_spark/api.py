@@ -2156,3 +2156,165 @@ def pq_load(spark, path: str):
     for r in rows:
         books[r["segment"]][r["code"]] = [float(x) for x in r["centroid"]]
     return codes, books
+
+
+# --- bounded-candidate near-dup (round 10: the ×10 scale-stress answer) ----
+
+
+def minhash_banded_candidates_star(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    rows: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded-MinHash candidates with BOUNDED per-bucket fan-out: instead
+    of the all-pairs self-join (:func:`minhash_banded_candidates` emits
+    C(c,2) pairs for a band bucket of c docs — the one quadratic term
+    the ×10 scale stress surfaced: duplicate clusters growing with the
+    corpus made candidate pairs grow ~100× for 10× docs), each bucket
+    emits STAR edges to its min-id representative: c-1 edges, O(corpus)
+    total. Implemented as one window-min per bucket — NO self-join at
+    all, one shuffle on the band key.
+
+    Connectivity contract: within any band bucket the star preserves
+    the component (every member links to the representative), so after
+    verification the components equal the all-pairs components whenever
+    the representative VERIFIES against each member that any other
+    member would have vouched for. The recall gap vs all-pairs is
+    therefore chains inside ONE bucket where A~B and B~C pass the
+    Jaccard threshold but rep~C fails — rare at high thresholds because
+    bucket membership already implies matching minhash bands, and
+    cross-bucket chains are unaffected (each of the `bands` band keys
+    contributes its own star). Columns: doc_a, doc_b, n_band_matches
+    (doc_a < doc_b by construction; a strict SUBSET of the pairs-mode
+    candidate set — tests/test_api.py pins both properties).
+
+    Kept as a separate composition (not a flag on the pairs function)
+    so the oracle-pinned pairs family keeps byte-identical plans."""
+    from pyspark.sql import Window
+
+    if rows % bands != 0:
+        raise ValueError(
+            f"rows ({rows}) must be a multiple of bands ({bands}); "
+            f"{rows % bands} trailing minhash rows would be ignored"
+        )
+    rows_per_band = rows // bands
+    mh_cols = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col(shingle_col))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh{j}")
+        for j in range(rows)
+    ]
+    sig = shingles.groupBy(id_col).agg(*mh_cols)
+    bands_df = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{rows_per_band * b + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.b", "bk.band_key")
+    w = Window.partitionBy("b", "band_key")
+    return (
+        bands_df.withColumn("__rep", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("__rep"))
+        .groupBy(
+            F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_band_matches"))
+    )
+
+
+def dedup_survivors_star(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """:func:`dedup_pipeline`'s keep-one relation computed on the
+    bounded star candidate set — the composition for corpora whose
+    duplicate CLUSTERS grow with the corpus (crawl snapshots, template
+    boilerplate), where all-pairs candidates are the one superlinear
+    term (measured in scripts/stress_scale.py: pairs-mode survivors ran
+    wall-exponent ~1.25 at ×10 because candidates grew ~100×; the star
+    set grows linearly by construction). Exact-duplicate collapse runs
+    first exactly as in dedup_pipeline, so identical texts never reach
+    the pair stage at all; the star set then bounds what NEAR-dup
+    clusters can cost. Verification is the same candidate-gated exact
+    Jaccard as :func:`near_dedup_verified` — only the candidate set is
+    smaller. Adds (cluster_id, cluster_size, keep); recall caveat in
+    :func:`minhash_banded_candidates_star`."""
+    from pyspark.sql import Window
+
+    _reject_column_collisions(
+        df,
+        ("cluster_id", "cluster_size", "keep", "__sbp_ck", "__sbp_rep", "__sbp_comp"),
+        "dedup_survivors_star",
+    )
+    ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
+    gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
+    rep_df = df.join(
+        gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
+    )
+    base = ck.join(gmin, "__sbp_ck")
+
+    sh = char_shingles(rep_df, text_col=text_col, id_col=id_col, k=k)
+    cand = minhash_banded_candidates_star(
+        sh, id_col=id_col, rows=rows, bands=bands
+    ).select("doc_a", "doc_b")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    verified = (
+        cand.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col(f"b.{id_col}"))
+            & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    pairs = (
+        verified.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    lab = labels.select(
+        F.col("node").alias("__sbp_rep"), F.col("component_id").alias("__sbp_comp")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        base.join(lab, "__sbp_rep", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col("__sbp_rep")))
+        .drop("__sbp_ck", "__sbp_rep", "__sbp_comp")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )

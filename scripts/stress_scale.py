@@ -52,19 +52,31 @@ from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
 OPS = (
     "dedup_minhash_banded",
     "dedup_survivors",
+    "dedup_survivors_star",  # bounded-candidate twin (api, unregistered)
     "sim_pq_topk",
     "lake_incremental_mv",
 )
 
 
+def _survivors_star(spark, staged: str):
+    from dicebox_sensorybatchprocessor_spark import api
+
+    docs = load(spark, staged, "documents").select("doc_id", "text")
+    return api.dedup_survivors_star(docs, text_col="text", id_col="doc_id")
+
+
 def _shuffle_bytes(spark) -> int:
+    """Cumulative shuffle bytes written, from the executors endpoint —
+    unlike /stages it never evicts history (spark.ui.retainedStages
+    caps the stage list, which made a stage-sum non-monotonic across
+    thousand-stage runs)."""
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
-    url = f"{base}/api/v1/applications/{app}/stages?status=COMPLETE"
+    url = f"{base}/api/v1/applications/{app}/executors"
     try:
         with urllib.request.urlopen(url, timeout=10) as r:
-            stages = json.load(r)
-        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+            execs = json.load(r)
+        return sum(int(e.get("totalShuffleWrite", 0)) for e in execs)
     except Exception:
         return -1
 
@@ -135,7 +147,10 @@ def main() -> None:
         for op in OPS:
             sb0 = _shuffle_bytes(spark)
             t0 = time.perf_counter()
-            n = qs[op].fn(spark, staged).count()
+            if op == "dedup_survivors_star":
+                n = _survivors_star(spark, staged).count()
+            else:
+                n = qs[op].fn(spark, staged).count()
             wall = time.perf_counter() - t0
             sb1 = _shuffle_bytes(spark)
             results.setdefault(op, {})[f"x{level}"] = {

@@ -1161,3 +1161,66 @@ def test_mv_refresh_nets_zero_across_compact_small(spark, tmp_path):
         .collect()
     }
     assert after == direct
+
+
+def test_star_candidates_are_a_bounded_subset(spark):
+    """The star candidate set is a strict subset of the all-pairs band
+    candidates (same buckets, representative edges only) and its size
+    is bounded by the bucket-membership count, not its square — the
+    mitigation for the one superlinear term the x10 scale stress
+    surfaced (scripts/stress_scale.py, NOTES round 10)."""
+    docs = api.char_shingles(
+        load(spark, SF_ORACLE, "documents").select("doc_id", "text"),
+        text_col="text",
+        id_col="doc_id",
+        k=8,
+    )
+    pairs = api.minhash_banded_candidates(docs).select("doc_a", "doc_b")
+    star = api.minhash_banded_candidates_star(docs).select("doc_a", "doc_b")
+    n_pairs, n_star = pairs.count(), star.count()
+    assert 0 < n_star < n_pairs
+    assert star.join(pairs, ["doc_a", "doc_b"], "left_anti").count() == 0
+    # doc_a is always the bucket min -> never appears as doc_b of itself
+    assert star.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_star_survivors_match_pairs_pipeline_on_fixture(spark):
+    """On the fixture corpus the bounded star composition reproduces
+    dedup_pipeline's survivor relation exactly (verified at sf0.001 and
+    sf0.01 when written); the theoretical recall gap (an in-bucket chain
+    whose representative fails verification) does not occur here, and a
+    fixture evolution that introduces one will surface as this test."""
+    docs = load(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    cols = ("doc_id", "cluster_id", "cluster_size", "keep")
+    a = sorted(map(tuple, api.dedup_pipeline(docs).select(*cols).collect()))
+    b = sorted(map(tuple, api.dedup_survivors_star(docs).select(*cols).collect()))
+    assert a == b
+
+
+def test_star_survivors_on_grown_near_dup_cluster(spark):
+    """A near-dup cluster that GROWS (the scale-stress shape: one
+    template, n perturbed copies) must collapse to one survivor under
+    the star composition with O(n) candidates — the all-pairs twin
+    would emit C(n,2)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "through the quiet forest looking for something interesting to eat"
+    )
+    distinct = [
+        "astronomy telescopes gather photons from distant galaxies nightly",
+        "the recipe calls for flour butter sugar and a pinch of cinnamon",
+        "quarterly revenue grew while operating margins stayed flat again",
+        "marathon training requires consistent weekly mileage and recovery",
+        "the committee adjourned without voting on the amended proposal",
+    ]
+    rows = [(i, f"{base} v{i}") for i in range(24)]
+    rows += [(100 + i, t) for i, t in enumerate(distinct)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = api.dedup_survivors_star(docs, text_col="text", id_col="doc_id")
+    got = {r.doc_id: (r.cluster_size, r.keep) for r in out.collect()}
+    assert got[0] == (24, True)  # min-id survivor of the big cluster
+    assert all(got[i] == (24, False) for i in range(1, 24))
+    assert all(got[100 + i] == (1, True) for i in range(5))  # singletons keep
+    sh = api.char_shingles(docs, text_col="text", id_col="doc_id", k=8)
+    n_star = api.minhash_banded_candidates_star(sh).count()
+    assert n_star <= 4 * 23  # <= (n-1) edges per band, not C(24,2)

@@ -1188,7 +1188,7 @@ def test_race_merge_upsert_vs_compact_buckets(spark, tmp_path):
                              max_retries=20),
         lambda: t.compact_buckets(spark, max_retries=20),
     )
-    got = _rowset = {(r.k, r.v) for r in t.read(spark).collect()}
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
     assert (100, "new") in got and len(got) == 33
     snap = t.snapshot()
     assert snap["n_buckets"] == 4
