@@ -893,6 +893,43 @@ class ManifestTable:
         files = self.data_files(version)
         return len(files), sum(os.path.getsize(f) for f in files)
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one row per retained version, newest first —
+        version, base, file/add/remove counts, whether it is
+        checkpointed, and the small metadata (bucket shape, txn apps,
+        constraint names, mv watermark). Reads ONLY the per-version
+        metadata: an O(delta) JSON each for fmt-2 manifests, never a
+        checkpoint or a resolved file list, so inspecting a million-file
+        table's history stays manifest-sized."""
+        out = []
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        versions = sorted(
+            (
+                int(name[1 : 1 + _V_DIGITS])
+                for name in os.listdir(mdir)
+                if name.startswith("v") and name.endswith(".json")
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            m = self._read_manifest_json(v)
+            legacy = "files" in m
+            out.append(
+                {
+                    "version": v,
+                    "base": m.get("base", 0),
+                    "n_files": len(m["files"]) if legacy else m.get("n_files", 0),
+                    "n_added": len(m.get("add", m.get("files", []))),
+                    "n_removed": len(m.get("remove", ())),
+                    "checkpointed": os.path.exists(self._ckpt_path(v)),
+                    "n_buckets": m.get("n_buckets"),
+                    "txn_apps": sorted(m.get("txns", {})),
+                    "constraints": sorted(m.get("constraints", {})),
+                    "mv_base_version": m.get("mv_base_version"),
+                }
+            )
+        return out
+
     def compact(
         self,
         spark: SparkSession,

@@ -1254,3 +1254,28 @@ def test_race_noncommuting_updates_serialize_to_one_order(spark, tmp_path):
     # double-then-add -> 110; add-then-double(skipped: x>=50) -> 105.
     # ANY other value means a lost or double-applied update.
     assert row.x in (110.0, 105.0), row.x
+
+
+def test_history_is_metadata_sized_and_complete(spark, tmp_path, monkeypatch):
+    """DESCRIBE HISTORY over delta manifests: every retained version
+    reports its add/remove counts and metadata WITHOUT resolving any
+    file list (no checkpoint reads, one O(delta) JSON per version)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(t, _df(spark, [(k, "a") for k in range(8)]), ("k",),
+                 n_buckets=4)
+    t.append(_df(spark, [(100, "b")]), txn=("app1", 7))
+    t.set_constraint("k_nonneg", "k >= 0")
+    hist = t.history()
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["constraints"] == ["k_nonneg"]
+    assert hist[1]["txn_apps"] == ["app1"]
+    assert hist[1]["n_added"] == 1 and hist[1]["n_removed"] == 0
+    assert all(h["n_buckets"] == 4 for h in hist)
+    assert hist[2]["n_added"] == hist[2]["n_files"]  # v1 adds everything
+    # metadata-sized: no checkpoint parquet is ever opened
+    monkeypatch.setattr(
+        ManifestTable,
+        "_read_checkpoint",
+        lambda self, v: (_ for _ in ()).throw(AssertionError("ckpt read")),
+    )
+    assert len(t.history()) == 3
