@@ -69,7 +69,64 @@ _V_DIGITS = 12
 _CKPT_EVERY = 10
 # per-file keys of a resolved snapshot — delta-encoded on disk, never
 # stored whole in a v2 manifest JSON
-_PER_FILE_KEYS = ("add", "remove", "add_buckets", "add_stats", "fmt", "n_files")
+_PER_FILE_KEYS = (
+    "add",
+    "remove",
+    "add_buckets",
+    "add_stats",
+    "add_blooms",
+    "fmt",
+    "n_files",
+)
+
+
+def _bloom_build(
+    values, bits_per_value: int = 10, k: int = 7, max_bits: int = 1 << 17
+) -> tuple[int, str]:
+    """(n_bits, hex bitset) Bloom filter over ``values`` with a PORTABLE
+    hash family (md5-prefix, like the minhash family) — the filter must
+    verify identically on any future reader. n_bits is the next power
+    of two of ``bits_per_value × |values|`` (≈1% false positives at
+    k=7), capped so a single file's filter stays ≤16 KiB."""
+    import hashlib
+
+    n = max(64, min(max_bits, 1 << (bits_per_value * max(1, len(values))).bit_length()))
+    bits = bytearray(n // 8)
+    for v in values:
+        for i in range(k):
+            h = (
+                int.from_bytes(
+                    hashlib.md5(f"{i}|{v}".encode()).digest()[:8], "big"
+                )
+                % n
+            )
+            bits[h >> 3] |= 1 << (h & 7)
+    return n, bytes(bits).hex()
+
+
+def _bloom_may_contain(n_bits: int, hexstr: str, value, k: int = 7) -> bool:
+    import hashlib
+
+    bits = bytes.fromhex(hexstr)
+    for i in range(k):
+        h = (
+            int.from_bytes(hashlib.md5(f"{i}|{value}".encode()).digest()[:8], "big")
+            % n_bits
+        )
+        if not (bits[h >> 3] >> (h & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_canon(value) -> str:
+    """Canonical string form hashed into a file bloom. Restricted to the
+    types whose text form is unambiguous across engines — point lookups
+    on floats would need an epsilon anyway, which a bloom cannot serve."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"bloom index supports int/string columns; got {type(value).__name__}"
+        )
+    return str(value)
 
 
 class CommitConflict(RuntimeError):
@@ -193,6 +250,7 @@ class ManifestTable:
         files = snap["files"]
         fb = snap.get("file_buckets", {})
         fs = snap.get("file_stats", {})
+        fbl = snap.get("file_blooms", {})
         table = pa.table(
             {
                 "path": pa.array(files, type=pa.string()),
@@ -201,6 +259,10 @@ class ManifestTable:
                 ),
                 "stats": pa.array(
                     [json.dumps(fs[f]) if f in fs else None for f in files],
+                    type=pa.string(),
+                ),
+                "blooms": pa.array(
+                    [json.dumps(fbl[f]) if f in fbl else None for f in files],
                     type=pa.string(),
                 ),
             }
@@ -219,6 +281,11 @@ class ManifestTable:
         files = t.column("path").to_pylist()
         buckets = t.column("bucket").to_pylist()
         stats = t.column("stats").to_pylist()
+        blooms = (
+            t.column("blooms").to_pylist()
+            if "blooms" in t.schema.names
+            else [None] * len(files)
+        )
         return {
             "files": files,
             "file_buckets": {
@@ -226,6 +293,9 @@ class ManifestTable:
             },
             "file_stats": {
                 f: json.loads(s) for f, s in zip(files, stats) if s is not None
+            },
+            "file_blooms": {
+                f: json.loads(s) for f, s in zip(files, blooms) if s is not None
             },
         }
 
@@ -242,14 +312,14 @@ class ManifestTable:
             # checkpointed at v itself (vacuum pins the oldest retained
             # version this way): the checkpoint already includes v's delta
             state = self._read_checkpoint(v)
-            chain: list[dict] = []
-            files0: dict[str, None] = dict.fromkeys(state["files"])
             out0 = {k: val for k, val in m.items() if k not in _PER_FILE_KEYS}
-            out0["files"] = list(files0)
+            out0["files"] = list(state["files"])
             if out0.get("n_buckets"):
                 out0["file_buckets"] = state["file_buckets"]
             if out0.get("stat_cols"):
                 out0["file_stats"] = state["file_stats"]
+            if out0.get("bloom_cols"):
+                out0["file_blooms"] = state["file_blooms"]
             return out0
         chain = [m]
         state = None
@@ -264,30 +334,41 @@ class ManifestTable:
                     "files": list(mb["files"]),
                     "file_buckets": dict(mb.get("file_buckets", {})),
                     "file_stats": dict(mb.get("file_stats", {})),
+                    "file_blooms": dict(mb.get("file_blooms", {})),
                 }
                 break
             chain.append(mb)
             base = mb["base"]
         if state is None:
-            state = {"files": [], "file_buckets": {}, "file_stats": {}}
+            state = {
+                "files": [],
+                "file_buckets": {},
+                "file_stats": {},
+                "file_blooms": {},
+            }
         files: dict[str, None] = dict.fromkeys(state["files"])
         fb = dict(state["file_buckets"])
         fs = dict(state["file_stats"])
+        fbl = dict(state.get("file_blooms", {}))
         for d in reversed(chain):
             for f in d.get("remove", ()):
                 files.pop(f, None)
                 fb.pop(f, None)
                 fs.pop(f, None)
+                fbl.pop(f, None)
             for f in d.get("add", ()):
                 files[f] = None
             fb.update(d.get("add_buckets", {}))
             fs.update(d.get("add_stats", {}))
+            fbl.update(d.get("add_blooms", {}))
         out = {k: val for k, val in m.items() if k not in _PER_FILE_KEYS}
         out["files"] = list(files)
         if out.get("n_buckets"):
             out["file_buckets"] = {f: fb[f] for f in files if f in fb}
         if out.get("stat_cols"):
             out["file_stats"] = {f: fs[f] for f in files if f in fs}
+        if out.get("bloom_cols"):
+            out["file_blooms"] = {f: fbl[f] for f in files if f in fbl}
         return out
 
     def latest_version(self) -> int:
@@ -530,6 +611,7 @@ class ManifestTable:
         bucket_meta: dict | None = None,
         stat_cols: tuple[str, ...] = (),
         txn: tuple[str, int] | None = None,
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """Publish ``files`` as version ``base_version + 1``. Raises
         :class:`CommitConflict` if that version already exists (the
@@ -607,6 +689,22 @@ class ManifestTable:
             if need:
                 manifest["add_stats"] = self.collect_file_stats(
                     need, tuple(stat_cols)
+                )
+        # bloom index columns carry through every commit once set (unlike
+        # stat_cols, which each verb restates) — a point-lookup index
+        # that silently lapsed on the next merge would be worse than none
+        bcols = sorted(bloom_cols) if bloom_cols else base_snap.get("bloom_cols")
+        if bcols:
+            manifest["bloom_cols"] = list(bcols)
+            base_blooms = (
+                base_snap.get("file_blooms", {})
+                if base_snap.get("bloom_cols") == list(bcols)
+                else {}
+            )
+            need_b = [f for f in files if f not in base_blooms]
+            if need_b:
+                manifest["add_blooms"] = self.collect_file_blooms(
+                    need_b, tuple(bcols)
                 )
         fd, tmp = tempfile.mkstemp(
             dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
@@ -773,6 +871,99 @@ class ManifestTable:
             out[rel] = cols
         return out
 
+    def collect_file_blooms(
+        self, files: list[str], bloom_cols: tuple[str, ...]
+    ) -> dict[str, dict[str, list]]:
+        """{relative path: {col: [n_bits, hex bitset]}} — per-file Bloom
+        filters over the column's distinct values (pyarrow column read,
+        driver-local). The point-lookup complement to zone maps: min/max
+        cannot prune an unclustered high-cardinality column, a bloom
+        prunes any file that provably lacks the value. Columns missing
+        from a file's schema are skipped (must-keep, like stats)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rel in files:
+            pf = pq.ParquetFile(os.path.join(self.root, rel))
+            names = set(pf.schema_arrow.names)
+            cols: dict[str, list] = {}
+            for col in bloom_cols:
+                if col not in names:
+                    continue
+                vals = pf.read(columns=[col]).column(col).to_pylist()
+                distinct = {_bloom_canon(v) for v in vals if v is not None}
+                n, hx = _bloom_build(distinct)
+                cols[col] = [n, hx]
+            out[rel] = cols
+        return out
+
+    def set_bloom_index(
+        self, cols: tuple[str, ...], max_retries: int = 5
+    ) -> int:
+        """Record a Bloom point-lookup index on ``cols``: one metadata
+        commit computing filters for every CURRENT file; later commits
+        extend the index incrementally (added files only — carried
+        files keep their filters, footers never re-read)."""
+        if not cols:
+            raise ValueError("set_bloom_index needs at least one column")
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            meta = {
+                k: snap[k]
+                for k in ("n_buckets", "bucket_keys", "file_buckets")
+                if k in snap
+            }
+            try:
+                return self.commit(
+                    snap["files"],
+                    snap["version"],
+                    bucket_meta=meta,
+                    stat_cols=tuple(snap.get("stat_cols", ())),
+                    bloom_cols=tuple(cols),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def prune_files_point(
+        self, col: str, value, version: int | None = None
+    ) -> list[str]:
+        """Files of the snapshot that MAY contain ``col = value`` per
+        their Bloom filters (files without a filter are kept — skipping
+        must never drop a row). False-positive rate ≈1% per file at the
+        default sizing; false negatives are impossible, so
+        ``read_point`` is exact."""
+        snap = self.snapshot(version)
+        blooms = snap.get("file_blooms", {})
+        key = _bloom_canon(value)
+        kept = []
+        for rel in snap["files"]:
+            b = blooms.get(rel, {}).get(col)
+            if b is None or _bloom_may_contain(int(b[0]), b[1], key):
+                kept.append(rel)
+        return kept
+
+    def read_point(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup served by the manifest: bloom pruning ∩ zone-map
+        pruning choose the files, then the exact equality filter applies
+        on top (pushed to the parquet scan). Equal to
+        ``read().filter(col = value)`` by construction; cheaper by every
+        skipped file — the primary-key-fetch shape a 100 TB store needs
+        without a secondary index."""
+        from pyspark.sql import functions as F
+
+        files = set(self.prune_files_point(col, value, version))
+        snap = self.snapshot(version)
+        if col in (snap.get("stat_cols") or ()):
+            files &= set(self.prune_files(col, value, value, version))
+        files = [f for f in snap["files"] if f in files]
+        if not files:
+            return self.read(spark, version).filter(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        return df.filter(F.col(col) == F.lit(value))
+
     def prune_files(
         self, col: str, lo, hi, version: int | None = None
     ) -> list[str]:
@@ -925,6 +1116,7 @@ class ManifestTable:
                     "n_buckets": m.get("n_buckets"),
                     "txn_apps": sorted(m.get("txns", {})),
                     "constraints": sorted(m.get("constraints", {})),
+                    "bloom_cols": m.get("bloom_cols"),
                     "mv_base_version": m.get("mv_base_version"),
                 }
             )

@@ -1279,3 +1279,79 @@ def test_history_is_metadata_sized_and_complete(spark, tmp_path, monkeypatch):
         lambda self, v: (_ for _ in ()).throw(AssertionError("ckpt read")),
     )
     assert len(t.history()) == 3
+
+
+def test_bloom_point_lookup_prunes_and_stays_exact(spark, tmp_path):
+    """Bloom point-lookup index: after set_bloom_index, a point read
+    opens ~1 file of 16 (no false negatives — result identical to the
+    full filter), the index extends INCREMENTALLY on later commits
+    (only added files' columns are read), survives the parquet
+    checkpoint + vacuum, and rejects un-canonical types."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(4000).selectExpr(
+        "id AS user_id", "CAST(id % 97 AS INT) v"
+    )
+    t.commit(t.stage(df, n_files=16), 0)
+    t.set_bloom_index(("user_id",))
+
+    pruned = t.prune_files_point("user_id", 1234)
+    assert len(pruned) <= 3  # 1 true file + ~1% fp per other file
+    got = sorted(map(str, t.read_point(spark, "user_id", 1234).collect()))
+    want = sorted(map(str, t.read(spark).filter("user_id = 1234").collect()))
+    assert got == want and len(got) == 1
+    assert t.read_point(spark, "user_id", 10_000_000).count() == 0
+
+    # incremental extension: the next commit reads ONLY the new file
+    opened = []
+    orig = ManifestTable.collect_file_blooms
+
+    def spying(self, files, cols):
+        opened.extend(files)
+        return orig(self, files, cols)
+
+    ManifestTable.collect_file_blooms = spying
+    try:
+        t.append(
+            spark.createDataFrame([(10_000_000, 1)], "user_id long, v int"),
+            n_files=1,
+        )
+    finally:
+        ManifestTable.collect_file_blooms = orig
+    assert len(opened) == 1
+    assert t.read_point(spark, "user_id", 10_000_000).count() == 1
+    snap = t.snapshot()
+    assert set(snap["file_blooms"]) == set(snap["files"])
+
+    # strings canonicalize; floats are rejected
+    with pytest.raises(TypeError, match="int/string"):
+        t.prune_files_point("user_id", 1.5)
+
+    # drive past the checkpoint interval and vacuum: the bloom map must
+    # survive columnar-checkpoint resolution
+    for i in range(10):
+        t.append(
+            spark.createDataFrame([(20_000 + i, i)], "user_id long, v int")
+        )
+    assert t.latest_version() >= lake._CKPT_EVERY
+    t.vacuum(retain_versions=2)
+    t2 = ManifestTable(str(tmp_path / "t"))
+    assert t2.read_point(spark, "user_id", 20_005).count() == 1
+    assert len(t2.prune_files_point("user_id", 20_005)) <= 4
+    assert t2.snapshot()["bloom_cols"] == ["user_id"]
+
+
+def test_bloom_index_on_string_column_and_merge_carry(spark, tmp_path):
+    """The index carries through a MERGE automatically (bloom_cols ride
+    every commit once set) and string values prune exactly."""
+    t = ManifestTable(str(tmp_path / "t"))
+    rows = [(i, f"user-{i:04d}") for i in range(256)]
+    merge_upsert(t, spark.createDataFrame(rows, "k int, name string"),
+                 ("k",), n_buckets=8)
+    t.set_bloom_index(("name",))
+    merge_upsert(t, spark.createDataFrame([(3, "renamed")], "k int, name string"),
+                 ("k",))
+    assert t.snapshot()["bloom_cols"] == ["name"]  # carried, not restated
+    assert t.read_point(spark, "name", "renamed").count() == 1
+    assert t.read_point(spark, "name", "user-0003").count() == 0  # replaced
+    n_all = len(t.snapshot()["files"])
+    assert len(t.prune_files_point("name", "user-0100")) < n_all
