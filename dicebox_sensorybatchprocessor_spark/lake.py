@@ -399,6 +399,45 @@ class ManifestTable:
         out["files"] = list(hit["files"])
         return out
 
+    def version_at(self, timestamp) -> int:
+        """Largest retained version published at or before ``timestamp``
+        (unix seconds, or ISO ``YYYY-MM-DD[ HH:MM:SS]`` local time) —
+        Delta's timestamp travel. Manifests are write-once, so a
+        manifest's mtime IS its publish instant; versions are published
+        in order, so the scan is one directory listing. Raises if the
+        timestamp predates the oldest RETAINED version (vacuum expired
+        the history) or the table is empty."""
+        import datetime
+
+        ts = (
+            datetime.datetime.fromisoformat(timestamp).timestamp()
+            if isinstance(timestamp, str)
+            else float(timestamp)
+        )
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        best, oldest = 0, None
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1 : 1 + _V_DIGITS])
+            except ValueError:
+                continue
+            mtime = os.path.getmtime(os.path.join(mdir, name))
+            oldest = mtime if oldest is None else min(oldest, mtime)
+            if mtime <= ts:
+                best = max(best, v)
+        if best == 0:
+            raise ValueError(
+                f"no retained version at or before {timestamp!r}"
+                + (
+                    f" (oldest retained manifest was published at {oldest})"
+                    if oldest is not None
+                    else " (table has no committed version)"
+                )
+            )
+        return best
+
     def data_files(self, version: int | None = None) -> list[str]:
         return [
             os.path.join(self.root, f) for f in self.snapshot(version)["files"]
@@ -409,12 +448,19 @@ class ManifestTable:
         spark: SparkSession,
         version: int | None = None,
         merge_schema: bool = False,
+        timestamp=None,
     ) -> DataFrame:
         """Load a snapshot. ``merge_schema=True`` reconciles data files
         written under different (widened) schemas — columns absent from
         older files read as null. Off by default: schema merging pays a
         footer-union per read and an evolved table only needs it until
-        compaction rewrites every file under the widest schema."""
+        compaction rewrites every file under the widest schema.
+        ``timestamp`` (unix seconds or ISO string) resolves the version
+        via :meth:`version_at` — mutually exclusive with ``version``."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         files = self.data_files(version)
         if not files:
             raise ValueError(f"ManifestTable {self.root} has no committed version")
@@ -612,6 +658,7 @@ class ManifestTable:
         stat_cols: tuple[str, ...] = (),
         txn: tuple[str, int] | None = None,
         bloom_cols: tuple[str, ...] = (),
+        bloom_max_bits: int | None = None,
     ) -> int:
         """Publish ``files`` as version ``base_version + 1``. Raises
         :class:`CommitConflict` if that version already exists (the
@@ -696,6 +743,9 @@ class ManifestTable:
         bcols = sorted(bloom_cols) if bloom_cols else base_snap.get("bloom_cols")
         if bcols:
             manifest["bloom_cols"] = list(bcols)
+            mb = bloom_max_bits or base_snap.get("bloom_max_bits")
+            if mb:
+                manifest["bloom_max_bits"] = int(mb)
             base_blooms = (
                 base_snap.get("file_blooms", {})
                 if base_snap.get("bloom_cols") == list(bcols)
@@ -704,7 +754,7 @@ class ManifestTable:
             need_b = [f for f in files if f not in base_blooms]
             if need_b:
                 manifest["add_blooms"] = self.collect_file_blooms(
-                    need_b, tuple(bcols)
+                    need_b, tuple(bcols), max_bits=mb
                 )
         fd, tmp = tempfile.mkstemp(
             dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
@@ -872,7 +922,10 @@ class ManifestTable:
         return out
 
     def collect_file_blooms(
-        self, files: list[str], bloom_cols: tuple[str, ...]
+        self,
+        files: list[str],
+        bloom_cols: tuple[str, ...],
+        max_bits: int | None = None,
     ) -> dict[str, dict[str, list]]:
         """{relative path: {col: [n_bits, hex bitset]}} — per-file Bloom
         filters over the column's distinct values (pyarrow column read,
@@ -892,18 +945,33 @@ class ManifestTable:
                     continue
                 vals = pf.read(columns=[col]).column(col).to_pylist()
                 distinct = {_bloom_canon(v) for v in vals if v is not None}
-                n, hx = _bloom_build(distinct)
+                n, hx = _bloom_build(
+                    distinct,
+                    **({"max_bits": int(max_bits)} if max_bits else {}),
+                )
                 cols[col] = [n, hx]
             out[rel] = cols
         return out
 
     def set_bloom_index(
-        self, cols: tuple[str, ...], max_retries: int = 5
+        self,
+        cols: tuple[str, ...],
+        max_retries: int = 5,
+        max_bits: int | None = None,
     ) -> int:
         """Record a Bloom point-lookup index on ``cols``: one metadata
         commit computing filters for every CURRENT file; later commits
         extend the index incrementally (added files only — carried
-        files keep their filters, footers never re-read)."""
+        files keep their filters, footers never re-read).
+
+        SIZING: filters target ~10 bits per distinct value (≈1% false
+        positives at k=7) up to a per-file cap — default 2^17 bits
+        (16 KiB). A file whose distinct count exceeds cap/10 degrades
+        gracefully (fpp rises, pruning weakens, correctness unaffected);
+        pass ``max_bits`` (recorded in the manifest and applied to every
+        later commit) to match the table's per-file cardinality — e.g.
+        2^20 for ~100k distinct keys per file (128 KiB per file per
+        column, still manifest-scale next to a 128 MB data file)."""
         if not cols:
             raise ValueError("set_bloom_index needs at least one column")
         for _ in range(max_retries):
@@ -920,6 +988,7 @@ class ManifestTable:
                     bucket_meta=meta,
                     stat_cols=tuple(snap.get("stat_cols", ())),
                     bloom_cols=tuple(cols),
+                    bloom_max_bits=max_bits,
                 )
             except CommitConflict:
                 continue
@@ -1624,6 +1693,7 @@ def merge_into(
     max_retries: int = 5,
     n_buckets: int | None = None,
     txn: tuple[str, int] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """Conditional MERGE (the full Delta/SQL:2003 MERGE INTO statement,
     where :func:`merge_upsert` is the replace-whole-row special case):
@@ -1645,7 +1715,15 @@ def merge_into(
     byte-identical, exactly like merge_upsert; ``txn`` gives replays
     the exactly-once skip. Duplicate source keys raise (two legs
     updating one target row is nondeterministic — same rule as Delta),
-    which costs one O(source) aggregate, never an O(table) pass."""
+    which costs one O(source) aggregate, never an O(table) pass.
+
+    ``schema_evolution=True`` is Delta's automatic MERGE evolution:
+    source columns absent from the target are ADDED (existing rows read
+    NULL), update expressions may set them, and the insert leg fills
+    target-only columns the source lacks with NULL instead of raising.
+    As with merge_upsert, read the evolved table with
+    ``merge_schema=True`` until a compaction settles every file under
+    the widest schema."""
     from pyspark.sql import functions as F
 
     spark = source.sparkSession
@@ -1658,15 +1736,21 @@ def merge_into(
         )
 
     def rewrite(region: DataFrame) -> DataFrame:
+        if schema_evolution:
+            for fld in source.schema.fields:
+                if fld.name not in region.columns:
+                    region = region.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
         tcols = region.columns
-        if insert_unmatched:
-            missing = [c for c in tcols if c not in source.columns]
-            if missing:
-                raise ValueError(
-                    f"insert leg needs every target column in the source; "
-                    f"missing {missing} — pass insert_unmatched=False for "
-                    f"an update/delete-only merge"
-                )
+        missing = [c for c in tcols if c not in source.columns]
+        if insert_unmatched and missing and not schema_evolution:
+            raise ValueError(
+                f"insert leg needs every target column in the source; "
+                f"missing {missing} — pass insert_unmatched=False for "
+                f"an update/delete-only merge, or schema_evolution=True "
+                f"to fill them with NULL"
+            )
         # LEFT join + anti-join insert leg, never a full outer: both legs
         # are broadcast-eligible on the (usually small) source, so the
         # region — the big side — is scanned WITHOUT being shuffled. A
@@ -1713,9 +1797,14 @@ def merge_into(
                 source.alias("s")
                 .join(region.select(*keys), keys, "left_anti")
                 .filter(ins_c)
-                .select(*tcols)
             )
-            result = result.unionByName(inserts)
+            if schema_evolution and missing:
+                types = {f.name: f.dataType for f in region.schema.fields}
+                for c in missing:
+                    inserts = inserts.withColumn(
+                        c, F.lit(None).cast(types[c])
+                    )
+            result = result.unionByName(inserts.select(*tcols))
         return result
 
     for _ in range(max_retries):
@@ -1745,13 +1834,18 @@ def merge_into(
             }
             keep_files = [f for f in snap["files"] if fb[f] not in touched]
             rewrite_files = [f for f in snap["files"] if fb[f] in touched]
-            tcols = table.read(spark, snap["version"]).columns
+            reader = spark.read
+            if schema_evolution:
+                reader = reader.option("mergeSchema", "true")
             region = (
-                spark.read.parquet(*[table.root + "/" + f for f in rewrite_files])
+                reader.parquet(*[table.root + "/" + f for f in rewrite_files])
                 if rewrite_files
-                else table.read(spark, snap["version"]).limit(0)
+                else table.read(
+                    spark, snap["version"], merge_schema=schema_evolution
+                ).limit(0)
             )
-            merged = table._validate(rewrite(region).select(*tcols))
+            rewritten = rewrite(region)
+            merged = table._validate(rewritten.select(*rewritten.columns))
             new_map = table.stage_bucketed(merged, tuple(keys), nb)
             files = keep_files + sorted(new_map)
             meta = {
@@ -1760,7 +1854,13 @@ def merge_into(
                 "file_buckets": {**{f: fb[f] for f in keep_files}, **new_map},
             }
         else:
-            merged = table._validate(rewrite(table.read(spark, snap["version"])))
+            merged = table._validate(
+                rewrite(
+                    table.read(
+                        spark, snap["version"], merge_schema=schema_evolution
+                    )
+                )
+            )
             if nb:
                 new_map = table.stage_bucketed(merged, tuple(keys), nb)
                 files, meta = sorted(new_map), {

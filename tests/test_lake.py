@@ -1305,9 +1305,9 @@ def test_bloom_point_lookup_prunes_and_stays_exact(spark, tmp_path):
     opened = []
     orig = ManifestTable.collect_file_blooms
 
-    def spying(self, files, cols):
+    def spying(self, files, cols, **kw):
         opened.extend(files)
-        return orig(self, files, cols)
+        return orig(self, files, cols, **kw)
 
     ManifestTable.collect_file_blooms = spying
     try:
@@ -1355,3 +1355,73 @@ def test_bloom_index_on_string_column_and_merge_carry(spark, tmp_path):
     assert t.read_point(spark, "name", "user-0003").count() == 0  # replaced
     n_all = len(t.snapshot()["files"])
     assert len(t.prune_files_point("name", "user-0100")) < n_all
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read(timestamp=...) resolves the newest version published at or
+    before the instant; pre-history timestamps fail explicitly and the
+    version/timestamp parameters are mutually exclusive."""
+    import time as _time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    before_any = _time.time() - 1.0
+    t.commit(t.stage(_df(spark, [(1, "v1")])), 0)
+    _time.sleep(0.05)
+    between = _time.time()
+    _time.sleep(0.05)
+    t.commit(t.stage(_df(spark, [(1, "v2")])), 1)
+
+    assert t.version_at(between) == 1
+    assert _rows(t.read(spark, timestamp=between)) == [(1, "v1")]
+    assert _rows(t.read(spark, timestamp=_time.time())) == [(1, "v2")]
+    with pytest.raises(ValueError, match="no retained version"):
+        t.version_at(before_any)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, timestamp=between)
+    # ISO form resolves too (whole-day granularity: today >= both commits)
+    import datetime
+
+    tomorrow = (
+        datetime.datetime.now() + datetime.timedelta(days=1)
+    ).strftime("%Y-%m-%d")
+    assert t.version_at(tomorrow) == 2
+
+
+def test_merge_into_schema_evolution(spark, tmp_path):
+    """Delta-style automatic MERGE evolution: a new source column lands
+    on the target (existing rows read NULL), update expressions may set
+    it, the insert leg fills target-only columns with NULL, and
+    compaction settles the widened schema."""
+    t = ManifestTable(str(tmp_path / "t"))
+    merge_upsert(
+        t,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k int, v string, x double"
+        ),
+        ("k",),
+        n_buckets=4,
+    )
+    src = spark.createDataFrame(
+        [(1, 9.0, "gold"), (5, 5.0, "new")], "k int, x double, tier string"
+    )
+    # without evolution the insert leg rejects the missing 'v'
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        lake.merge_into(t, src, ("k",), matched_update={"x": "s.x"})
+    lake.merge_into(
+        t,
+        src,
+        ("k",),
+        matched_update={"x": "s.x", "tier": "s.tier"},
+        schema_evolution=True,
+    )
+    got = {
+        r.k: (r.v, r.x, r.tier)
+        for r in t.read(spark, merge_schema=True).collect()
+    }
+    assert got[1] == ("a", 9.0, "gold")   # updated incl. the new column
+    assert got[2] == ("b", 2.0, None)     # untouched bucket rows read NULL
+    assert got[5] == (None, 5.0, "new")   # insert filled 'v' with NULL
+    t.compact(spark)
+    assert {r.k: r.tier for r in t.read(spark).collect()} == {
+        1: "gold", 2: None, 5: "new"
+    }
