@@ -75,6 +75,7 @@ _PER_FILE_KEYS = (
     "add_buckets",
     "add_stats",
     "add_blooms",
+    "add_sizes",
     "fmt",
     "n_files",
 )
@@ -251,9 +252,13 @@ class ManifestTable:
         fb = snap.get("file_buckets", {})
         fs = snap.get("file_stats", {})
         fbl = snap.get("file_blooms", {})
+        fsz = snap.get("file_sizes", {})
         table = pa.table(
             {
                 "path": pa.array(files, type=pa.string()),
+                "size": pa.array(
+                    [fsz.get(f) for f in files], type=pa.int64()
+                ),
                 "bucket": pa.array(
                     [fb.get(f) for f in files], type=pa.int64()
                 ),
@@ -286,6 +291,11 @@ class ManifestTable:
             if "blooms" in t.schema.names
             else [None] * len(files)
         )
+        sizes = (
+            t.column("size").to_pylist()
+            if "size" in t.schema.names
+            else [None] * len(files)
+        )
         return {
             "files": files,
             "file_buckets": {
@@ -296,6 +306,9 @@ class ManifestTable:
             },
             "file_blooms": {
                 f: json.loads(s) for f, s in zip(files, blooms) if s is not None
+            },
+            "file_sizes": {
+                f: int(s) for f, s in zip(files, sizes) if s is not None
             },
         }
 
@@ -320,6 +333,8 @@ class ManifestTable:
                 out0["file_stats"] = state["file_stats"]
             if out0.get("bloom_cols"):
                 out0["file_blooms"] = state["file_blooms"]
+            if state.get("file_sizes"):
+                out0["file_sizes"] = state["file_sizes"]
             return out0
         chain = [m]
         state = None
@@ -335,6 +350,7 @@ class ManifestTable:
                     "file_buckets": dict(mb.get("file_buckets", {})),
                     "file_stats": dict(mb.get("file_stats", {})),
                     "file_blooms": dict(mb.get("file_blooms", {})),
+                    "file_sizes": dict(mb.get("file_sizes", {})),
                 }
                 break
             chain.append(mb)
@@ -345,22 +361,26 @@ class ManifestTable:
                 "file_buckets": {},
                 "file_stats": {},
                 "file_blooms": {},
+                "file_sizes": {},
             }
         files: dict[str, None] = dict.fromkeys(state["files"])
         fb = dict(state["file_buckets"])
         fs = dict(state["file_stats"])
         fbl = dict(state.get("file_blooms", {}))
+        fsz = dict(state.get("file_sizes", {}))
         for d in reversed(chain):
             for f in d.get("remove", ()):
                 files.pop(f, None)
                 fb.pop(f, None)
                 fs.pop(f, None)
                 fbl.pop(f, None)
+                fsz.pop(f, None)
             for f in d.get("add", ()):
                 files[f] = None
             fb.update(d.get("add_buckets", {}))
             fs.update(d.get("add_stats", {}))
             fbl.update(d.get("add_blooms", {}))
+            fsz.update(d.get("add_sizes", {}))
         out = {k: val for k, val in m.items() if k not in _PER_FILE_KEYS}
         out["files"] = list(files)
         if out.get("n_buckets"):
@@ -369,6 +389,8 @@ class ManifestTable:
             out["file_stats"] = {f: fs[f] for f in files if f in fs}
         if out.get("bloom_cols"):
             out["file_blooms"] = {f: fbl[f] for f in files if f in fbl}
+        if fsz:
+            out["file_sizes"] = {f: fsz[f] for f in files if f in fsz}
         return out
 
     def latest_version(self) -> int:
@@ -756,6 +778,13 @@ class ManifestTable:
                 manifest["add_blooms"] = self.collect_file_blooms(
                     need_b, tuple(bcols), max_bits=mb
                 )
+        add_sizes = {}
+        for f in manifest["add"]:
+            p = os.path.join(self.root, f)
+            if os.path.exists(p):
+                add_sizes[f] = os.path.getsize(p)
+        if add_sizes:
+            manifest["add_sizes"] = add_sizes
         fd, tmp = tempfile.mkstemp(
             dir=os.path.join(self.root, _MANIFEST_DIR), suffix=".tmp"
         )
@@ -1146,12 +1175,27 @@ class ManifestTable:
         return api.snapshot_diff(old, new, keys, tracked)
 
     # -- maintenance ----------------------------------------------------
+    def _file_sizes(self, snap: dict) -> dict[str, int]:
+        """{relative path: bytes} for the snapshot — served from the
+        manifest's per-file sizes (recorded at commit, one stat per
+        ADDED file ever) with a getsize fallback for files committed
+        before round 10. At millions of files this is what keeps
+        ``optimize``'s decision a manifest read instead of millions of
+        filesystem stat calls."""
+        known = snap.get("file_sizes", {})
+        return {
+            f: known[f]
+            if f in known
+            else os.path.getsize(os.path.join(self.root, f))
+            for f in snap["files"]
+        }
+
     def file_stats(self, version: int | None = None) -> tuple[int, int]:
         """(file count, total bytes) of the snapshot's data files — from
         the manifest, not a directory walk, so orphans never skew the
         compaction plan."""
-        files = self.data_files(version)
-        return len(files), sum(os.path.getsize(f) for f in files)
+        snap = self.snapshot(version)
+        return len(snap["files"]), sum(self._file_sizes(snap).values())
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one row per retained version, newest first —
@@ -1276,10 +1320,7 @@ class ManifestTable:
                 raise ValueError(
                     "bucketed tables stay one-file-per-bucket; use compact()"
                 )
-            sizes = {
-                f: os.path.getsize(os.path.join(self.root, f))
-                for f in snap["files"]
-            }
+            sizes = self._file_sizes(snap)
             small_files = [f for f in snap["files"] if sizes[f] < small]
             keep_files = [f for f in snap["files"] if sizes[f] >= small]
             if len(small_files) < 2:
@@ -1407,9 +1448,7 @@ class ManifestTable:
             else target_file_bytes // 2
         )
         n_small = sum(
-            1
-            for f in snap["files"]
-            if os.path.getsize(os.path.join(self.root, f)) < small
+            1 for v in self._file_sizes(snap).values() if v < small
         )
         if n_small >= min_small_files:
             ledger = self.compact_small(

@@ -1425,3 +1425,33 @@ def test_merge_into_schema_evolution(spark, tmp_path):
     assert {r.k: r.tier for r in t.read(spark).collect()} == {
         1: "gold", 2: None, 5: "new"
     }
+
+
+def test_file_sizes_ride_the_manifest(spark, tmp_path, monkeypatch):
+    """Per-file sizes are recorded at commit (one stat per ADDED file
+    ever) and served from the manifest thereafter: file_stats and the
+    optimize router must not stat data files of a v2 table."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_df(spark, [(i, "x" * 200)]), n_files=1)
+    snap = t.snapshot()
+    assert set(snap["file_sizes"]) == set(snap["files"])
+    real = {
+        f: os.path.getsize(os.path.join(t.root, f)) for f in snap["files"]
+    }
+    assert snap["file_sizes"] == real
+
+    calls = []
+    orig = os.path.getsize
+
+    def spying(p):
+        calls.append(p)
+        return orig(p)
+
+    monkeypatch.setattr(os.path, "getsize", spying)
+    n, total = t.file_stats()
+    assert n == 3 and total == sum(real.values())
+    led = t.optimize(spark, small_file_bytes=1)  # all files "big" -> noop
+    assert led["action"] == "noop"
+    data_stats = [p for p in calls if f"{os.sep}data{os.sep}" in p]
+    assert data_stats == [], data_stats
