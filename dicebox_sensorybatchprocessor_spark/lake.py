@@ -1457,13 +1457,25 @@ class ManifestTable:
             return {"action": "compact_small", **ledger}
         return {"action": "noop", "reason": f"{n_small} small files < {min_small_files}"}
 
-    def vacuum(self, retain_versions: int = 1) -> int:
+    def vacuum(
+        self, retain_versions: int = 1, min_file_age_s: float = 0.0
+    ) -> int:
         """Delete data files referenced by NO retained manifest (crash
         orphans and files superseded more than ``retain_versions`` ago),
         AND the expired manifests themselves — a manifest whose files
         are gone is a dangling promise, so time travel past the retained
         window fails explicitly at snapshot resolution instead of at
-        scan time. Returns the number of data files removed."""
+        scan time. Returns the number of data files removed.
+
+        ``min_file_age_s`` is the concurrent-writer horizon (Delta's
+        retention-duration mitigation): an in-flight writer's staged
+        files are referenced by NO manifest until its commit publishes,
+        so a vacuum racing it would reclaim them as orphans and the
+        commit would then name deleted files. Files younger than the
+        horizon are never touched; set it above the longest write job's
+        duration when writers and vacuum can overlap (the default 0
+        keeps vacuum a stop-the-world maintenance verb that reclaims
+        crash orphans immediately)."""
         latest = self.latest_version()
         keep_versions = range(max(1, latest - retain_versions + 1), latest + 1)
         oldest_keep = keep_versions[0] if keep_versions else 0
@@ -1501,11 +1513,17 @@ class ManifestTable:
             for f in snaps[v]["files"]
         }
         removed = 0
+        now = __import__("time").time()
         data_root = os.path.join(self.root, _DATA_DIR)
         for dirpath, _dirs, names in os.walk(data_root, topdown=False):
             for name in names:
                 p = os.path.normpath(os.path.join(dirpath, name))
                 if p not in live:
+                    if (
+                        min_file_age_s > 0
+                        and now - os.path.getmtime(p) < min_file_age_s
+                    ):
+                        continue  # possibly an in-flight writer's staging
                     os.remove(p)
                     removed += 1
             if dirpath != data_root and not os.listdir(dirpath):

@@ -1455,3 +1455,93 @@ def test_file_sizes_ride_the_manifest(spark, tmp_path, monkeypatch):
     assert led["action"] == "noop"
     data_stats = [p for p in calls if f"{os.sep}data{os.sep}" in p]
     assert data_stats == [], data_stats
+
+
+def test_manifest_resolution_matches_model_over_random_histories(tmp_path):
+    """Property: for ANY commit sequence (random add/remove sets, fake
+    paths — the protocol never opens data files without stats/blooms),
+    the resolved file set at EVERY retained version equals a plain
+    Python set model, across checkpoint boundaries and after losing any
+    single checkpoint file (resolution falls back to the delta chain)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        steps=st.lists(
+            st.tuples(
+                st.sets(st.integers(0, 60), max_size=8),  # ids to add
+                st.sets(st.integers(0, 60), max_size=8),  # ids to remove
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        data=st.data(),
+    )
+    def run(steps, data):
+        import shutil
+        import uuid as _uuid
+
+        root = tmp_path / f"t{_uuid.uuid4().hex}"
+        t = ManifestTable(str(root))
+        model: list[set[int]] = [set()]
+        v = 0
+        for add, rem in steps:
+            cur = (model[-1] | add) - rem
+            model.append(cur)
+            files = [f"data/f{j:04d}.parquet" for j in sorted(cur)]
+            v = t.commit(files, v)
+        # every version resolves to its model state (fresh reader: no cache)
+        t2 = ManifestTable(str(root))
+        for ver in range(1, v + 1):
+            got = {int(f[6:10]) for f in t2.snapshot(ver)["files"]}
+            assert got == model[ver], (ver, got, model[ver])
+        # losing a checkpoint must not lose resolvability (delta chain)
+        ckpts = [
+            n
+            for n in os.listdir(root / "_sbp_manifests")
+            if n.startswith("ckpt_")
+        ]
+        if ckpts:
+            victim = data.draw(st.sampled_from(sorted(ckpts)))
+            os.remove(root / "_sbp_manifests" / victim)
+            t3 = ManifestTable(str(root))
+            got = {int(f[6:10]) for f in t3.snapshot(v)["files"]}
+            assert got == model[v]
+        shutil.rmtree(root)
+
+    run()
+
+
+def test_race_vacuum_vs_merge_needs_writer_horizon(spark, tmp_path):
+    """A vacuum racing an in-flight writer sees the writer's staged
+    (not-yet-committed) files as orphans. With min_file_age_s above the
+    write duration the staged files survive and the merge lands every
+    row; writing this test with horizon 0 is exactly how the hazard was
+    found — vacuum(0) reclaimed the staging and the published commit
+    named deleted files (Delta mitigates identically via its retention
+    duration)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(12):  # cross the checkpoint interval
+        t.append(_df(spark, [(i, "a")]), n_files=1)
+
+    real_commit, fired = t.commit, []
+
+    def vacuuming_commit(files, base_version, **kwargs):
+        if not fired:
+            fired.append(True)
+            t.vacuum(retain_versions=1, min_file_age_s=300)
+        return real_commit(files, base_version, **kwargs)
+
+    t.commit = vacuuming_commit
+    merge_upsert(t, _df(spark, [(99, "m")]), ("k",), max_retries=20)
+    t.commit = real_commit
+    got = _rows(t.read(spark))
+    assert (99, "m") in got and len(got) == 13
+    # expired manifests are gone, the retained window still resolves
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(3)
