@@ -303,3 +303,117 @@ def test_refresh_router_picks_recompute_past_the_delta_ratio(spark, tmp_path):
     assert _got(spark, mv) == _expected(spark, t)
     with pytest.raises(ValueError, match="mode"):
         mv.refresh(spark, mode="bogus")
+
+
+def test_mv_matches_group_by_over_random_histories(spark, tmp_path):
+    """Property: after ANY short history of upserts/deletes/compactions
+    — including NULL group keys and NULL measure values — the view
+    equals the base GROUP BY under every refresh cadence the router can
+    pick (refresh after each commit; measures span count/sum/avg/min/
+    max). This generalizes the targeted NULL regression tests."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    groups = st.sampled_from(["a", "b", None])
+    xs = st.one_of(st.none(), st.integers(-50, 50).map(lambda i: i / 4.0))
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        init=st.lists(st.tuples(groups, xs), min_size=2, max_size=10),
+        steps=st.lists(
+            st.one_of(
+                st.tuples(
+                    st.just("upsert"),
+                    st.lists(
+                        st.tuples(st.integers(0, 14), groups, xs),
+                        min_size=1,
+                        max_size=4,
+                    ),
+                ),
+                st.tuples(
+                    st.just("delete"),
+                    st.lists(st.integers(0, 14), min_size=1, max_size=3),
+                ),
+                st.tuples(st.just("compact"), st.just(None)),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    def run(init, steps):
+        import shutil
+        import uuid as _uuid
+
+        base_root = tmp_path / f"b{_uuid.uuid4().hex}"
+        t = ManifestTable(str(base_root))
+        rows = [(k, g, x) for k, (g, x) in enumerate(init)]
+        merge_upsert(t, _base_df(spark, rows), ("k",), n_buckets=2)
+        mv = MaterializedAgg(
+            t,
+            str(tmp_path / f"v{_uuid.uuid4().hex}"),
+            ("grp",),
+            {
+                "n": ("count", "*"),
+                "sum_x": ("sum", "x"),
+                "avg_x": ("avg", "x"),
+                "min_x": ("min", "x"),
+                "max_x": ("max", "x"),
+            },
+        )
+        mv.refresh(spark)
+        for op, arg in steps:
+            if op == "upsert":
+                merge_upsert(t, _base_df(spark, arg), ("k",))
+            elif op == "delete":
+                merge_upsert(
+                    t,
+                    _base_df(spark, []),
+                    ("k",),
+                    delete_keys=spark.createDataFrame(
+                        [(k,) for k in arg], "k int"
+                    ),
+                )
+            else:
+                t.compact(spark)
+            mv.refresh(spark)
+        if not t.snapshot()["files"] or not t.read(spark).take(1):
+            # empty base: the state table may hold zero files (staging an
+            # empty df writes none), which read() refuses by contract
+            assert (
+                not mv.table.snapshot()["files"]
+                or mv.read(spark).count() == 0
+            )
+            return
+        def canon(rws):
+            out = []
+            for r in rws:
+                out.append((
+                    r.grp,
+                    r.n,
+                    None if r.sum_x is None else round(r.sum_x, 6),
+                    None if r.avg_x is None else round(r.avg_x, 6),
+                    r.min_x,
+                    r.max_x,
+                ))
+            return sorted(out, key=str)
+        got = canon(mv.read(spark).collect())
+        want = canon(
+            t.read(spark)
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("x").alias("sum_x"),
+                F.avg("x").alias("avg_x"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+            )
+            .collect()
+        )
+        assert got == want, (got, want)
+        shutil.rmtree(base_root)
+
+    run()
