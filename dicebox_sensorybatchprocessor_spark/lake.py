@@ -57,6 +57,7 @@ import json
 import math
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1513,7 +1514,7 @@ class ManifestTable:
             for f in snaps[v]["files"]
         }
         removed = 0
-        now = __import__("time").time()
+        now = time.time()
         data_root = os.path.join(self.root, _DATA_DIR)
         for dirpath, _dirs, names in os.walk(data_root, topdown=False):
             for name in names:
