@@ -1545,3 +1545,39 @@ def test_race_vacuum_vs_merge_needs_writer_horizon(spark, tmp_path):
     # expired manifests are gone, the retained window still resolves
     with pytest.raises(FileNotFoundError):
         t.snapshot(3)
+
+
+def test_publish_seam_supports_external_commit_service(spark, tmp_path):
+    """The documented object-store seam: plugging in a backend without
+    atomic link means overriding ``_publish`` ONLY. A mkdir-mutex
+    put-if-absent (the shape of Delta's DynamoDB LogStore) must give
+    identical semantics: one winner per version, loser sees
+    CommitConflict, merge retry serializes on top of it."""
+    import shutil
+
+    class MkdirLockTable(ManifestTable):
+        def _publish(self, tmp: str, final: str) -> None:
+            lock = final + ".lock"
+            try:
+                os.mkdir(lock)  # atomic on POSIX and object-store mutexes
+            except FileExistsError as exc:
+                os.unlink(tmp)
+                raise CommitConflict(os.path.basename(final)) from exc
+            try:
+                if os.path.exists(final):
+                    os.unlink(tmp)
+                    raise CommitConflict(os.path.basename(final))
+                shutil.copy(tmp, final)
+                os.unlink(tmp)
+            finally:
+                os.rmdir(lock)
+
+    t = MkdirLockTable(str(tmp_path / "t"))
+    t.commit(t.stage(_df(spark, [(1, "a")])), 0)
+    w1 = t.stage(_df(spark, [(2, "w1")]))
+    w2 = t.stage(_df(spark, [(3, "w2")]))
+    assert t.commit(w1, base_version=1) == 2
+    with pytest.raises(CommitConflict):
+        t.commit(w2, base_version=1)
+    merge_upsert(t, _df(spark, [(9, "m")]), ("k",), max_retries=10)
+    assert _rows(t.read(spark)) == [(2, "w1"), (9, "m")]
