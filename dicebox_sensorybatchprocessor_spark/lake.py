@@ -276,7 +276,17 @@ class ManifestTable:
         final = self._ckpt_path(version)
         tmp = final + "." + uuid.uuid4().hex + ".tmp"
         pq.write_table(table, tmp)
+        # durability like the manifest path: fsync file + dir, or a
+        # crash could leave a PRESENT-but-torn checkpoint — readers do
+        # fall back to the delta chain on a bad checkpoint, but vacuum
+        # deletes that chain past the pinned version
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.replace(tmp, final)
+        _fsync_dir(os.path.dirname(final))
 
     def _read_checkpoint(self, version: int) -> dict:
         """Full per-file state at a checkpointed version — columnar read,
@@ -325,7 +335,13 @@ class ManifestTable:
         if os.path.exists(self._ckpt_path(v)):
             # checkpointed at v itself (vacuum pins the oldest retained
             # version this way): the checkpoint already includes v's delta
-            state = self._read_checkpoint(v)
+            try:
+                state = self._read_checkpoint(v)
+            except Exception:
+                state = None  # torn/unreadable: try the delta chain below
+        else:
+            state = None
+        if state is not None:
             out0 = {k: val for k, val in m.items() if k not in _PER_FILE_KEYS}
             out0["files"] = list(state["files"])
             if out0.get("n_buckets"):
@@ -342,8 +358,11 @@ class ManifestTable:
         base = m["base"]
         while base > 0:
             if os.path.exists(self._ckpt_path(base)):
-                state = self._read_checkpoint(base)
-                break
+                try:
+                    state = self._read_checkpoint(base)
+                    break
+                except Exception:
+                    pass  # torn checkpoint: keep walking the delta chain
             mb = self._read_manifest_json(base)
             if "files" in mb:
                 state = {
@@ -797,8 +816,16 @@ class ManifestTable:
         if next_v % _CKPT_EVERY == 0:
             # only the publish winner reaches this line, so the
             # checkpoint is written once; resolution re-derives the full
-            # state through the very path later readers will use
-            self._write_checkpoint(next_v, self._resolve(next_v))
+            # state through the very path later readers will use.
+            # BEST-EFFORT: the version is already durably published — a
+            # checkpoint failure (disk full, missing pyarrow) must not
+            # make commit() report failure, or a retrying caller would
+            # double-apply against its own committed version; readers
+            # fall back to the delta chain when the checkpoint is absent.
+            try:
+                self._write_checkpoint(next_v, self._resolve(next_v))
+            except Exception:
+                pass
         return next_v
 
     def overwrite(
@@ -1208,14 +1235,14 @@ class ManifestTable:
         table's history stays manifest-sized."""
         out = []
         mdir = os.path.join(self.root, _MANIFEST_DIR)
-        versions = sorted(
-            (
-                int(name[1 : 1 + _V_DIGITS])
-                for name in os.listdir(mdir)
-                if name.startswith("v") and name.endswith(".json")
-            ),
-            reverse=True,
-        )
+        versions = []
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    versions.append(int(name[1 : 1 + _V_DIGITS]))
+                except ValueError:
+                    continue  # stray non-canonical file, same as listers
+        versions.sort(reverse=True)
         for v in versions:
             m = self._read_manifest_json(v)
             legacy = "files" in m

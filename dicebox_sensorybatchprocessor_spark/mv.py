@@ -282,6 +282,7 @@ class MaterializedAgg:
                     "plus_files": 0,
                     "minus_files": 0,
                     "noop": True,
+                    "mode": "noop",
                 }
             old_files = (
                 set(self.base.snapshot(v_from)["files"]) if v_from else set()
@@ -307,10 +308,22 @@ class MaterializedAgg:
                     "plus_files": 0,
                     "minus_files": 0,
                     "noop": True,
+                    "mode": "noop",
                 }
-            recompute = mode == "recompute" or (
-                mode == "auto"
-                and len(plus) + len(minus) > recompute_ratio * max(1, len(new_files))
+            old_state = (
+                self.table.read(spark) if mv_snap["files"] else None
+            )
+            legacy_state = old_state is not None and any(
+                f"__c_{c}" not in old_state.columns for c in self._sum_cols
+            )
+            recompute = (
+                mode == "recompute"
+                or legacy_state  # pre-counter state: one recompute migrates it
+                or (
+                    mode == "auto"
+                    and len(plus) + len(minus)
+                    > recompute_ratio * max(1, len(new_files))
+                )
             )
             if recompute:
                 merged = self._full_state(spark, v_to)
@@ -321,9 +334,6 @@ class MaterializedAgg:
                 )
                 delta = self._delta_state(
                     read(plus) if plus else None, read(minus) if minus else None
-                )
-                old_state = (
-                    self.table.read(spark) if mv_snap["files"] else None
                 )
                 merged = self._merge_states(old_state, delta)
                 merged = self._attach_minmax(

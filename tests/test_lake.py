@@ -1581,3 +1581,34 @@ def test_publish_seam_supports_external_commit_service(spark, tmp_path):
         t.commit(w2, base_version=1)
     merge_upsert(t, _df(spark, [(9, "m")]), ("k",), max_retries=10)
     assert _rows(t.read(spark)) == [(2, "w1"), (9, "m")]
+
+
+def test_torn_checkpoint_falls_back_and_commit_survives_ckpt_failure(
+    spark, tmp_path, monkeypatch
+):
+    """A present-but-unreadable checkpoint must not poison resolution
+    (readers fall back to the delta chain), and a checkpoint-write
+    failure must not fail the already-published commit (it is a pure
+    optimization; a retrying caller would otherwise double-apply)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    v = 0
+    for c in range(12):
+        files = t.snapshot()["files"] + [f"data/fk{c:02d}.parquet"]
+        v = t.commit(files, v)
+    ck = t._ckpt_path(10)
+    assert os.path.exists(ck)
+    with open(ck, "wb") as fh:
+        fh.write(b"torn")  # unreadable parquet
+    t2 = ManifestTable(str(tmp_path / "t"))
+    assert len(t2.snapshot(v)["files"]) == 12  # delta-chain fallback
+
+    # checkpoint write failure at the v20 boundary: commit still succeeds
+    def boom(self, version, snap):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ManifestTable, "_write_checkpoint", boom)
+    for c in range(12, 20):
+        files = t2.snapshot()["files"] + [f"data/fk{c:02d}.parquet"]
+        v = t2.commit(files, v)
+    assert v == 20 and len(t2.snapshot()["files"]) == 20
+    assert not os.path.exists(t2._ckpt_path(20))
