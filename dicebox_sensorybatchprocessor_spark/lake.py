@@ -431,6 +431,15 @@ class ManifestTable:
         if v == 0:
             return {"version": 0, "base": 0, "files": []}
         hit = self._snap_cache.get(v)
+        # validate hits against manifest existence (ADVICE r10): this
+        # instance's own vacuum clears the cache, but ANOTHER process
+        # vacuuming the same root cannot — a stale hit would let time
+        # travel to an expired version fail later at scan time with
+        # deleted data files instead of failing explicitly here, as the
+        # vacuum docstring promises. One os.stat per snapshot() call.
+        if hit is not None and not os.path.exists(self._manifest_path(v)):
+            self._snap_cache.pop(v, None)
+            hit = None
         if hit is None:
             if len(self._snap_cache) > 64:
                 self._snap_cache.clear()
@@ -444,11 +453,15 @@ class ManifestTable:
     def version_at(self, timestamp) -> int:
         """Largest retained version published at or before ``timestamp``
         (unix seconds, or ISO ``YYYY-MM-DD[ HH:MM:SS]`` local time) —
-        Delta's timestamp travel. Manifests are write-once, so a
-        manifest's mtime IS its publish instant; versions are published
-        in order, so the scan is one directory listing. Raises if the
-        timestamp predates the oldest RETAINED version (vacuum expired
-        the history) or the table is empty."""
+        Delta's timestamp travel. The publish instant is the ``ts`` the
+        manifest itself records at commit time (ADVICE r10: in-commit
+        timestamps survive rsync/backup-restore, which resets the mtimes
+        a directory-listing approach would read); legacy manifests
+        without ``ts`` fall back to file mtime. Versions are published
+        in order, so the scan is one directory listing plus one tiny
+        delta-sized JSON per retained manifest. Raises if the timestamp
+        predates the oldest RETAINED version (vacuum expired the
+        history) or the table is empty."""
         import datetime
 
         ts = (
@@ -465,7 +478,10 @@ class ManifestTable:
                 v = int(name[1 : 1 + _V_DIGITS])
             except ValueError:
                 continue
-            mtime = os.path.getmtime(os.path.join(mdir, name))
+            try:
+                mtime = float(self._read_manifest_json(v)["ts"])
+            except (KeyError, OSError, ValueError, json.JSONDecodeError):
+                mtime = os.path.getmtime(os.path.join(mdir, name))
             oldest = mtime if oldest is None else min(oldest, mtime)
             if mtime <= ts:
                 best = max(best, v)
@@ -739,6 +755,12 @@ class ManifestTable:
             "base": base_version,
             "fmt": 2,
             "n_files": len(files),
+            # in-commit publish instant (ADVICE r10): mtime-based
+            # timestamp travel breaks the moment the table directory is
+            # rsync'd/restored (mtimes reset); the manifest's own record
+            # survives any copy. version_at prefers it, mtime is the
+            # legacy fallback.
+            "ts": time.time(),
             "add": [f for f in files if f not in base_set],
             "remove": [f for f in base_files if f not in file_set],
         }
@@ -985,11 +1007,20 @@ class ManifestTable:
         max_bits: int | None = None,
     ) -> dict[str, dict[str, list]]:
         """{relative path: {col: [n_bits, hex bitset]}} — per-file Bloom
-        filters over the column's distinct values (pyarrow column read,
-        driver-local). The point-lookup complement to zone maps: min/max
-        cannot prune an unclustered high-cardinality column, a bloom
-        prunes any file that provably lacks the value. Columns missing
-        from a file's schema are skipped (must-keep, like stats)."""
+        filters over the column's distinct values (streamed pyarrow
+        batches, driver-local). The point-lookup complement to zone
+        maps: min/max cannot prune an unclustered high-cardinality
+        column, a bloom prunes any file that provably lacks the value.
+        Columns missing from a file's schema are skipped (must-keep,
+        like stats).
+
+        MEMORY (ADVICE r10): the column is consumed via
+        ``iter_batches``, never materialized whole — peak driver memory
+        is one Arrow batch plus the per-file distinct set (bounded by
+        the column's distinct count, which the bloom sizing cap already
+        assumes is manifest-scale). Without this, every compaction on a
+        bloom-indexed table would pull the largest rewritten file's
+        column into the driver inside commit()."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict[str, list]] = {}
@@ -1000,8 +1031,10 @@ class ManifestTable:
             for col in bloom_cols:
                 if col not in names:
                     continue
-                vals = pf.read(columns=[col]).column(col).to_pylist()
-                distinct = {_bloom_canon(v) for v in vals if v is not None}
+                distinct: set = set()
+                for batch in pf.iter_batches(columns=[col], batch_size=65536):
+                    arr = batch.column(0).drop_null()
+                    distinct.update(_bloom_canon(v) for v in arr.to_pylist())
                 n, hx = _bloom_build(
                     distinct,
                     **({"max_bits": int(max_bits)} if max_bits else {}),
@@ -1080,6 +1113,12 @@ class ManifestTable:
         without a secondary index."""
         from pyspark.sql import functions as F
 
+        # resolve the version ONCE (ADVICE r10): three independent
+        # `version=None` resolutions could straddle a concurrent commit —
+        # intersecting version-N bloom survivors with version-N+1's file
+        # list silently drops N+1's added files from an exact method
+        if version is None:
+            version = self.latest_version()
         files = set(self.prune_files_point(col, value, version))
         snap = self.snapshot(version)
         if col in (snap.get("stat_cols") or ()):
@@ -1486,7 +1525,7 @@ class ManifestTable:
         return {"action": "noop", "reason": f"{n_small} small files < {min_small_files}"}
 
     def vacuum(
-        self, retain_versions: int = 1, min_file_age_s: float = 0.0
+        self, retain_versions: int = 1, min_file_age_s: float = 3600.0
     ) -> int:
         """Delete data files referenced by NO retained manifest (crash
         orphans and files superseded more than ``retain_versions`` ago),
@@ -1500,10 +1539,13 @@ class ManifestTable:
         files are referenced by NO manifest until its commit publishes,
         so a vacuum racing it would reclaim them as orphans and the
         commit would then name deleted files. Files younger than the
-        horizon are never touched; set it above the longest write job's
-        duration when writers and vacuum can overlap (the default 0
-        keeps vacuum a stop-the-world maintenance verb that reclaims
-        crash orphans immediately)."""
+        horizon are never touched. The DEFAULT is a conservative 1 hour
+        (ADVICE r10 — Delta defaults to hours-to-days for the same
+        reason): safe-by-default when maintenance overlaps writers; set
+        it above the longest write job's duration on busier tables, and
+        pass 0 EXPLICITLY only when every writer is known quiesced
+        (stop-the-world maintenance that reclaims crash orphans
+        immediately)."""
         latest = self.latest_version()
         keep_versions = range(max(1, latest - retain_versions + 1), latest + 1)
         oldest_keep = keep_versions[0] if keep_versions else 0

@@ -55,8 +55,11 @@ def test_crash_between_stage_and_publish_keeps_old_snapshot(spark, tmp_path):
     t.commit(t.stage(_df(spark, [(1, "b"), (9, "z")])), base_version=1)
     assert _rows(t.read(spark)) == [(1, "b"), (9, "z")]
 
-    # vacuum reclaims the crash orphans (and the superseded v1 files)
-    removed = t.vacuum(retain_versions=1)
+    # vacuum reclaims the crash orphans (and the superseded v1 files);
+    # min_file_age_s=0 is the explicit stop-the-world opt-in — the
+    # default horizon (1 h) would protect these freshly-staged orphans
+    # as possible in-flight writers
+    removed = t.vacuum(retain_versions=1, min_file_age_s=0)
     assert removed >= len(orphaned)
     assert _rows(t.read(spark)) == [(1, "b"), (9, "z")]
 
@@ -1612,3 +1615,118 @@ def test_torn_checkpoint_falls_back_and_commit_survives_ckpt_failure(
         v = t2.commit(files, v)
     assert v == 20 and len(t2.snapshot()["files"]) == 20
     assert not os.path.exists(t2._ckpt_path(20))
+
+
+# --- ADVICE r10 regression tests -----------------------------------------
+
+
+def test_read_point_resolves_version_once(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): read_point(version=None) must pin ONE version
+    and pass it to every pruning/snapshot call — three independent
+    None-resolutions could straddle a concurrent commit and intersect
+    version-N bloom survivors with version-N+1's file list, silently
+    dropping N+1's files from a method documented as exact."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]), n_files=1)
+    t.set_bloom_index(("k",))
+    seen: list = []
+    orig_ppp = ManifestTable.prune_files_point
+    orig_snap = ManifestTable.snapshot
+
+    def spy_ppp(self, col, value, version=None):
+        seen.append(("prune_point", version))
+        return orig_ppp(self, col, value, version)
+
+    def spy_snap(self, version=None):
+        seen.append(("snapshot", version))
+        return orig_snap(self, version)
+
+    monkeypatch.setattr(ManifestTable, "prune_files_point", spy_ppp)
+    monkeypatch.setattr(ManifestTable, "snapshot", spy_snap)
+    latest = t.latest_version()
+    df = t.read_point(spark, "k", 1)
+    assert [(r.k, r.v) for r in df.collect()] == [(1, "a")]
+    # every downstream resolution received the pinned version, never None
+    assert seen and all(v == latest for _, v in seen), seen
+
+
+def test_version_at_uses_in_commit_timestamps_not_mtime(spark, tmp_path):
+    """ADVICE r10: timestamp travel must survive an rsync/backup-restore
+    that resets manifest mtimes. Publish instants are recorded INSIDE the
+    manifest at commit time; mtime is only the legacy fallback."""
+    import json as _json
+    import time as _time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), n_files=1)
+    between = _time.time()
+    _time.sleep(0.05)
+    t.append(_df(spark, [(2, "b")]), n_files=1)
+    after = _time.time()
+
+    # simulate a directory restore: every manifest's mtime jumps to "now
+    # plus an hour" — the mtime approach would claim nothing was
+    # published before `after`
+    mdir = os.path.join(t.root, "_sbp_manifests")
+    bogus = _time.time() + 3600
+    for name in os.listdir(mdir):
+        os.utime(os.path.join(mdir, name), (bogus, bogus))
+
+    t2 = ManifestTable(str(t.root))
+    assert t2.version_at(between) == 1
+    assert t2.version_at(after) == 2
+    with pytest.raises(ValueError):
+        t2.version_at(between - 100)
+
+    # legacy manifests (no "ts" key) still resolve via mtime fallback
+    p = t._manifest_path(1)
+    m = _json.load(open(p))
+    del m["ts"]
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    legacy_mtime = between - 50
+    os.utime(p, (legacy_mtime, legacy_mtime))
+    t3 = ManifestTable(str(t.root))
+    assert t3.version_at(between) == 1
+
+
+def test_vacuum_default_horizon_protects_fresh_orphans(spark, tmp_path):
+    """ADVICE r10: the DEFAULT vacuum must not reclaim a concurrent
+    writer's freshly staged (uncommitted) files — unsafe-by-default was
+    the finding. Explicit min_file_age_s=0 stays the stop-the-world
+    verb that reclaims them immediately."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), n_files=1)
+    staged = t.stage(_df(spark, [(9, "z")]))  # in-flight writer
+    staged_abs = [os.path.join(t.root, f) for f in staged]
+    assert all(os.path.exists(p) for p in staged_abs)
+
+    removed = t.vacuum(retain_versions=1)  # default horizon: 1 h
+    assert removed == 0
+    assert all(os.path.exists(p) for p in staged_abs)
+    # the racing writer can still publish its staged files
+    v = t.commit(t.snapshot()["files"] + staged, t.latest_version())
+    assert (9, "z") in _rows(t.read(spark, v))
+
+    # explicit 0 after quiescing: superseded files reclaim immediately
+    t.commit(t.stage(_df(spark, [(1, "b"), (9, "z")])), v)
+    assert t.vacuum(retain_versions=1, min_file_age_s=0) > 0
+
+
+def test_snapshot_cache_invalidated_by_external_vacuum(spark, tmp_path):
+    """ADVICE r10: a snapshot cached by THIS instance must not resolve
+    after ANOTHER process vacuums the version away — time travel to an
+    expired version fails explicitly at snapshot resolution, not later
+    at scan time with deleted data files."""
+    t1 = ManifestTable(str(tmp_path / "t"))
+    t1.append(_df(spark, [(1, "a")]), n_files=1)
+    t1.append(_df(spark, [(2, "b")]), n_files=1)
+    assert len(t1.snapshot(1)["files"]) == 1  # populates t1's cache
+
+    t2 = ManifestTable(str(tmp_path / "t"))  # "another process"
+    t2.vacuum(retain_versions=1, min_file_age_s=0)
+
+    with pytest.raises(FileNotFoundError):
+        t1.snapshot(1)
+    # the retained head still resolves through the cache-validation path
+    assert _rows(t1.read(spark)) == [(1, "a"), (2, "b")]
