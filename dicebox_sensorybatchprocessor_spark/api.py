@@ -329,19 +329,20 @@ def char_shingles(
     ).distinct()
 
 
-def minhash_banded_candidates(
+def _minhash_band_relation(
     shingles: DataFrame,
-    id_col: str = "doc_id",
-    shingle_col: str = "s",
-    rows: int = 8,
-    bands: int = 4,
+    id_col: str,
+    shingle_col: str,
+    rows: int,
+    bands: int,
 ) -> DataFrame:
-    """Banded-MinHash candidate pairs over a (id, shingle) relation with a
-    PORTABLE hash family (md5-prefix), so signatures are engine-
-    reproducible. One aggregation builds all `rows` minhashes; `bands`
-    band keys per doc; candidates come from the band equi-join — linear
-    in corpus size, touching only colliding bands. Columns: doc_a,
-    doc_b, n_band_matches.
+    """The shared first half of both candidate emitters: (id, b,
+    band_key) with the PORTABLE md5-prefix hash family, so signatures
+    are engine-reproducible. One aggregation builds all ``rows``
+    minhashes; ``bands`` band keys per doc. Docs colliding on (b,
+    band_key) are near-dup candidates; HOW collisions become edges is
+    the emitters' half (:func:`_pairs_from_bands` /
+    :func:`_star_from_bands`).
 
     ``rows`` must divide evenly into ``bands`` — a silent floor division
     would compute minhashes the bands never consume and deliver a
@@ -365,7 +366,7 @@ def minhash_banded_candidates(
         for j in range(rows)
     ]
     sig = shingles.groupBy(id_col).agg(*mh_cols)
-    bands_df = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -385,6 +386,14 @@ def minhash_banded_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.b", "bk.band_key")
+
+
+def _pairs_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """ALL-PAIRS emission over a (id, b, band_key) relation: the band
+    equi-self-join emits C(c,2) edges per c-doc bucket — exact recall
+    within a bucket, quadratic in CLUSTER size (the one superlinear term
+    the ×10 scale stress surfaced when duplicate clusters grow with the
+    corpus). Columns: doc_a, doc_b, n_band_matches."""
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -401,41 +410,50 @@ def minhash_banded_candidates(
     )
 
 
-def near_dedup_verified(
+def _star_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """STAR emission over a (id, b, band_key) relation: each bucket
+    emits c-1 edges to its min-id representative via one window-min —
+    NO self-join, O(corpus) edges total, one shuffle on the band key.
+    Candidate set is a strict subset of :func:`_pairs_from_bands`
+    (tests/test_api.py pins it); recall caveat in
+    :func:`minhash_banded_candidates_star`. Columns: doc_a, doc_b,
+    n_band_matches (doc_a < doc_b by construction)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("b", "band_key")
+    return (
+        bands_df.withColumn("__rep", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("__rep"))
+        .groupBy(F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .agg(F.count("*").alias("n_band_matches"))
+    )
+
+
+def minhash_banded_candidates(
     shingles: DataFrame,
     id_col: str = "doc_id",
     shingle_col: str = "s",
-    threshold: float = 0.6,
     rows: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """The 100 TB near-dup path end-to-end over a (id, shingle) relation:
-    banded-MinHash candidates → exact Jaccard verification computed ONLY
-    on colliding pairs (the all-pairs shingle join is gated by the
-    candidate set, so cost is O(candidates × shingles-per-doc), not
-    O(corpus²)). Columns: doc_a, doc_b, n_common, jaccard.
-
-    Boilerplate caveat: the PAIR LIST itself is |group|²/2 rows per set
-    of identical texts — intrinsic to the output contract, not the
-    plan. On duplicate-heavy corpora collapse exact duplicates first
-    and run this over distinct-text representatives (what
-    ``dedup_pipeline`` does; measured 890 s → 14 s at ×16 duplication
-    in scripts/stress_curation.py)."""
-    cand = minhash_banded_candidates(
-        shingles, id_col=id_col, shingle_col=shingle_col, rows=rows, bands=bands
-    ).select("doc_a", "doc_b")
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
-    pairs = (
-        cand.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col(f"b.{id_col}"))
-            & (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    """Banded-MinHash candidate pairs over a (id, shingle) relation:
+    :func:`_minhash_band_relation` → all-pairs band emission — linear in
+    corpus size, touching only colliding bands; quadratic only in
+    BUCKET size (see :func:`minhash_banded_candidates_star` for the
+    bounded-emission twin). Columns: doc_a, doc_b, n_band_matches."""
+    return _pairs_from_bands(
+        _minhash_band_relation(shingles, id_col, shingle_col, rows, bands), id_col
     )
+
+
+def _jaccard_filter(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared verification tail: given (doc_a, doc_b, n_common) and the
+    shingle relation, join per-doc shingle counts, compute exact Jaccard
+    and keep pairs at/above threshold. Columns: doc_a, doc_b, n_common,
+    jaccard."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jaccard = F.col("n_common") * 1.0 / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
@@ -446,6 +464,66 @@ def near_dedup_verified(
         .filter(jaccard >= threshold)
         .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
     )
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Candidate-gated exact Jaccard — the shared verify stage of every
+    banded composition (pairs and star emission alike): the all-pairs
+    shingle join is gated by the candidate set, so cost is
+    O(candidates × shingles-per-doc), not O(corpus²). Columns: doc_a,
+    doc_b, n_common, jaccard."""
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        cand.select("doc_a", "doc_b")
+        .join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col(f"b.{id_col}"))
+            & (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_filter(pairs, shingles, id_col, threshold)
+
+
+def near_dedup_verified(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    threshold: float = 0.6,
+    rows: int = 8,
+    bands: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """The 100 TB near-dup path end-to-end over a (id, shingle) relation:
+    banded-MinHash candidates → exact Jaccard verification computed ONLY
+    on colliding pairs (:func:`_verify_candidates`). Columns: doc_a,
+    doc_b, n_common, jaccard. Pass ``candidates`` (doc_a, doc_b) to gate
+    the verify on a precomputed candidate set — e.g. the bounded star
+    emission, or a persisted band relation's emission — instead of
+    rebuilding pairs-mode candidates here.
+
+    Boilerplate caveat: the PAIR LIST itself is |group|²/2 rows per set
+    of identical texts — intrinsic to the output contract, not the
+    plan. On duplicate-heavy corpora collapse exact duplicates first
+    and run this over distinct-text representatives (what
+    ``dedup_pipeline`` does; measured 890 s → 14 s at ×16 duplication
+    in scripts/stress_curation.py)."""
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_banded_candidates(
+            shingles, id_col=id_col, shingle_col=shingle_col, rows=rows, bands=bands
+        )
+    )
+    return _verify_candidates(cand, shingles, id_col, shingle_col, threshold)
 
 
 def curation_pipeline(
@@ -1423,7 +1501,6 @@ def allpairs_verified(
     allpairs_max_docs; at scale the banded leg gates this same verify to
     colliding candidates. Columns match near_dedup_verified: doc_a,
     doc_b, n_common, jaccard."""
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = shingles.alias("a"), shingles.alias("b")
     pairs = (
         a.join(
@@ -1436,23 +1513,20 @@ def allpairs_verified(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jaccard = F.col("n_common") * 1.0 / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .filter(jaccard >= threshold)
-        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
-    )
+    return _jaccard_filter(pairs, shingles, id_col, threshold)
 
 
 def dedup_route(
-    n_docs: int, n_distinct_texts: int, allpairs_max_docs: int = 2000
+    n_docs: int,
+    n_distinct_texts: int,
+    allpairs_max_docs: int = 2000,
+    band_pairs: int | None = None,
+    band_edges: int | None = None,
+    star_min_pairs: int = 100_000,
+    star_blowup: float = 4.0,
 ) -> str:
     """The dedup_pipeline router (VERDICT r7 #6) as a pure function of
-    two cheap corpus statistics:
+    cheap corpus statistics:
 
     * exact-duplicate COLLAPSE runs iff n_distinct_texts < n_docs — when
       every text is unique the collapse stages (hash agg + rep semi
@@ -1461,13 +1535,96 @@ def dedup_route(
     * pair VERIFICATION goes all-pairs-exact when the representative
       count is small (≤ allpairs_max_docs — bounded pair budget, exact
       recall, no MinHash overhead) and banded-MinHash past it (linear
-      candidate cost — the 100 TB leg).
+      candidate cost — the 100 TB leg);
+    * band EMISSION (VERDICT r10 #1) goes STAR when the bucket
+      histogram says all-pairs emission blows up: ``band_pairs`` =
+      Σ C(c,2) and ``band_edges`` = Σ (c−1) over band buckets of size
+      c — the exact pair/edge counts the two emitters would produce.
+      Duplicate CLUSTERS growing with the corpus (crawl snapshots,
+      template boilerplate) make pairs quadratic in cluster size while
+      star stays linear (measured wall exponents 1.24 vs 0.93 at ×10,
+      scripts/stress_scale.py); the route flips when pairs exceed both
+      an absolute budget (``star_min_pairs`` — below it the exact-recall
+      pairs emission is affordable regardless of ratio) and
+      ``star_blowup`` × edges (the quadratic-regime signature; near
+      1 the two sets coincide and pairs' recall is free).
 
-    Returns one of: 'banded', 'allpairs', 'collapse+banded',
-    'collapse+allpairs'."""
+    Returns one of: 'banded', 'allpairs', 'star', 'collapse+banded',
+    'collapse+allpairs', 'collapse+star'."""
     collapse = n_distinct_texts < n_docs
-    verifier = "allpairs" if n_distinct_texts <= allpairs_max_docs else "banded"
+    if n_distinct_texts <= allpairs_max_docs:
+        verifier = "allpairs"
+    elif (
+        band_pairs is not None
+        and band_pairs > star_min_pairs
+        and band_pairs > star_blowup * max(band_edges or 0, 1)
+    ):
+        verifier = "star"
+    else:
+        verifier = "banded"
     return f"collapse+{verifier}" if collapse else verifier
+
+
+def band_emission_stats(bands_df: DataFrame) -> tuple[int, int]:
+    """(Σ C(c,2), Σ (c−1)) over the band-bucket size histogram of a
+    (id, b, band_key) relation — the exact edge counts all-pairs and
+    star emission would produce, i.e. the two costs
+    :func:`dedup_route`'s emission stage compares. One tiny two-level
+    aggregation over the band relation (docs × bands rows); persist the
+    relation first when the emission itself will re-read it
+    (:func:`dedup_pipeline` does)."""
+    r = (
+        bands_df.groupBy("b", "band_key")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.expr("CAST(c * (c - 1) / 2 AS BIGINT)")).alias("pairs"),
+            F.sum(F.expr("CAST(c - 1 AS BIGINT)")).alias("edges"),
+        )
+        .first()
+    )
+    return int(r["pairs"] or 0), int(r["edges"] or 0)
+
+
+def _exact_collapse(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared exact-duplicate collapse pre-stage: sha256 text key →
+    min-id representative. Returns (base, rep_df): ``base`` is every
+    input row annotated with its representative (``__sbp_rep``), for
+    expansion after clustering; ``rep_df`` is the one-row-per-distinct-
+    text relation the pair stages run on."""
+    ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
+    gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
+    rep_df = df.join(
+        gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
+    )
+    base = ck.join(gmin, "__sbp_ck")
+    return base, rep_df
+
+
+def _survivors_from_pairs(
+    base: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared expansion tail: verified pairs → connected components →
+    label join back over ``base`` (every input row, keyed by
+    ``__sbp_rep``) → (cluster_id, cluster_size, keep). The label
+    relation is edge-node-sized — tiny next to the corpus — so the
+    assignment join broadcasts at 100 TB while the corpus never
+    self-joins."""
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    lab = labels.select(
+        F.col("node").alias("__sbp_rep"), F.col("component_id").alias("__sbp_comp")
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        base.join(lab, "__sbp_rep", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col("__sbp_rep")))
+        .drop("__sbp_ck", "__sbp_rep", "__sbp_comp")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )
 
 
 def dedup_pipeline(
@@ -1481,6 +1638,8 @@ def dedup_pipeline(
     route: str = "auto",
     corpus_stats: tuple[int, int] | None = None,
     allpairs_max_docs: int = 2000,
+    star_min_pairs: int = 100_000,
+    star_blowup: float = 4.0,
 ) -> DataFrame:
     """One-call near-dup deduplication over any raw-text relation — the
     whole story the family's pieces audit separately: EXACT-duplicate
@@ -1511,16 +1670,27 @@ def dedup_pipeline(
     candidate-recall loss OR a collapse-semantics error would surface
     as an oracle mismatch).
 
-    ROUTING (VERDICT r7 #6): ``route='auto'`` derives the leg
-    composition from two corpus statistics — (n_docs, exact distinct
-    text count), ONE aggregation job, or zero jobs when the caller
-    passes ``corpus_stats`` — via :func:`dedup_route`: the collapse
-    stages are elided when every text is unique (provable no-op), and
-    verification goes all-pairs-exact below ``allpairs_max_docs``
-    representatives (bounded pair budget, exact recall — strictly ⊇ the
-    banded candidates) and banded-MinHash past it. Force a leg with
-    route ∈ {'banded', 'allpairs', 'collapse+banded',
-    'collapse+allpairs'}.
+    ROUTING (VERDICT r7 #6, emission stage r11 per VERDICT r10 #1):
+    ``route='auto'`` derives the leg composition from cheap statistics
+    via :func:`dedup_route`. Stage 1 — (n_docs, exact distinct text
+    count), ONE aggregation job, or zero jobs when the caller passes
+    ``corpus_stats``: the collapse stages are elided when every text is
+    unique (provable no-op), and verification goes all-pairs-exact
+    below ``allpairs_max_docs`` representatives (bounded pair budget,
+    exact recall — strictly ⊇ the banded candidates) and banded-MinHash
+    past it. Stage 2, banded leg only — the band relation is built
+    ONCE, persisted (MEMORY_AND_DISK; the ContextCleaner reclaims it
+    when the plan is released), and its bucket histogram
+    (:func:`band_emission_stats`) decides PAIRS vs STAR emission: when
+    Σ C(c,2) exceeds both ``star_min_pairs`` and ``star_blowup`` ×
+    Σ (c−1), duplicate clusters are growing with the corpus and
+    all-pairs emission is the superlinear term the ×10 scale stress
+    measured (wall exponent 1.24 vs star's 0.93) — the star emitter
+    bounds it to c−1 edges per bucket at the recall caveat documented
+    in :func:`minhash_banded_candidates_star`. Force a leg with route ∈
+    {'banded', 'allpairs', 'star', 'collapse+banded',
+    'collapse+allpairs', 'collapse+star'} (forced routes never probe or
+    persist).
 
     Short-text caveat (ADVICE r7): texts shorter than ``k`` produce
     ZERO shingles, so the pure pair-graph formulation leaves even
@@ -1530,15 +1700,21 @@ def dedup_pipeline(
     blindness below k is a detector limitation, not a semantic — so the
     two formulations are equivalent only for texts ≥ k chars; on forced
     no-collapse routes identical sub-k texts stay singletons."""
-    from pyspark.sql import Window
-
     _reject_column_collisions(
         df,
         ("cluster_id", "cluster_size", "keep", "__sbp_ck", "__sbp_rep", "__sbp_comp"),
         "dedup_pipeline",
     )
-    valid_routes = ("banded", "allpairs", "collapse+banded", "collapse+allpairs")
-    if route == "auto":
+    valid_routes = (
+        "banded",
+        "allpairs",
+        "star",
+        "collapse+banded",
+        "collapse+allpairs",
+        "collapse+star",
+    )
+    auto = route == "auto"
+    if auto:
         if corpus_stats is None:
             # distinct over an 8-byte text hash, not the text itself: the
             # stat job shuffles 8 bytes/row instead of whole documents. A
@@ -1557,12 +1733,7 @@ def dedup_pipeline(
     collapse = route.startswith("collapse+")
 
     if collapse:
-        ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
-        gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
-        rep_df = df.join(
-            gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
-        )
-        base = ck.join(gmin, "__sbp_ck")
+        base, rep_df = _exact_collapse(df, text_col, id_col)
     else:
         rep_df = df
         base = df.withColumn("__sbp_rep", F.col(id_col))
@@ -1571,21 +1742,27 @@ def dedup_pipeline(
     if route.endswith("allpairs"):
         pairs = allpairs_verified(sh, id_col=id_col, threshold=threshold)
     else:
-        pairs = near_dedup_verified(
-            sh, id_col=id_col, threshold=threshold, rows=rows, bands=bands
-        )
-    labels = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
-    lab = labels.select(
-        F.col("node").alias("__sbp_rep"), F.col("component_id").alias("__sbp_comp")
-    )
-    w = Window.partitionBy("cluster_id")
-    return (
-        base.join(lab, "__sbp_rep", "left")
-        .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col("__sbp_rep")))
-        .drop("__sbp_ck", "__sbp_rep", "__sbp_comp")
-        .withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
-    )
+        bands_df = _minhash_band_relation(sh, id_col, "s", rows, bands)
+        if auto:
+            # emission routing needs the bucket histogram; persist the
+            # band relation so the stats job and the emission share ONE
+            # computation of shingles + signatures (the ContextCleaner
+            # reclaims the cache once the plan is garbage-collected)
+            from pyspark.storagelevel import StorageLevel
+
+            bands_df = bands_df.persist(StorageLevel.MEMORY_AND_DISK)
+            band_pairs, band_edges = band_emission_stats(bands_df)
+            route = dedup_route(
+                *corpus_stats,
+                allpairs_max_docs=allpairs_max_docs,
+                band_pairs=band_pairs,
+                band_edges=band_edges,
+                star_min_pairs=star_min_pairs,
+                star_blowup=star_blowup,
+            )
+        emit = _star_from_bands if route.endswith("star") else _pairs_from_bands
+        pairs = _verify_candidates(emit(bands_df, id_col), sh, id_col, "s", threshold)
+    return _survivors_from_pairs(base, pairs, id_col)
 
 
 # --- similarity-search faces (round 7: df-level knn / ANN candidates
@@ -2190,57 +2367,11 @@ def minhash_banded_candidates_star(
     (doc_a < doc_b by construction; a strict SUBSET of the pairs-mode
     candidate set — tests/test_api.py pins both properties).
 
-    Kept as a separate composition (not a flag on the pairs function)
-    so the oracle-pinned pairs family keeps byte-identical plans."""
-    from pyspark.sql import Window
-
-    if rows % bands != 0:
-        raise ValueError(
-            f"rows ({rows}) must be a multiple of bands ({bands}); "
-            f"{rows % bands} trailing minhash rows would be ignored"
-        )
-    rows_per_band = rows // bands
-    mh_cols = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}|"), F.col(shingle_col))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias(f"mh{j}")
-        for j in range(rows)
-    ]
-    sig = shingles.groupBy(id_col).agg(*mh_cols)
-    bands_df = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh{rows_per_band * b + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.b", "bk.band_key")
-    w = Window.partitionBy("b", "band_key")
-    return (
-        bands_df.withColumn("__rep", F.min(id_col).over(w))
-        .filter(F.col(id_col) != F.col("__rep"))
-        .groupBy(
-            F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_band_matches"))
+    Same band relation as the pairs twin (:func:`_minhash_band_relation`
+    — identical hash family, so the two emitters see identical buckets),
+    different emission (:func:`_star_from_bands`)."""
+    return _star_from_bands(
+        _minhash_band_relation(shingles, id_col, shingle_col, rows, bands), id_col
     )
 
 
@@ -2265,56 +2396,21 @@ def dedup_survivors_star(
     clusters can cost. Verification is the same candidate-gated exact
     Jaccard as :func:`near_dedup_verified` — only the candidate set is
     smaller. Adds (cluster_id, cluster_size, keep); recall caveat in
-    :func:`minhash_banded_candidates_star`."""
-    from pyspark.sql import Window
+    :func:`minhash_banded_candidates_star`.
 
-    _reject_column_collisions(
+    Thin forced-route face of :func:`dedup_pipeline` (r11 helper
+    extraction — the two compositions share every stage; only the
+    emission differs): equivalent to ``route='collapse+star'``, which
+    never probes or persists. ``dedup_pipeline(route='auto')`` selects
+    this leg itself when the band-bucket histogram shows the all-pairs
+    blowup (:func:`dedup_route`)."""
+    return dedup_pipeline(
         df,
-        ("cluster_id", "cluster_size", "keep", "__sbp_ck", "__sbp_rep", "__sbp_comp"),
-        "dedup_survivors_star",
-    )
-    ck = df.withColumn("__sbp_ck", F.sha2(F.col(text_col).cast("string"), 256))
-    gmin = ck.groupBy("__sbp_ck").agg(F.min(id_col).alias("__sbp_rep"))
-    rep_df = df.join(
-        gmin.select(F.col("__sbp_rep").alias(id_col)), id_col, "left_semi"
-    )
-    base = ck.join(gmin, "__sbp_ck")
-
-    sh = char_shingles(rep_df, text_col=text_col, id_col=id_col, k=k)
-    cand = minhash_banded_candidates_star(
-        sh, id_col=id_col, rows=rows, bands=bands
-    ).select("doc_a", "doc_b")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    verified = (
-        cand.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col(f"b.{id_col}"))
-            & (F.col("a.s") == F.col("b.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common") * 1.0 / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    pairs = (
-        verified.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
-    labels = connected_components(pairs, "doc_a", "doc_b")
-    lab = labels.select(
-        F.col("node").alias("__sbp_rep"), F.col("component_id").alias("__sbp_comp")
-    )
-    w = Window.partitionBy("cluster_id")
-    return (
-        base.join(lab, "__sbp_rep", "left")
-        .withColumn("cluster_id", F.coalesce(F.col("__sbp_comp"), F.col("__sbp_rep")))
-        .drop("__sbp_ck", "__sbp_rep", "__sbp_comp")
-        .withColumn("cluster_size", F.count("*").over(w))
-        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        rows=rows,
+        bands=bands,
+        threshold=threshold,
+        route="collapse+star",
     )

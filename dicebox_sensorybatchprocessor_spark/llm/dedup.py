@@ -488,9 +488,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", F.count("*").over(w))
 
 
-@register(
-    "dedup_survivors",
-    oracle=f"""
+# The keep-one closed form both survivor registrations check against:
+# recursive CTE over the EXACT all-pairs Jaccard graph, singleton
+# completion, min-id survivor. Sharing it between the pairs-mode and
+# star-mode queries is the point — the star composition claims the SAME
+# survivor relation (bounded candidates, identical answer), so an
+# emission-recall loss surfaces as a driver oracle mismatch.
+_SURVIVORS_ORACLE = f"""
     WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM jp
@@ -511,7 +515,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS keep
     FROM alldocs
-    """,
+    """
+
+
+@register(
+    "dedup_survivors",
+    oracle=_SURVIVORS_ORACLE,
     # cache_plan default (round 7): see dedup_clusters.
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +541,37 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return api.dedup_pipeline(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "cluster_id", "cluster_size", "keep"
+    )
+
+
+@register(
+    "dedup_survivors_star",
+    oracle=_SURVIVORS_ORACLE,
+    # cache_plan default: see dedup_clusters.
+)
+def dedup_survivors_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_survivors' scale twin on the BOUNDED star candidate set
+    (VERDICT r10 #1) — the leg a 100 TB crawl dedup actually runs when
+    duplicate clusters grow with the corpus: within each minhash band
+    bucket, candidates are c−1 edges to the min-id representative (one
+    window-min, no self-join) instead of the C(c,2) all-pairs emission
+    whose wall exponent the ×10 scale stress measured at 1.24 (star:
+    0.93, 3.1× faster at ×10 — scripts/stress_scale.py). Forced
+    ``route='collapse+star'`` through api.dedup_pipeline;
+    ``route='auto'`` selects this leg itself when the band-bucket
+    histogram shows the blowup (api.dedup_route, band_emission_stats).
+
+    The oracle is the SAME exact all-pairs closed form dedup_survivors
+    checks against — the star composition claims an identical survivor
+    relation (the theoretical recall gap is an in-bucket chain whose
+    representative fails verification; tests/test_api.py pins fixture
+    equality), so an emission-recall loss here is a driver FAILURE, not
+    a tolerated approximation."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return api.dedup_survivors_star(docs, text_col="text", id_col="doc_id").select(
         "doc_id", "cluster_id", "cluster_size", "keep"
     )
 

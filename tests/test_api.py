@@ -862,6 +862,36 @@ def test_dedup_route_decision():
     assert api.dedup_route(500, 500, allpairs_max_docs=100) == "banded"
 
 
+def test_dedup_route_emission_stage():
+    """The r11 emission stage (VERDICT r10 #1): on the banded leg the
+    bucket histogram flips pairs→star only when pair emission exceeds
+    BOTH the absolute budget and the blowup ratio vs star edges — the
+    quadratic-cluster signature the ×10 stress measured at wall
+    exponent 1.24 (star: 0.93)."""
+    # quadratic-cluster shape: pairs >> edges and past the budget → star
+    assert (
+        api.dedup_route(50_000, 5_000, band_pairs=6_100_000, band_edges=60_000)
+        == "collapse+star"
+    )
+    assert api.dedup_route(5_000, 5_000, band_pairs=500_000, band_edges=1_000) == "star"
+    # under the absolute budget: pairs' exact in-bucket recall is free
+    assert (
+        api.dedup_route(5_000, 5_000, band_pairs=50_000, band_edges=1_000) == "banded"
+    )
+    # pairs ≈ edges (no large buckets): ratio gate keeps pairs emission
+    assert (
+        api.dedup_route(5_000, 5_000, band_pairs=200_000, band_edges=150_000)
+        == "banded"
+    )
+    # emission stats never override the allpairs verifier (its pair
+    # budget is already bounded by allpairs_max_docs)
+    assert (
+        api.dedup_route(500, 500, band_pairs=10_000_000, band_edges=10) == "allpairs"
+    )
+    # no stats supplied → stage 1 behavior unchanged
+    assert api.dedup_route(5_000, 5_000) == "banded"
+
+
 def test_dedup_pipeline_all_routes_agree(spark):
     """Every forced leg — and auto — must produce the same
     (id, cluster, keep) assignment on the fixture (banded has full
@@ -880,7 +910,8 @@ def test_dedup_pipeline_all_routes_agree(spark):
         api.dedup_pipeline(dup, text_col="body", id_col="item_id",
                            route="collapse+banded")
     )
-    for route in ("banded", "allpairs", "collapse+allpairs", "auto"):
+    for route in ("banded", "allpairs", "star", "collapse+allpairs",
+                  "collapse+star", "auto"):
         got = clusters(
             api.dedup_pipeline(dup, text_col="body", id_col="item_id", route=route)
         )
@@ -892,6 +923,70 @@ def test_dedup_pipeline_all_routes_agree(spark):
 
     with pytest.raises(ValueError, match="route"):
         api.dedup_pipeline(dup, text_col="body", id_col="item_id", route="bogus")
+
+
+def test_dedup_pipeline_auto_routes_to_star_on_grown_clusters(spark, monkeypatch):
+    """route='auto' must actually take the star emission when the band
+    histogram shows the quadratic-cluster blowup (VERDICT r10 #1) — the
+    crawl shape: one template, many perturbed copies, each a DISTINCT
+    text so collapse cannot absorb it. Asserts (1) the star emitter ran
+    and the pairs emitter did not, (2) the survivor relation equals the
+    all-pairs composition's on the same corpus."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "through the quiet forest looking for something interesting to eat"
+    )
+    distinct = [
+        "astronomy telescopes gather photons from distant galaxies nightly",
+        "the recipe calls for flour butter sugar and a pinch of cinnamon",
+        "quarterly revenue grew while operating margins stayed flat again",
+    ]
+    rows = [(i, f"{base} v{i}") for i in range(40)]
+    rows += [(100 + i, t) for i, t in enumerate(distinct)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    calls: list[str] = []
+    orig_star, orig_pairs = api._star_from_bands, api._pairs_from_bands
+
+    def spy_star(bands_df, id_col):
+        calls.append("star")
+        return orig_star(bands_df, id_col)
+
+    def spy_pairs(bands_df, id_col):
+        calls.append("pairs")
+        return orig_pairs(bands_df, id_col)
+
+    monkeypatch.setattr(api, "_star_from_bands", spy_star)
+    monkeypatch.setattr(api, "_pairs_from_bands", spy_pairs)
+
+    # allpairs_max_docs=0 forces the banded verifier (43 distinct texts
+    # would otherwise go all-pairs); star_min_pairs scaled to the test
+    # corpus (real default 100k is crawl-scale). Bucket math: the 40
+    # near-dups collide per band → pairs ≈ 4·C(40,2)=3120, star ≈ 4·39.
+    out = api.dedup_pipeline(
+        docs,
+        route="auto",
+        allpairs_max_docs=0,
+        star_min_pairs=1_000,
+    )
+    got = sorted((r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+                 for r in out.collect())
+    assert calls == ["star"], calls
+    want = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size, r.keep)
+        for r in api.dedup_pipeline(docs, route="banded").collect()
+    )
+    assert got == want
+    # and the pure router agrees on the measured stats
+    sh = api.char_shingles(docs, text_col="text", id_col="doc_id", k=8)
+    bp, be = api.band_emission_stats(
+        api._minhash_band_relation(sh, "doc_id", "s", 8, 4)
+    )
+    assert bp > 4.0 * be > 0
+    assert api.dedup_route(
+        43, 43, allpairs_max_docs=0, band_pairs=bp, band_edges=be,
+        star_min_pairs=1_000,
+    ) == "star"
 
 
 def test_decontaminate_n_bench_hint_skips_count_job(spark, monkeypatch):
