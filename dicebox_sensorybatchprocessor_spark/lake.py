@@ -480,8 +480,16 @@ class ManifestTable:
                 continue
             try:
                 mtime = float(self._read_manifest_json(v)["ts"])
-            except (KeyError, OSError, ValueError, json.JSONDecodeError):
-                mtime = os.path.getmtime(os.path.join(mdir, name))
+            except (KeyError, ValueError, json.JSONDecodeError):
+                try:
+                    mtime = os.path.getmtime(os.path.join(mdir, name))
+                except OSError:
+                    # vanished between listing and stat: concurrently
+                    # vacuumed, so no longer retained — skip (r11
+                    # reader-race matrix)
+                    continue
+            except OSError:
+                continue  # manifest vanished mid-scan: same as above
             oldest = mtime if oldest is None else min(oldest, mtime)
             if mtime <= ts:
                 best = max(best, v)
@@ -1283,7 +1291,14 @@ class ManifestTable:
                     continue  # stray non-canonical file, same as listers
         versions.sort(reverse=True)
         for v in versions:
-            m = self._read_manifest_json(v)
+            try:
+                m = self._read_manifest_json(v)
+            except OSError:
+                # vanished between the listing and the read: a concurrent
+                # vacuum expired it. It is no longer retained history —
+                # skip it, exactly as if the listing had run a moment
+                # later (reader-race matrix, r11).
+                continue
             legacy = "files" in m
             out.append(
                 {

@@ -1730,3 +1730,155 @@ def test_snapshot_cache_invalidated_by_external_vacuum(spark, tmp_path):
         t1.snapshot(1)
     # the retained head still resolves through the cache-validation path
     assert _rows(t1.read(spark)) == [(1, "a"), (2, "b")]
+
+
+# -- reader-race matrix (VERDICT r10 #7) --------------------------------
+# The writer matrix above proves serializable WRITES; these cells race
+# READERS (read / read_point / history / version_at / snapshot-resolve)
+# against vacuum and checkpoint-crossing commits. Contract: a reader
+# returns a COMPLETE snapshot of some committed version or fails
+# explicitly — never partial rows, never an unhandled internal error.
+
+
+def test_history_skips_manifest_vacuumed_mid_iteration(spark, tmp_path, monkeypatch):
+    """history() lists the manifest dir, then reads each JSON — a vacuum
+    landing between the two must make the expired version disappear from
+    the report (as if the listing ran a moment later), not crash the
+    reader with FileNotFoundError."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_df(spark, [(i, "x")]), n_files=1)
+
+    orig = ManifestTable._read_manifest_json
+
+    def read_and_lose_race(self, v):
+        if v == 1:  # the concurrent vacuum wins the race for v1
+            p = self._manifest_path(1)
+            if os.path.exists(p):
+                os.remove(p)
+        return orig(self, v)
+
+    monkeypatch.setattr(ManifestTable, "_read_manifest_json", read_and_lose_race)
+    hist = t.history()
+    assert [h["version"] for h in hist] == [3, 2]
+
+
+def test_version_at_skips_manifest_vacuumed_mid_scan(spark, tmp_path, monkeypatch):
+    """version_at walks the same listing; a manifest expiring mid-scan
+    must drop out of the publish-instant scan (it is no longer retained)
+    instead of raising from the mtime fallback path."""
+    import time as _time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), n_files=1)
+    _time.sleep(0.05)
+    t.append(_df(spark, [(2, "b")]), n_files=1)
+    after = _time.time()
+
+    orig = ManifestTable._read_manifest_json
+
+    def read_and_lose_race(self, v):
+        if v == 1:
+            p = self._manifest_path(1)
+            if os.path.exists(p):
+                os.remove(p)
+            raise FileNotFoundError(p)  # what the racing reader sees
+        return orig(self, v)
+
+    monkeypatch.setattr(ManifestTable, "_read_manifest_json", read_and_lose_race)
+    assert t.version_at(after) == 2
+    # with v1's instant gone, a timestamp before v2 predates ALL retained
+    # versions — explicit ValueError, not a crash
+    monkeypatch.setattr(ManifestTable, "_read_manifest_json", orig)
+    with pytest.raises(ValueError):
+        ManifestTable(str(t.root)).version_at(after - 3600)
+
+
+def test_reader_races_checkpoint_crossing_writer_and_vacuum(spark, tmp_path):
+    """Hammer cell: a writer appends through the 10-commit checkpoint
+    boundary while a maintenance thread vacuums with an explicit zero
+    horizon and a reader loop resolves + collects the head on a FRESH
+    instance each time (no snapshot cache). Every successful read must
+    be an exact {0..n} prefix of the append sequence — a torn manifest
+    view, a half-applied checkpoint, or a dropped delta would all break
+    the prefix shape. Explicit resolution errors are tolerated (vacuum
+    may expire a version between resolve and scan); silent partials are
+    the bug."""
+    import threading
+
+    root = str(tmp_path / "t")
+    t = ManifestTable(root)
+    t.append(_df(spark, [(0, "x")]), n_files=1)
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def writer():
+        try:
+            for i in range(1, 14):  # crosses the v10 checkpoint boundary
+                t.append(_df(spark, [(i, "x")]), n_files=1)
+                if i % 5 == 0:
+                    t.vacuum(retain_versions=2, min_file_age_s=0)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    wt = threading.Thread(target=writer)
+    wt.start()
+    n_reads = n_explicit_fails = 0
+    try:
+        while not stop.is_set() or n_reads == 0:
+            try:
+                got = sorted(
+                    r.k for r in ManifestTable(root).read(spark).collect()
+                )
+            except Exception:  # noqa: BLE001 — explicit failure leg
+                n_explicit_fails += 1
+                continue
+            n_reads += 1
+            assert got == list(range(len(got))) and got, got
+    finally:
+        wt.join()
+    assert not errors, errors
+    assert n_reads >= 3  # the cell actually exercised successful reads
+    # final state: all 14 appends visible
+    assert sorted(r.k for r in ManifestTable(root).read(spark).collect()) == list(
+        range(14)
+    )
+
+
+def test_read_point_races_commits(spark, tmp_path):
+    """read_point (bloom + zone-map pruning, exact contract) racing a
+    committing writer: with the version pinned once (ADVICE r10 fix),
+    every point read must return the probed key's row exactly once —
+    a cross-version file-list/bloom intersection would drop it."""
+    import threading
+
+    root = str(tmp_path / "t")
+    t = ManifestTable(root)
+    t.append(_df(spark, [(1, "target"), (2, "b")]), n_files=2)
+    t.set_bloom_index(("k",))
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def writer():
+        try:
+            for i in range(10, 22):
+                t.append(_df(spark, [(i, "w")]), n_files=1)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    wt = threading.Thread(target=writer)
+    wt.start()
+    n_reads = 0
+    try:
+        while not stop.is_set() or n_reads == 0:
+            rows = ManifestTable(root).read_point(spark, "k", 1).collect()
+            assert [(r.k, r.v) for r in rows] == [(1, "target")]
+            n_reads += 1
+    finally:
+        wt.join()
+    assert not errors, errors
+    assert n_reads >= 3
