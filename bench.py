@@ -103,6 +103,12 @@ LLM_BLOCK = [
     # round 7: the full dedup story (pairs -> components -> survivors);
     # DuckDB baseline = its recursive-CTE oracle (BASELINE.md 08-14 row)
     "dedup_survivors",
+    # round 11: the bounded star-candidate twin — same survivor
+    # relation, O(bucket) emission instead of O(bucket²); the scale leg
+    # route='auto' picks under cluster growth (stress exponent 0.93 vs
+    # 1.24). Same DuckDB baseline row as dedup_survivors (identical
+    # output contract).
+    "dedup_survivors_star",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H

@@ -2116,6 +2116,8 @@ def pq_index(
     n_codes: int = 32,
     seed: int = 42,
     id_cols: tuple[str, ...] = (),
+    train_rows: int | None = None,
+    corpus_n: int | None = None,
 ):
     """Product-quantization index build — the memory-side ANN scale path
     (IVF shrinks the SEARCH, PQ shrinks the BYTES): vectors are
@@ -2125,8 +2127,21 @@ def pq_index(
     as ``n_segments`` small codes — for a 64-dim float vector at 8×32
     that is 8 bytes instead of 256, a 32× compression that lets a
     1000-executor cluster hold a trillion-vector index in RAM. Returns
-    (df + ``codes`` array column, codebooks[s][j][dim]). The KMeans
-    builds are ingest-time cost, one small driver loop over segments."""
+    (df + ``codes`` array column, codebooks[s][j][dim]).
+
+    SAMPLED TRAINING (VERDICT r10 #5): the ×10 scale stress attributed
+    pq's whole cost to codebook training — ``n_segments`` KMeans fits,
+    each iterating the FULL corpus. ``train_rows`` bounds that: the
+    fits see a deterministic md5-keyed sample (content-keyed, so
+    partition- and run-invariant — the sampling.py discipline), cached
+    once and shared by all segments, while ``.transform`` still ENCODES
+    every row. Codebook quality needs a bounded multiple of
+    n_codes × n_segments training points, not the corpus (classic IVF/
+    PQ practice — FAISS trains on samples for the same reason), so
+    training cost stops scaling with the corpus entirely; the recall
+    claim stays oracle-checked in the registered twin. Pass
+    ``corpus_n`` when the caller already knows the count to skip the
+    sizing job; leave ``train_rows=None`` for full-corpus training."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -2141,6 +2156,33 @@ def pq_index(
     )
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     out = df.withColumn("__sbp_unit", unit)
+
+    train = out.select("__sbp_unit")
+    cached_train = None
+    if train_rows is not None:
+        n = corpus_n if corpus_n is not None else df.count()
+        if n > train_rows:
+            ppm = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("pqtrain|"), F.to_json(F.col(vec_col)))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(1_000_000),
+            )
+            train = (
+                df.filter(ppm < int(train_rows * 1_000_000 / n))
+                .select(unit.alias("__sbp_unit"))
+            )
+        # the sample is tiny by contract — cache it ONCE so the
+        # n_segments KMeans fits iterate memory, not the corpus scan
+        cached_train = train.persist()
+        train = cached_train
+
     codebooks = []
     for s in range(n_segments):
         seg = F.slice(F.col("__sbp_unit"), s * w + 1, w)
@@ -2150,9 +2192,11 @@ def pq_index(
             seed=seed + s,
             featuresCol="__sbp_seg",
             predictionCol=f"__sbp_c{s}",
-        ).fit(out)
+        ).fit(train.select(array_to_vector(seg).alias("__sbp_seg")))
         out = model.transform(out)
         codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    if cached_train is not None:
+        cached_train.unpersist()  # every fit is an action; training is done
     codes = F.array(*[F.col(f"__sbp_c{s}") for s in range(n_segments)])
     keep = [c for c in df.columns if c != vec_col] if id_cols == () else list(id_cols)
     return (

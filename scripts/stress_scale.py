@@ -26,6 +26,13 @@ flags a superlinear term to chase. Ops:
   ×AMP vectors.
 * lake_incremental_mv — bucketed lake build + 4 commits + routed MV
   refreshes at ×AMP row count.
+* stream_upsert_merge / stream_lake_cdc — streaming steady state
+  (VERDICT r10 #4): the upsert sink's per-batch merge and the CDC
+  net-effect commits, each micro-batch carrying ×AMP rows.
+* decontaminate_bloom — bitset sized by the bench side, probe cost by
+  the ×AMP corpus.
+* text_quality_composite — the single-scan (ReusedExchange) claim
+  under ×AMP term-frequency cardinality.
 
 Usage: python scripts/stress_scale.py [sf_dir] [amp] [out_json]
 """
@@ -52,17 +59,19 @@ from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
 OPS = (
     "dedup_minhash_banded",
     "dedup_survivors",
-    "dedup_survivors_star",  # bounded-candidate twin (api, unregistered)
+    "dedup_survivors_star",  # bounded-candidate twin (registered r11)
     "sim_pq_topk",
     "lake_incremental_mv",
+    # r11 additions (VERDICT r10 #4): streaming steady-state (upsert
+    # sink + CDC net-effect commits over ×amp events) and the two
+    # curation claims whose state scales with the corpus — the
+    # decontamination bitset/probe and the single-scan quality
+    # composite under ×amp TF cardinality
+    "stream_upsert_merge",
+    "stream_lake_cdc",
+    "decontaminate_bloom",
+    "text_quality_composite",
 )
-
-
-def _survivors_star(spark, staged: str):
-    from dicebox_sensorybatchprocessor_spark import api
-
-    docs = load(spark, staged, "documents").select("doc_id", "text")
-    return api.dedup_survivors_star(docs, text_col="text", id_col="doc_id")
 
 
 def _shuffle_bytes(spark) -> int:
@@ -121,6 +130,19 @@ def _stage_amplified(spark, sf_dir: str, amp: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/lineitem.parquet")
     )
+    # events ×amp with fresh event_ids (user_id/ts untouched, so the
+    # streaming ops' per-user state and batch slicing keep their shape
+    # while every micro-batch carries ×amp rows). load() repairs the
+    # ns timestamps to LONG, which _events_raw reads back as-is.
+    ev = load(spark, sf_dir, "events").withColumn("rep", reps)
+    (
+        ev.select(
+            (F.col("event_id") * amp + F.col("rep")).alias("event_id"),
+            *[c for c in ev.columns if c not in ("event_id", "rep")],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
     return out
 
 
@@ -147,10 +169,7 @@ def main() -> None:
         for op in OPS:
             sb0 = _shuffle_bytes(spark)
             t0 = time.perf_counter()
-            if op == "dedup_survivors_star":
-                n = _survivors_star(spark, staged).count()
-            else:
-                n = qs[op].fn(spark, staged).count()
+            n = qs[op].fn(spark, staged).count()
             wall = time.perf_counter() - t0
             sb1 = _shuffle_bytes(spark)
             results.setdefault(op, {})[f"x{level}"] = {
