@@ -2261,9 +2261,20 @@ def pq_search(
     full vectors — the same shrink-then-verify shape as the banded
     dedup and IVF paths. Recall is a tunable of ``shortlist``; the
     registered twin pins it as an oracle-checked claim."""
+    cand = pq_topk(codes_df, codebooks, query_vec, k=shortlist, id_col=id_col)
+    return _exact_cosine_rerank(vectors, cand, query_vec, k, vec_col, id_col)
+
+
+def _exact_cosine_rerank(
+    vectors, cand, query_vec: list, k: int, vec_col: str, id_col: str
+):
+    """Shared verify tail of every shortlist-then-rerank ANN composition
+    (PQ, IVF-PQ): only the candidate ids join back (broadcast — the
+    shortlist is tiny by contract) to their full-precision vectors for
+    an exact cosine, final top-k via TakeOrderedAndProject. Columns:
+    id, cosine."""
     import math as _math
 
-    cand = pq_topk(codes_df, codebooks, query_vec, k=shortlist, id_col=id_col)
     qn = _math.sqrt(sum(x * x for x in query_vec)) or 1.0
     qarr = F.array(*[F.lit(float(x) / qn) for x in query_vec])
     nrm = F.sqrt(
@@ -2287,6 +2298,180 @@ def pq_search(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_index(
+    df,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_segments: int = 8,
+    n_codes: int = 32,
+    seed: int = 42,
+    id_cols: tuple[str, ...] = (),
+    train_rows: int | None = None,
+    corpus_n: int | None = None,
+):
+    """IVF-PQ composed index (the FAISS IVFPQ shape, r11): the coarse
+    quantizer prunes the SEARCH (a ``cell`` column — written as a
+    partition column at scale, so probing is partition pruning) and PQ
+    shrinks the BYTES — but unlike flat PQ the codes quantize the
+    RESIDUAL ``unit − center[cell]``, whose spread is one cell's
+    diameter rather than the whole sphere, so the same code budget
+    carries more precision exactly where IVF already localized the
+    query. Returns (codes_df = id_cols + cell + codes, centers,
+    codebooks); score reconstruction is
+    ``cos(q, v) ≈ q̂·center[cell] + Σ_s LUT_s[code_s]`` — see
+    :func:`ivfpq_search`.
+
+    Training follows :func:`pq_index`'s sampling discipline: with
+    ``train_rows`` set, BOTH the coarse KMeans and the per-segment
+    residual KMeans fit on one deterministic md5-keyed sample, cached
+    once; ``.transform`` still assigns cells and encodes residuals for
+    every row. Codebooks are shared across cells (FAISS's default) so
+    the index stays n_segments×n_codes small."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % n_segments:
+        raise ValueError(f"dim {dim} not divisible by {n_segments} segments")
+    w = dim // n_segments
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    out = df.withColumn("__sbp_unit", unit)
+
+    train = out.select("__sbp_unit")
+    cached_train = None
+    if train_rows is not None:
+        n = corpus_n if corpus_n is not None else df.count()
+        if n > train_rows:
+            ppm = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("pqtrain|"), F.to_json(F.col(vec_col)))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(1_000_000),
+            )
+            train = (
+                df.filter(ppm < int(train_rows * 1_000_000 / n))
+                .select(unit.alias("__sbp_unit"))
+            )
+        cached_train = train.persist()
+        train = cached_train
+
+    coarse = KMeans(
+        k=n_cells, seed=seed, featuresCol="__sbp_feat", predictionCol="cell"
+    ).fit(train.select(array_to_vector(F.col("__sbp_unit")).alias("__sbp_feat")))
+    centers = [[float(x) for x in c] for c in coarse.clusterCenters()]
+    centers_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+
+    def with_residual(rel):
+        assigned = coarse.transform(
+            rel.withColumn("__sbp_feat", array_to_vector(F.col("__sbp_unit")))
+        ).drop("__sbp_feat")
+        return assigned.withColumn(
+            "__sbp_res",
+            F.zip_with(
+                F.col("__sbp_unit"),
+                F.element_at(centers_lit, F.col("cell") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+
+    out = with_residual(out)
+    train_res = with_residual(train).select("__sbp_res")
+
+    codebooks = []
+    for s in range(n_segments):
+        seg = F.slice(F.col("__sbp_res"), s * w + 1, w)
+        out = out.withColumn("__sbp_seg", array_to_vector(seg))
+        model = KMeans(
+            k=n_codes,
+            seed=seed + 1 + s,
+            featuresCol="__sbp_seg",
+            predictionCol=f"__sbp_c{s}",
+        ).fit(train_res.select(array_to_vector(seg).alias("__sbp_seg")))
+        out = model.transform(out)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    if cached_train is not None:
+        cached_train.unpersist()  # coarse + segment fits are all actions
+    codes = F.array(*[F.col(f"__sbp_c{s}") for s in range(n_segments)])
+    keep = [c for c in df.columns if c != vec_col] if id_cols == () else list(id_cols)
+    return (
+        out.select(*keep, "cell", codes.alias("codes")),
+        centers,
+        codebooks,
+    )
+
+
+def ivfpq_search(
+    vectors,
+    codes_df,
+    centers: list,
+    codebooks: list,
+    query_vec: list,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ query: rank cells by INNER PRODUCT ``q̂·center``
+    (driver-side arithmetic over the tiny center list) — the correct
+    coarse criterion for cosine/IP search over a quantizer trained on
+    unit vectors, where centers are cell MEANS with unequal norms: a
+    low-norm center can be L2-near the query while pointing away from
+    it, and measured on the fixture the L2 ranking buried the one cell
+    holding a true top-5 neighbor at position 14 where IP ranks it
+    FIRST (FAISS's METRIC_INNER_PRODUCT makes the same distinction) —
+    then scan ONLY the ``nprobe`` best cells' CODES — at scale a
+    partition-pruned read of nprobe/n_cells of an already-32×-
+    compressed index —
+    score each candidate as ``q̂·center[cell] + Σ_s LUT_s[code_s]``
+    (the per-cell offset and the per-segment residual lookup tables are
+    baked into the plan as array literals; one element_at per segment,
+    JVM-only), shortlist, then exact-rerank the shortlist against full
+    vectors (:func:`_exact_cosine_rerank`). Recall dials: ``nprobe``
+    (cells searched) × ``shortlist`` (rerank budget); nprobe=n_cells
+    degrades gracefully to flat PQ over the whole corpus. Columns: id,
+    cosine."""
+    import math as _math
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    n_segments = len(codebooks)
+    w = len(codebooks[0][0])
+    qn = _math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    offsets = [sum(a * b for a, b in zip(q, c)) for c in centers]
+    order = sorted(range(len(centers)), key=lambda i: -offsets[i])
+    probe_cells = order[: min(nprobe, len(centers))]
+    score = F.element_at(
+        F.array(*[F.lit(float(v)) for v in offsets]), F.col("cell") + 1
+    )
+    for s in range(n_segments):
+        qs = q[s * w : (s + 1) * w]
+        lut = [sum(a * b for a, b in zip(qs, code)) for code in codebooks[s]]
+        arr = F.array(*[F.lit(float(v)) for v in lut])
+        score = score + F.element_at(arr, F.col("codes")[s] + 1)
+    cand = (
+        codes_df.filter(F.col("cell").isin(probe_cells))
+        .select(id_col, score.alias("pq_cosine"))
+        .orderBy(F.col("pq_cosine").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    return _exact_cosine_rerank(vectors, cand, query_vec, k, vec_col, id_col)
 
 
 def cdc_stream(

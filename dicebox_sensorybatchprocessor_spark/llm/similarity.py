@@ -638,3 +638,66 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_overlap = len(pq_ids & {r["vec_id"] for r in exact.collect()})
     return exact.withColumn("pq_recall_at_5_ok", F.lit(n_overlap >= 3))
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine,
+           TRUE AS ivfpq_recall_at_5_ok
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    cache_plan=False,
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (api.ivfpq_index / ivfpq_search, r11) — the
+    two scale levers in ONE index, the FAISS IVFPQ shape: the coarse
+    quantizer makes a probe read nprobe/n_cells of the data (partition
+    pruning at scale), and PQ codes over the RESIDUAL unit−center[cell]
+    make what it reads 16 one-byte lookups per vector — residual
+    quantization spends the code budget on one cell's diameter instead
+    of the whole sphere, so the composition keeps flat-PQ's byte
+    economics at a fraction of its scan. ADC score reconstruction is
+    q̂·center[cell] (per-cell offset literal) + Σ_s LUT_s[code_s],
+    shortlist exactly re-ranked against full vectors. Codebooks train
+    on a ≤2048-row md5-keyed sample (pq_index's discipline — training
+    never scales with the corpus). The oracle checks the guarantee the
+    same way as sim_pq_topk/sim_ann_ivf: returned rows are the
+    in-engine exact top-5 (DuckDB recomputes them value-for-value) and
+    ``ivfpq_recall_at_5_ok`` claims the IVF-PQ search recovered ≥ 3 of
+    them at nprobe=10/16, shortlist max(100, 5%). Measured 5/5 at
+    sf0.01 AND sf0.1 when written (cells ranked by q̂·center — the L2
+    ranking buried a true neighbor's cell at position 14, see
+    api.ivfpq_search); the ≥3 bar leaves the same 2-hit claim margin
+    as the sibling ANN legs."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrow = e.orderBy("vec_id").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    qid = qrow["vec_id"]
+    corpus = e.filter(F.col("vec_id") != qid)
+    n = corpus.count()
+    codes, centers, books = api.ivfpq_index(
+        corpus, vec_col="embedding", n_cells=16, n_segments=16, n_codes=32,
+        seed=42, train_rows=2048, corpus_n=n,
+    )
+    shortlist = max(100, int(n * 0.05))
+    got = {
+        r["vec_id"]
+        for r in api.ivfpq_search(
+            corpus, codes, centers, books, qvec, k=5, nprobe=10,
+            shortlist=shortlist,
+        ).collect()
+    }
+    exact = api.knn_query(
+        corpus, qvec, id_col="vec_id", vec_col="embedding", k=5,
+        extra_cols=("label",),
+    )
+    n_overlap = len(got & {r["vec_id"] for r in exact.collect()})
+    return exact.withColumn("ivfpq_recall_at_5_ok", F.lit(n_overlap >= 3))

@@ -1319,3 +1319,73 @@ def test_star_survivors_on_grown_near_dup_cluster(spark):
     sh = api.char_shingles(docs, text_col="text", id_col="doc_id", k=8)
     n_star = api.minhash_banded_candidates_star(sh).count()
     assert n_star <= 4 * 23  # <= (n-1) edges per band, not C(24,2)
+
+
+def test_ivfpq_degrades_to_exact_at_full_probe(spark):
+    """nprobe=n_cells + shortlist=corpus makes IVF-PQ a shortlist of
+    EVERYTHING followed by the exact rerank — the result must equal
+    brute-force knn_query row-for-row (the graceful-degradation contract
+    both dials document). Also pins the index shape: one cell + one
+    n_segments-long code array per row, codes in [0, n_codes)."""
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    corpus = e.filter(F.col("vec_id") > 0)
+    n = corpus.count()
+    codes, centers, books = api.ivfpq_index(
+        corpus, n_cells=8, n_segments=8, n_codes=16, seed=7
+    )
+    assert len(centers) == 8 and len(books) == 8 and len(books[0]) == 16
+    row = codes.first()
+    assert 0 <= row["cell"] < 8 and len(row["codes"]) == 8
+    assert codes.filter(
+        (F.col("cell") < 0) | (F.col("cell") >= 8)
+    ).count() == 0
+
+    got = api.ivfpq_search(
+        corpus, codes, centers, books, q, k=5, nprobe=8, shortlist=n
+    ).collect()
+    want = api.knn_query(corpus, q, k=5).collect()
+    assert [(r.vec_id, round(r.cosine, 6)) for r in got] == [
+        (r.vec_id, round(r.cosine, 6)) for r in want
+    ]
+
+
+def test_ivfpq_registered_dials_measure_full_recall(spark):
+    """Locally pins what the registered claim's >=3 margin deliberately
+    hides from the driver hash (the sim_ann_ivf discipline): at the
+    registered dials (nprobe=10/16, shortlist=max(100, 5%), sampled
+    training) the measured overlap is >=4 of 5 on the fixture (KMeans
+    centers move at float-reduce-order granularity across session
+    configs, so the last hit sits at the shortlist margin — 5/5 in the
+    driver-shaped session, 4/5 seen under the test session's
+    parallelism). A codebook or cell-ranking regression (the L2
+    mis-ranking this test was written against measured 2/5) surfaces
+    here, not as driver flakiness."""
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    qrow = e.orderBy("vec_id").first()
+    q = [float(x) for x in qrow["embedding"]]
+    corpus = e.filter(F.col("vec_id") != qrow["vec_id"])
+    n = corpus.count()
+    codes, centers, books = api.ivfpq_index(
+        corpus, n_cells=16, n_segments=16, n_codes=32, seed=42,
+        train_rows=2048, corpus_n=n,
+    )
+    got = {
+        r["vec_id"]
+        for r in api.ivfpq_search(
+            corpus, codes, centers, books, q, k=5, nprobe=10,
+            shortlist=max(100, int(n * 0.05)),
+        ).collect()
+    }
+    exact = {r["vec_id"] for r in api.knn_query(corpus, q, k=5).collect()}
+    assert len(got & exact) >= 4
+    # probing fewer cells reads fewer rows: the candidate pool shrinks
+    n_all = codes.count()
+    n_probed = codes.filter(
+        F.col("cell").isin(
+            sorted(range(16), key=lambda i: -sum(
+                a * b for a, b in zip(centers[i], q)
+            ))[:10]
+        )
+    ).count()
+    assert 0 < n_probed < n_all
