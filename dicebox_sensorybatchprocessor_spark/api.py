@@ -2157,31 +2157,7 @@ def pq_index(
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     out = df.withColumn("__sbp_unit", unit)
 
-    train = out.select("__sbp_unit")
-    cached_train = None
-    if train_rows is not None:
-        n = corpus_n if corpus_n is not None else df.count()
-        if n > train_rows:
-            ppm = F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("pqtrain|"), F.to_json(F.col(vec_col)))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(1_000_000),
-            )
-            train = (
-                df.filter(ppm < int(train_rows * 1_000_000 / n))
-                .select(unit.alias("__sbp_unit"))
-            )
-        # the sample is tiny by contract — cache it ONCE so the
-        # n_segments KMeans fits iterate memory, not the corpus scan
-        cached_train = train.persist()
-        train = cached_train
+    train, cached_train = _unit_train_sample(df, unit, vec_col, train_rows, corpus_n)
 
     codebooks = []
     for s in range(n_segments):
@@ -2203,6 +2179,38 @@ def pq_index(
         out.select(*keep, codes.alias("codes")),
         codebooks,
     )
+
+
+def _unit_train_sample(df, unit, vec_col: str, train_rows: int | None, corpus_n):
+    """Shared sampled-training seam of the PQ family (pq_index,
+    ivfpq_index): with ``train_rows`` set, a deterministic md5-keyed
+    (content-keyed, so partition- and run-invariant — the sampling.py
+    discipline) subset of the unit vectors, persisted ONCE so every
+    downstream KMeans fit iterates memory instead of re-scanning the
+    corpus. Returns (train_df with one '__sbp_unit' column,
+    cached_handle-or-None); the caller unpersists after its last fit."""
+    train = df.select(unit.alias("__sbp_unit"))
+    if train_rows is None:
+        return train, None
+    n = corpus_n if corpus_n is not None else df.count()
+    if n > train_rows:
+        ppm = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pqtrain|"), F.to_json(F.col(vec_col)))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1_000_000),
+        )
+        train = df.filter(ppm < int(train_rows * 1_000_000 / n)).select(
+            unit.alias("__sbp_unit")
+        )
+    cached = train.persist()
+    return cached, cached
 
 
 def pq_topk(
@@ -2344,29 +2352,7 @@ def ivfpq_index(
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     out = df.withColumn("__sbp_unit", unit)
 
-    train = out.select("__sbp_unit")
-    cached_train = None
-    if train_rows is not None:
-        n = corpus_n if corpus_n is not None else df.count()
-        if n > train_rows:
-            ppm = F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("pqtrain|"), F.to_json(F.col(vec_col)))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(1_000_000),
-            )
-            train = (
-                df.filter(ppm < int(train_rows * 1_000_000 / n))
-                .select(unit.alias("__sbp_unit"))
-            )
-        cached_train = train.persist()
-        train = cached_train
+    train, cached_train = _unit_train_sample(df, unit, vec_col, train_rows, corpus_n)
 
     coarse = KMeans(
         k=n_cells, seed=seed, featuresCol="__sbp_feat", predictionCol="cell"

@@ -1827,7 +1827,7 @@ def test_reader_races_checkpoint_crossing_writer_and_vacuum(spark, tmp_path):
     wt.start()
     n_reads = n_explicit_fails = 0
     try:
-        while not stop.is_set() or n_reads == 0:
+        while not stop.is_set() or n_reads < 3:
             try:
                 got = sorted(
                     r.k for r in ManifestTable(root).read(spark).collect()
@@ -1874,7 +1874,7 @@ def test_read_point_races_commits(spark, tmp_path):
     wt.start()
     n_reads = 0
     try:
-        while not stop.is_set() or n_reads == 0:
+        while not stop.is_set() or n_reads < 3:
             rows = ManifestTable(root).read_point(spark, "k", 1).collect()
             assert [(r.k, r.v) for r in rows] == [(1, "target")]
             n_reads += 1
