@@ -554,3 +554,63 @@ def test_merge_into_plans_left_join_never_full_outer(spark, tmp_path):
     assert "LeftOuter" in plans[0], plans[0]
     assert "FullOuter" not in plans[0], plans[0]
     assert "CartesianProduct" not in plans[0], plans[0]
+
+
+def test_star_emission_plans_window_not_self_join(spark):
+    """The star emitter's whole scale claim is structural: candidates
+    come from ONE window-min over the band relation — no self-join at
+    all — where the pairs emitter necessarily plans a band-key
+    equi-self-join. A regression that reintroduces a join into the star
+    path would silently restore the quadratic emission the router
+    exists to avoid."""
+    from dicebox_sensorybatchprocessor_spark import api
+    from dicebox_sensorybatchprocessor_spark.io import load
+
+    sh = api.char_shingles(
+        load(spark, SF_ORACLE, "documents").select("doc_id", "text"),
+        text_col="text", id_col="doc_id", k=8,
+    )
+
+    def tree(df):
+        df.collect()
+        return _final_tree(
+            spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+
+    star = tree(api.minhash_banded_candidates_star(sh))
+    assert "Window" in star, star
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", star), star
+    pairs = tree(api.minhash_banded_candidates(sh))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", pairs), pairs
+
+
+def test_ivfpq_probe_prunes_codes_scan(spark):
+    """IVF-PQ's query-side economics are plan-level: the ADC stage must
+    (a) push the probed-cell membership filter down to the codes scan
+    and (b) take the shortlist via TakeOrderedAndProject (per-partition
+    heaps), never a global Sort; the rerank joins the tiny shortlist by
+    BROADCAST. At cluster scale (cell = partition column) the same
+    filter is partition pruning."""
+    from pyspark.sql import functions as F
+
+    from dicebox_sensorybatchprocessor_spark import api
+    from dicebox_sensorybatchprocessor_spark.io import load
+
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    corpus = e.filter(F.col("vec_id") > 0)
+    codes, centers, books = api.ivfpq_index(
+        corpus, n_cells=8, n_segments=8, n_codes=16, seed=7
+    )
+    df = api.ivfpq_search(corpus, codes, centers, books, q, k=5, nprobe=2,
+                          shortlist=20)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = _final_tree(plan)
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert re.search(r"cell.*(IN|INSET)|(IN|INSET).*cell", plan, re.IGNORECASE), plan
