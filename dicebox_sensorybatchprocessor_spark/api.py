@@ -368,6 +368,13 @@ def _minhash_band_relation(
     sig = shingles.groupBy(id_col).agg(*mh_cols)
     return sig.select(
         id_col,
+        # the FULL signature rides along (one string per doc): the star
+        # emitter's sorted-neighbor ordering needs it — similar docs
+        # share most minhashes, so signature order clusters them
+        # adjacently within a bucket
+        F.concat_ws("_", *[F.col(f"mh{j}") for j in range(rows)]).alias(
+            "sig_key"
+        ),
         F.explode(
             F.array(
                 *[
@@ -385,7 +392,7 @@ def _minhash_band_relation(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.b", "bk.band_key")
+    ).select(id_col, "sig_key", "bk.b", "bk.band_key")
 
 
 def _pairs_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
@@ -411,20 +418,53 @@ def _pairs_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def _star_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """STAR emission over a (id, b, band_key) relation: each bucket
-    emits c-1 edges to its min-id representative via one window-min —
-    NO self-join, O(corpus) edges total, one shuffle on the band key.
-    Candidate set is a strict subset of :func:`_pairs_from_bands`
-    (tests/test_api.py pins it); recall caveat in
-    :func:`minhash_banded_candidates_star`. Columns: doc_a, doc_b,
-    n_band_matches (doc_a < doc_b by construction)."""
+    """BOUNDED emission over a (id, sig_key, b, band_key) relation: per
+    bucket, (a) STAR edges — every member to the min-id representative
+    via one window-min — plus (b) SORTED-NEIGHBOR edges — consecutive
+    members in full-signature order (similar docs share most minhashes,
+    so they sort adjacent; the classic sorted-neighborhood blocking
+    move). ≤ 2(c−1) edges per c-doc bucket, NO self-join, one shuffle
+    on the band key shared by both window functions.
+
+    The star alone preserves a bucket's component only when the
+    representative VERIFIES against each member — measured at sf0.1
+    that gap was real: 27/5000 docs lost 2–3-doc near-dup clusters
+    sitting in loose buckets whose min-id rep was a dissimilar doc that
+    failed exact-Jaccard verification against both true neighbors. The
+    neighbor edges close exactly that shape (the true pair is signature-
+    adjacent, so its DIRECT edge is emitted and verifies) while keeping
+    emission linear in bucket size. Candidate set remains a strict
+    subset of :func:`_pairs_from_bands` (tests/test_api.py pins it);
+    the residual theoretical gap needs a similar pair that is neither
+    rep-reachable nor signature-adjacent in ANY of the `bands` buckets
+    it shares. Columns: doc_a, doc_b, n_band_matches (doc_a < doc_b by
+    construction; counts emitted co-bucket edges)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("b", "band_key")
+    wo = w.orderBy("sig_key", id_col)
+    ann = bands_df.withColumn("__rep", F.min(id_col).over(w)).withColumn(
+        "__prev", F.lag(id_col).over(wo)
+    )
+    edges = F.array(
+        F.when(
+            F.col(id_col) != F.col("__rep"),
+            F.struct(
+                F.col("__rep").alias("a"), F.col(id_col).alias("b")
+            ),
+        ),
+        F.when(
+            F.col("__prev").isNotNull() & (F.col("__prev") != F.col(id_col)),
+            F.struct(
+                F.least("__prev", id_col).alias("a"),
+                F.greatest("__prev", id_col).alias("b"),
+            ),
+        ),
+    )
     return (
-        bands_df.withColumn("__rep", F.min(id_col).over(w))
-        .filter(F.col(id_col) != F.col("__rep"))
-        .groupBy(F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        ann.select(F.explode(edges).alias("e"))
+        .filter(F.col("e.a").isNotNull())
+        .groupBy(F.col("e.a").alias("doc_a"), F.col("e.b").alias("doc_b"))
         .agg(F.count("*").alias("n_band_matches"))
     )
 
@@ -1567,9 +1607,10 @@ def dedup_route(
 
 def band_emission_stats(bands_df: DataFrame) -> tuple[int, int]:
     """(Σ C(c,2), Σ (c−1)) over the band-bucket size histogram of a
-    (id, b, band_key) relation — the exact edge counts all-pairs and
-    star emission would produce, i.e. the two costs
-    :func:`dedup_route`'s emission stage compares. One tiny two-level
+    (id, b, band_key) relation — the exact all-pairs emission count and
+    the star emission's linear unit (the actual star+sorted-neighbor
+    emission is ≤ 2× the edges stat; the router's blowup ratio compares
+    growth LAWS, so the constant is immaterial). One tiny two-level
     aggregation over the band relation (docs × bands rows); persist the
     relation first when the emission itself will re-read it
     (:func:`dedup_pipeline` does)."""
@@ -2565,22 +2606,24 @@ def minhash_banded_candidates_star(
     C(c,2) pairs for a band bucket of c docs — the one quadratic term
     the ×10 scale stress surfaced: duplicate clusters growing with the
     corpus made candidate pairs grow ~100× for 10× docs), each bucket
-    emits STAR edges to its min-id representative: c-1 edges, O(corpus)
-    total. Implemented as one window-min per bucket — NO self-join at
-    all, one shuffle on the band key.
+    emits STAR edges to its min-id representative PLUS SORTED-NEIGHBOR
+    edges between signature-order-adjacent members: ≤ 2(c−1) edges,
+    O(corpus) total. Implemented as two window functions per bucket —
+    NO self-join at all, one shuffle on the band key.
 
-    Connectivity contract: within any band bucket the star preserves
-    the component (every member links to the representative), so after
-    verification the components equal the all-pairs components whenever
-    the representative VERIFIES against each member that any other
-    member would have vouched for. The recall gap vs all-pairs is
-    therefore chains inside ONE bucket where A~B and B~C pass the
-    Jaccard threshold but rep~C fails — rare at high thresholds because
-    bucket membership already implies matching minhash bands, and
-    cross-bucket chains are unaffected (each of the `bands` band keys
-    contributes its own star). Columns: doc_a, doc_b, n_band_matches
-    (doc_a < doc_b by construction; a strict SUBSET of the pairs-mode
-    candidate set — tests/test_api.py pins both properties).
+    Connectivity contract: the star preserves a bucket's component when
+    the representative verifies against each member; the r11 sf0.1
+    sweep measured the gap where it doesn't (27/5000 docs lost 2–3-doc
+    clusters whose loose bucket had a dissimilar min-id rep), and the
+    sorted-neighbor edges close exactly that shape — the true pair
+    shares most minhashes, sorts adjacent, and gets its DIRECT edge
+    (see :func:`_star_from_bands`). Survivors are pinned equal to the
+    all-pairs composition on BOTH fixtures (tests + the sf0.1 sweep);
+    the residual theoretical gap needs a similar pair that is neither
+    rep-reachable nor signature-adjacent in any of its `bands` shared
+    buckets. Columns: doc_a, doc_b, n_band_matches (doc_a < doc_b by
+    construction; a strict SUBSET of the pairs-mode candidate set —
+    tests/test_api.py pins both properties).
 
     Same band relation as the pairs twin (:func:`_minhash_band_relation`
     — identical hash family, so the two emitters see identical buckets),

@@ -551,23 +551,27 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache_plan default: see dedup_clusters.
 )
 def dedup_survivors_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_survivors' scale twin on the BOUNDED star candidate set
+    """dedup_survivors' scale twin on the BOUNDED candidate set
     (VERDICT r10 #1) — the leg a 100 TB crawl dedup actually runs when
     duplicate clusters grow with the corpus: within each minhash band
-    bucket, candidates are c−1 edges to the min-id representative (one
-    window-min, no self-join) instead of the C(c,2) all-pairs emission
-    whose wall exponent the ×10 scale stress measured at 1.24 (star:
-    0.93, 3.1× faster at ×10 — scripts/stress_scale.py). Forced
-    ``route='collapse+star'`` through api.dedup_pipeline;
-    ``route='auto'`` selects this leg itself when the band-bucket
-    histogram shows the blowup (api.dedup_route, band_emission_stats).
+    bucket, candidates are ≤ 2(c−1) edges — every member to the min-id
+    representative (star) plus signature-order-adjacent members
+    (sorted-neighbor) — via two window functions, no self-join, instead
+    of the C(c,2) all-pairs emission whose wall exponent the ×10 scale
+    stress measured at 1.24 (star: 0.93, 3.1× faster at ×10 —
+    scripts/stress_scale.py). Forced ``route='collapse+star'`` through
+    api.dedup_pipeline; ``route='auto'`` selects this leg itself when
+    the band-bucket histogram shows the blowup (api.dedup_route,
+    band_emission_stats).
 
     The oracle is the SAME exact all-pairs closed form dedup_survivors
-    checks against — the star composition claims an identical survivor
-    relation (the theoretical recall gap is an in-bucket chain whose
-    representative fails verification; tests/test_api.py pins fixture
-    equality), so an emission-recall loss here is a driver FAILURE, not
-    a tolerated approximation."""
+    checks against — the composition claims an identical survivor
+    relation, so an emission-recall loss here is a driver FAILURE, not
+    a tolerated approximation. That claim is earned, not assumed: the
+    r11 sf0.1 sweep caught the pure star losing 27/5000 docs (loose
+    buckets whose min-id rep failed verification against both members
+    of a true pair) and the sorted-neighbor edges were added to close
+    exactly that shape — equality re-verified at sf0.01 AND sf0.1."""
     from dicebox_sensorybatchprocessor_spark import api
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
