@@ -1389,3 +1389,55 @@ def test_ivfpq_registered_dials_measure_full_recall(spark):
         )
     ).count()
     assert 0 < n_probed < n_all
+
+
+def test_star_is_always_a_refinement_of_pairs_clustering(spark):
+    """The structural guarantee behind the star leg's oracle claim: its
+    candidate set is a SUBSET of pairs-mode's, so its verified edge set
+    is too — star clustering can only REFINE the all-pairs clustering
+    (split, never merge across it), on ANY corpus. Probed on seeded
+    adversarial corpora (perturbed-template chains — the shape where
+    the residual recall gap actually bites, unlike the fixtures where
+    equality holds): refinement must hold exactly, and the measured gap
+    stays a few docs per 120 (deterministic per seed: shingles, md5
+    minhashes and min-id survivorship involve no floating KMeans)."""
+    import random
+    from collections import defaultdict
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+
+    def corpus(seed, n=120, n_templates=8):
+        rng = random.Random(seed)
+        templates = [" ".join(rng.choices(words, k=14)) for _ in range(n_templates)]
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.55:
+                w = rng.choice(templates).split()
+                for _ in range(rng.randrange(0, 4)):
+                    w[rng.randrange(len(w))] = rng.choice(words)
+                rows.append((i, " ".join(w)))
+            else:
+                rows.append((i, " ".join(rng.choices(words, k=14))))
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    for seed in (0, 3):
+        docs = corpus(seed)
+        pairs_cl = {
+            r.doc_id: r.cluster_id
+            for r in api.dedup_pipeline(docs, route="collapse+banded").collect()
+        }
+        star_cl = {
+            r.doc_id: r.cluster_id for r in api.dedup_survivors_star(docs).collect()
+        }
+        groups = defaultdict(list)
+        for d, c in star_cl.items():
+            groups[c].append(d)
+        # refinement: a star cluster never spans two pairs clusters
+        assert all(len({pairs_cl[d] for d in g}) == 1 for g in groups.values()), seed
+        # and the recall gap under heavy chaining stays small (observed
+        # 4/120 at these seeds; deterministic, so this is a pin not a bound)
+        n_div = sum(1 for d in pairs_cl if pairs_cl[d] != star_cl[d])
+        assert n_div <= 6, (seed, n_div)
