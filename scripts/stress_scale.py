@@ -71,6 +71,12 @@ OPS = (
     "stream_lake_cdc",
     "decontaminate_bloom",
     "text_quality_composite",
+    # r11b additions: the new IVF-PQ leg (index build + pruned ADC +
+    # rerank — sampled training should make the build corpus-flat) and
+    # a multimodal representative (map-only mapInPandas, zero shuffle —
+    # the exponent should be pure scan)
+    "sim_ann_ivfpq",
+    "mm_image_meta",
 )
 
 
