@@ -2505,6 +2505,123 @@ def ivfpq_search(
     return _exact_cosine_rerank(vectors, cand, query_vec, k, vec_col, id_col)
 
 
+def ivfpq_save(codes_df, centers: list, codebooks: list, path: str) -> None:
+    """Persist an IVF-PQ index so the codebook training amortizes across
+    sessions (the ivf_save discipline): the code rows land as parquet
+    PARTITIONED BY CELL — a probe's cell filter becomes partition
+    pruning, the 100 TB read path — and the two (tiny) quantizer tables
+    as companion parquets. Layout: ``<path>/codes/cell=N/...``,
+    ``<path>/centers/``, ``<path>/codebooks/``."""
+    import os
+
+    spark = codes_df.sparkSession
+    codes_df.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centers"))
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in code])
+            for s, book in enumerate(codebooks)
+            for j, code in enumerate(book)
+        ],
+        "s int, j int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def ivfpq_load(spark, path: str):
+    """Load a persisted IVF-PQ index: (codes_df with the ``cell``
+    partition column, centers, codebooks) — probing the loaded index
+    returns results identical to probing the just-built one (the
+    registered twin claims it), with the probe's cell filter now served
+    by partition pruning."""
+    import os
+
+    codes_df = spark.read.parquet(os.path.join(path, "codes"))
+    centers = [
+        [float(x) for x in r.center]
+        for r in spark.read.parquet(os.path.join(path, "centers"))
+        .orderBy("cell")
+        .collect()
+    ]
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("s", "j")
+        .collect()
+    )
+    if not centers or not rows:
+        raise ValueError(f"no IVF-PQ quantizers found under {path!r}")
+    n_seg = max(r.s for r in rows) + 1
+    codebooks = [[] for _ in range(n_seg)]
+    for r in rows:
+        codebooks[r.s].append([float(x) for x in r.center])
+    return codes_df, centers, codebooks
+
+
+def ivfpq_encode(
+    df,
+    centers: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = (),
+):
+    """Encode NEW rows against FROZEN quantizers — the incremental-
+    ingest half of the IVF-PQ story: an appending corpus encodes each
+    batch with the persisted centers/codebooks (NO retraining, so codes
+    stay comparable across the whole index) and appends the (cell,
+    codes) rows; only periodic re-trains touch the quantizers. Cell and
+    code assignment replicate KMeans.transform's Euclidean argmin over
+    the L2-normalized vector and its residual exactly (tests pin
+    encode(corpus) row-identical to ivfpq_index's own codes), computed
+    as dense numpy argmins per Arrow batch — the vectorized-linear-
+    algebra shape the engine reserves mapInPandas for. Map-only: zero
+    shuffle, no driver involvement beyond the (tiny) quantizer
+    closures."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    keep = [c for c in df.columns if c != vec_col] if id_cols == () else list(id_cols)
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in keep]
+        + [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+    n_seg = len(codebooks)
+    width = len(codebooks[0][0])
+    centers_l = [list(map(float, c)) for c in centers]
+    books_l = [[list(map(float, code)) for code in book] for book in codebooks]
+
+    def encode(batches):
+        import numpy as np
+
+        C = np.asarray(centers_l)  # n_cells × dim
+        B = np.asarray(books_l)  # S × K × w
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[keep].assign(cell=[], codes=[])
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            U = V / np.linalg.norm(V, axis=1, keepdims=True)
+            d2 = ((U[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            cell = d2.argmin(1)
+            R = U - C[cell]
+            codes = np.empty((len(U), n_seg), dtype="int32")
+            for s in range(n_seg):
+                seg = R[:, s * width : (s + 1) * width]
+                dd = ((seg[:, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = dd.argmin(1)
+            out = pdf[keep].copy()
+            out["cell"] = cell.astype("int32")
+            out["codes"] = [[int(x) for x in row] for row in codes]
+            yield out
+
+    return df.mapInPandas(encode, schema)
+
+
 def cdc_stream(
     stream: DataFrame,
     table,

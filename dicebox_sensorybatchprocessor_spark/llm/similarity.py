@@ -701,3 +701,95 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_overlap = len(got & {r["vec_id"] for r in exact.collect()})
     return exact.withColumn("ivfpq_recall_at_5_ok", F.lit(n_overlap >= 3))
+
+
+@register(
+    "sim_ann_ivfpq_persisted",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine,
+           TRUE AS loaded_probe_identical,
+           TRUE AS encode_roundtrip_ok
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    cache_plan=False,
+)
+def sim_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ persistence + incremental ingest (r11): build the
+    sim_ann_ivfpq index once, ``api.ivfpq_save`` it (codes partitioned
+    BY CELL — probe filter = partition pruning; quantizers as tiny
+    companion parquets), ``api.ivfpq_load`` it back, and check TWO
+    claims on the in-engine exact top-5 rows the oracle recomputes
+    value-for-value:
+
+    * ``loaded_probe_identical`` — probing built vs loaded returns the
+      exact same (id, cosine) sets (the amortize-the-training story,
+      same discipline as sim_ann_ivf_persisted);
+    * ``encode_roundtrip_ok`` — ``api.ivfpq_encode`` (the incremental-
+      ingest path: NEW batches encode against the FROZEN loaded
+      quantizers with dense numpy argmins per Arrow batch, no
+      retraining) reproduces the trainer's own (cell, codes) rows
+      EXACTLY for a deterministic sample of the corpus — so an
+      appending corpus's codes stay comparable with the standing
+      index's, which is what makes incremental ANN ingest sound.
+
+    The saved index is cached per (process, sf_dir); save→load→probe→
+    encode-compare runs per invocation."""
+    import os
+
+    from dicebox_sensorybatchprocessor_spark import api
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    corpus = e.filter(F.col("vec_id") != qrow["vec_id"])
+    n = corpus.count()
+    codes, centers, books = api.ivfpq_index(
+        corpus, vec_col="embedding", n_cells=16, n_segments=16, n_codes=32,
+        seed=42, train_rows=2048, corpus_n=n,
+    )
+    idx_root, fresh = scratch_dir_cached("sbp_ivfpq_idx_", cache_key=sf_dir)
+    idx_path = os.path.join(idx_root, "ivfpq")
+    if fresh:
+        api.ivfpq_save(codes.select("vec_id", "cell", "codes"), centers, books, idx_path)
+    l_codes, l_centers, l_books = api.ivfpq_load(spark, idx_path)
+
+    shortlist = max(100, int(n * 0.05))
+
+    def probe(cdf, cs, bs):
+        rows = api.ivfpq_search(
+            corpus, cdf, cs, bs, qvec, k=5, nprobe=10, shortlist=shortlist
+        ).collect()
+        return {(r["vec_id"], r["cosine"]) for r in rows}
+
+    identical = probe(codes, centers, books) == probe(l_codes, l_centers, l_books)
+
+    # incremental-ingest roundtrip: a deterministic 10% batch re-encoded
+    # against the LOADED (frozen) quantizers must reproduce the stored rows
+    batch = corpus.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    stored = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in l_codes.join(
+            batch.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    encoded = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in api.ivfpq_encode(
+            batch, l_centers, l_books, vec_col="embedding", id_cols=("vec_id",)
+        ).collect()
+    }
+    roundtrip = bool(stored) and stored == encoded
+
+    exact = api.knn_query(
+        corpus, qvec, id_col="vec_id", vec_col="embedding", k=5,
+        extra_cols=("label",),
+    )
+    return exact.withColumn("loaded_probe_identical", F.lit(identical)).withColumn(
+        "encode_roundtrip_ok", F.lit(roundtrip)
+    )

@@ -1441,3 +1441,30 @@ def test_star_is_always_a_refinement_of_pairs_clustering(spark):
         # 4/120 at these seeds; deterministic, so this is a pin not a bound)
         n_div = sum(1 for d in pairs_cl if pairs_cl[d] != star_cl[d])
         assert n_div <= 6, (seed, n_div)
+
+
+def test_ivfpq_save_load_encode_roundtrip(spark, tmp_path):
+    """Persistence + incremental-encode contract: load returns the
+    exact quantizers save wrote (center/codebook order restored from
+    the companion parquets), and ivfpq_encode against the LOADED
+    quantizers reproduces the trainer's own (cell, codes) rows — the
+    property that makes appending new batches to a standing index
+    sound."""
+    e = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    codes, centers, books = api.ivfpq_index(
+        e, n_cells=8, n_segments=8, n_codes=16, seed=7
+    )
+    path = str(tmp_path / "idx")
+    api.ivfpq_save(codes.select("vec_id", "cell", "codes"), centers, books, path)
+    l_codes, l_centers, l_books = api.ivfpq_load(spark, path)
+    assert l_centers == centers and l_books == books
+    stored = {r.vec_id: (r.cell, tuple(r.codes)) for r in codes.collect()}
+    loaded = {r.vec_id: (r.cell, tuple(r.codes)) for r in l_codes.collect()}
+    assert loaded == stored
+    enc = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in api.ivfpq_encode(
+            e, l_centers, l_books, id_cols=("vec_id",)
+        ).collect()
+    }
+    assert enc == stored
