@@ -198,6 +198,16 @@ def _zorder_key(df: DataFrame, cols: tuple[str, ...], bits: int = 8):
     return z.cast("long")
 
 
+def _mtime_or_none(path: str) -> float | None:
+    """mtime, or None when the file vanished (a concurrently vacuumed
+    manifest) — history()'s legacy-timestamp fallback must not crash a
+    reader mid-race."""
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return None
+
+
 def _fsync_dir(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -1307,6 +1317,14 @@ class ManifestTable:
                     "n_files": len(m["files"]) if legacy else m.get("n_files", 0),
                     "n_added": len(m.get("add", m.get("files", []))),
                     "n_removed": len(m.get("remove", ())),
+                    # in-commit publish instant where recorded (r11 —
+                    # survives rsync/restore); mtime fallback for legacy
+                    # manifests, None when even that is unavailable
+                    "timestamp": (
+                        float(m["ts"])
+                        if "ts" in m
+                        else _mtime_or_none(self._manifest_path(v))
+                    ),
                     "checkpointed": os.path.exists(self._ckpt_path(v)),
                     "n_buckets": m.get("n_buckets"),
                     "txn_apps": sorted(m.get("txns", {})),
@@ -1540,7 +1558,10 @@ class ManifestTable:
         return {"action": "noop", "reason": f"{n_small} small files < {min_small_files}"}
 
     def vacuum(
-        self, retain_versions: int = 1, min_file_age_s: float = 3600.0
+        self,
+        retain_versions: int = 1,
+        min_file_age_s: float = 3600.0,
+        dry_run: bool = False,
     ) -> int:
         """Delete data files referenced by NO retained manifest (crash
         orphans and files superseded more than ``retain_versions`` ago),
@@ -1548,6 +1569,12 @@ class ManifestTable:
         are gone is a dangling promise, so time travel past the retained
         window fails explicitly at snapshot resolution instead of at
         scan time. Returns the number of data files removed.
+
+        ``dry_run=True`` is Delta's VACUUM DRY RUN: report how many data
+        files WOULD be reclaimed under these settings and touch NOTHING
+        — no manifest expiry, no checkpoint pin, no deletion, caches
+        intact. The safety verb to run before the first horizoned vacuum
+        on a table with live writers.
 
         ``min_file_age_s`` is the concurrent-writer horizon (Delta's
         retention-duration mitigation): an in-flight writer's staged
@@ -1569,6 +1596,29 @@ class ManifestTable:
         # pin the oldest retained version with a checkpoint so it keeps
         # resolving once its ancestors' JSONs are gone
         snaps = {v: self.snapshot(v) for v in keep_versions}
+        if dry_run:
+            live = {
+                os.path.normpath(os.path.join(self.root, f))
+                for v in keep_versions
+                for f in snaps[v]["files"]
+            }
+            would = 0
+            now = time.time()
+            data_root = os.path.join(self.root, _DATA_DIR)
+            for dirpath, _dirs, names in os.walk(data_root):
+                for name in names:
+                    p = os.path.normpath(os.path.join(dirpath, name))
+                    if p not in live:
+                        try:
+                            young = (
+                                min_file_age_s > 0
+                                and now - os.path.getmtime(p) < min_file_age_s
+                            )
+                        except OSError:
+                            continue  # vanished mid-walk (concurrent writer)
+                        if not young:
+                            would += 1
+            return would
         if (
             oldest_keep
             and "fmt" in self._read_manifest_json(oldest_keep)

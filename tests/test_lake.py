@@ -1882,3 +1882,53 @@ def test_read_point_races_commits(spark, tmp_path):
         wt.join()
     assert not errors, errors
     assert n_reads >= 3
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    """VACUUM DRY RUN: the count equals what the real vacuum then
+    reclaims under the same settings, and the dry run touches NOTHING —
+    no manifest expiry, no checkpoint pin, no file deletion, and time
+    travel to the would-be-expired version still resolves."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit(t.stage(_df(spark, [(1, "a"), (2, "b")])), base_version=0)
+    t.commit(t.stage(_df(spark, [(1, "B"), (9, "z")])), base_version=1)
+    orphans = t.stage(_df(spark, [(7, "CRASH")]))  # never committed
+
+    would = t.vacuum(retain_versions=1, min_file_age_s=0, dry_run=True)
+    assert would > 0
+    # nothing changed: v1 still resolves, orphans still on disk
+    assert _rows(t.read(spark, 1)) == [(1, "a"), (2, "b")]
+    assert all(os.path.exists(os.path.join(t.root, f)) for f in orphans)
+    assert t.vacuum(retain_versions=1, min_file_age_s=0) == would
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+    # horizon respected in the report too: fresh files are not counted
+    t.stage(_df(spark, [(8, "y")]))
+    assert t.vacuum(retain_versions=1, dry_run=True) == 0  # 1 h horizon
+
+
+def test_history_carries_publish_timestamps(spark, tmp_path):
+    """history() rows expose the in-commit publish instant ('ts', the
+    rsync-proof record version_at travels by), newest-first and
+    monotonically non-increasing."""
+    import time as _time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    before = _time.time()
+    t.append(_df(spark, [(1, "a")]), n_files=1)
+    t.append(_df(spark, [(2, "b")]), n_files=1)
+    after = _time.time()
+    hist = t.history()
+    stamps = [h["timestamp"] for h in hist]
+    assert all(isinstance(x, float) and before <= x <= after for x in stamps)
+    assert stamps == sorted(stamps, reverse=True)
+    # legacy manifest without 'ts': mtime fallback, never a crash
+    import json as _json
+
+    p = t._manifest_path(1)
+    m = _json.load(open(p))
+    del m["ts"]
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    hist2 = ManifestTable(str(t.root)).history()
+    assert isinstance(hist2[-1]["timestamp"], float)
