@@ -1330,3 +1330,107 @@ def stream_lake_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_point_sum(F.col("value"), 6).alias("sum_value"),
         F.lit(exactly_once).alias("exactly_once"),
     )
+
+
+_EMBEDDINGS_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+@register(
+    "stream_ann_ingest",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine,
+           TRUE AS stream_ingest_identical,
+           TRUE AS exactly_once
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    cache_plan=False,
+)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingest end-to-end (r11) — the composition a live
+    embedding pipeline actually runs: a STANDING corpus (70% of the
+    vectors) trains the IVF-PQ quantizers and is indexed once; the rest
+    ARRIVES as three file-source micro-batches, each encoded against
+    the FROZEN quantizers inside the stream (api.ivfpq_encode — dense
+    numpy argmins per Arrow batch, map-only) and blind-appended to a
+    lake table in one atomic manifest commit per batch
+    (api.append_stream; exactly-once via the (app_id, batch_id) txn
+    record, claimed below). No retraining inside the stream, so the
+    streamed codes are comparable with the standing index by
+    construction.
+
+    The checked guarantee makes the whole composition falsifiable:
+    probing standing ∪ streamed codes returns EXACTLY what probing a
+    one-shot batch rebuild over the full corpus (same quantizers)
+    returns — streaming ingest ≡ batch rebuild, surfaced as
+    ``stream_ingest_identical`` on the in-engine exact top-5 rows the
+    DuckDB oracle recomputes value-for-value. At 100 TB the sink's
+    per-trigger cost is O(batch) encode + one manifest commit; the
+    standing index never rewrites."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
+
+    spark = _streaming_session(spark)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    corpus = e.filter(F.col("vec_id") != qrow["vec_id"])
+    standing = corpus.filter(F.pmod(F.col("vec_id"), F.lit(10)) < 7)
+    arriving = corpus.filter(F.pmod(F.col("vec_id"), F.lit(10)) >= 7)
+    n_std = standing.count()
+
+    std_codes, centers, books = api.ivfpq_index(
+        standing, vec_col="embedding", n_cells=16, n_segments=16, n_codes=32,
+        seed=42, train_rows=2048, corpus_n=n_std,
+    )
+    std_codes = std_codes.select("vec_id", "cell", "codes")
+
+    parts = [
+        arriving.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    staged = _stage_files(spark, parts, "annstream", cache_key=sf_dir)
+    stream = spark.readStream.schema(_EMBEDDINGS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(staged)
+
+    table = lake.ManifestTable(scratch_dir(prefix="sbp_ann_ingest_"))
+    q = api.append_stream(
+        stream,
+        table,
+        transform=lambda b: api.ivfpq_encode(
+            b, centers, books, vec_col="embedding", id_cols=("vec_id",)
+        ),
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_annstream_"),
+        n_files=1,
+        txn_app_id="stream_ann_ingest",
+    )
+    q.awaitTermination()
+    exactly_once = table.txn_version("stream_ann_ingest") == 2  # batches 0..2
+
+    shortlist = max(100, int(corpus.count() * 0.05))
+
+    def probe(codes_df) -> set:
+        rows = api.ivfpq_search(
+            corpus, codes_df, centers, books, qvec, k=5, nprobe=10,
+            shortlist=shortlist,
+        ).collect()
+        return {(r["vec_id"], r["cosine"]) for r in rows}
+
+    ingested = std_codes.unionByName(
+        table.read(spark).select("vec_id", "cell", "codes")
+    )
+    rebuilt = api.ivfpq_encode(
+        corpus, centers, books, vec_col="embedding", id_cols=("vec_id",)
+    ).select("vec_id", "cell", "codes")
+    identical = probe(ingested) == probe(rebuilt)
+
+    exact = api.knn_query(
+        corpus, qvec, id_col="vec_id", vec_col="embedding", k=5,
+        extra_cols=("label",),
+    )
+    return exact.withColumn("stream_ingest_identical", F.lit(identical)).withColumn(
+        "exactly_once", F.lit(exactly_once)
+    )
