@@ -235,6 +235,7 @@ class ManifestTable:
         # so a resolution never goes stale (vacuum clears it — expiry is
         # the one event that invalidates time travel)
         self._snap_cache: dict[int, dict] = {}
+        self._ts_cache: dict[int, float] = {}  # version -> in-commit publish ts
 
     # -- snapshot resolution ------------------------------------------
     def _manifest_path(self, version: int) -> str:
@@ -488,6 +489,22 @@ class ManifestTable:
                 v = int(name[1 : 1 + _V_DIGITS])
             except ValueError:
                 continue
+            # manifests are immutable once committed, so the publish ts
+            # caches per (table handle, version): repeated time travel
+            # pays one full-JSON parse per retained version per process,
+            # not per call (ADVICE r11 — manifests also carry per-file
+            # stats/bloom deltas, so the parse is not tiny on wide
+            # commits; a ts sidecar/filename stamp is the structural fix
+            # if retained-version counts ever grow past local scales)
+            if v in self._ts_cache:
+                oldest = (
+                    self._ts_cache[v]
+                    if oldest is None
+                    else min(oldest, self._ts_cache[v])
+                )
+                if self._ts_cache[v] <= ts:
+                    best = max(best, v)
+                continue
             try:
                 mtime = float(self._read_manifest_json(v)["ts"])
             except (KeyError, ValueError, json.JSONDecodeError):
@@ -500,6 +517,10 @@ class ManifestTable:
                     continue
             except OSError:
                 continue  # manifest vanished mid-scan: same as above
+            else:
+                # only in-commit timestamps cache: an mtime fallback for
+                # a legacy manifest is filesystem state, not content
+                self._ts_cache[v] = mtime
             oldest = mtime if oldest is None else min(oldest, mtime)
             if mtime <= ts:
                 best = max(best, v)
@@ -1642,6 +1663,7 @@ class ManifestTable:
                 if v < oldest_keep:
                     os.remove(path)
         self._snap_cache.clear()
+        self._ts_cache.clear()
         live = {
             os.path.normpath(os.path.join(self.root, f))
             for v in keep_versions
@@ -1654,15 +1676,21 @@ class ManifestTable:
             for name in names:
                 p = os.path.normpath(os.path.join(dirpath, name))
                 if p not in live:
-                    if (
-                        min_file_age_s > 0
-                        and now - os.path.getmtime(p) < min_file_age_s
-                    ):
-                        continue  # possibly an in-flight writer's staging
-                    os.remove(p)
+                    try:
+                        if (
+                            min_file_age_s > 0
+                            and now - os.path.getmtime(p) < min_file_age_s
+                        ):
+                            continue  # possibly an in-flight writer's staging
+                        os.remove(p)
+                    except OSError:
+                        continue  # vanished mid-walk (concurrent vacuum/writer)
                     removed += 1
-            if dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+            try:
+                if dirpath != data_root and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+            except OSError:
+                pass
         return removed
 
 

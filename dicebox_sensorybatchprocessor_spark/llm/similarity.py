@@ -311,16 +311,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed top-k itself can't be oracle-matched — the *guarantee* can:
     the returned rows are the in-engine exact brute-force top-5 (which
     DuckDB recomputes value-for-value), and `ivf_recall_at_5_ok` claims the
-    IVF-probed top-5 recovered ≥3 of them. nprobe=8 of 16 cells measures
-    5/5 at both sf0.01 and sf0.1 (nprobe=4 collapsed to 2/5 at sf0.1 —
-    the fixture's top-5 neighbors scatter across non-nearest cells, the
-    usual high-dim IVF recall/probe trade-off); the ≥3 threshold leaves a
-    2-hit margin so KMeans build drift or fixture evolution can't flip
-    the driver's hash gate. The MEASURED overlap is deliberately not in
-    the hashed output (it would reintroduce the flakiness the margin
-    buys off); regressions below 5/5 are caught locally instead by
-    tests/test_metamorphic.py::test_ivf_measured_recall, which pins
-    ivf_measured_overlap() == topk (ADVICE r3)."""
+    IVF-probed top-5 recovered ≥3 of them.
+
+    r12 (VERDICT r11 weak flag): the quantizer now trains on UNIT
+    vectors and the probe ranks cells by INNER PRODUCT q̂·center — the
+    criterion ivfpq_search proved in r11 (L2-to-unequal-norm-means
+    buried a true neighbor's cell at rank 14/16 there) — so the whole
+    ANN family shares one coarse-ranking discipline. Re-measured at
+    nprobe=8 of 16: 5/5 at sf0.01, 4/5 at sf0.1 (one true neighbor's
+    cell sits at IP rank 8 — a genuinely marginal cell: L2 ranked the
+    same cell 6, the fixture's top-5 scatter across mid-ranked cells
+    either way, the usual high-dim recall/probe trade-off; nprobe=4
+    measures 2/5 at sf0.1 under both criteria). The ≥3 threshold
+    leaves a margin so KMeans build drift or fixture evolution can't
+    flip the driver's hash gate. The MEASURED overlap is deliberately
+    not in the hashed output (it would reintroduce the flakiness the
+    margin buys off); regressions below 5/5 at sf0.01 are caught
+    locally instead by tests/test_metamorphic.py::
+    test_ivf_measured_recall, which pins ivf_measured_overlap() ==
+    topk (ADVICE r3)."""
     n_overlap, _topk, exact_top = ivf_measured_overlap(spark, sf_dir)
     return exact_top.withColumn("ivf_recall_at_5_ok", F.lit(n_overlap >= 3))
 

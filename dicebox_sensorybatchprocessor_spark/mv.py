@@ -49,6 +49,37 @@ from dicebox_sensorybatchprocessor_spark.lake import CommitConflict, ManifestTab
 _ALLOWED = ("count", "sum", "avg", "min", "max")
 
 
+def _route_refresh(
+    delta_bytes: int,
+    table_bytes: int,
+    recompute_ratio: float = 0.6,
+    small_table_bytes: int = 64 << 20,
+) -> str:
+    """The auto-refresh cost model, as a pure function so tests can pin
+    it at BOTH scale ends (VERDICT r11 #4). Two regimes:
+
+    - ``table_bytes ≤ small_table_bytes`` (default 64 MB): RECOMPUTE.
+      Here every cost is dominated by the fixed per-refresh bill (state
+      read + delta scan + merge join + min/max repair — several Spark
+      jobs) rather than bytes scanned; one GROUP BY over a ≤64 MB table
+      is a single cheap job and measured FASTER at sf0.1 (0.40 s vs
+      0.69 s incremental, BENCH r10/r11 — the inversion this regime
+      term closes).
+    - above it: route on BYTES — incremental iff
+      ``delta_bytes ≤ recompute_ratio × table_bytes``. Bytes, not file
+      counts: a 2-of-16-FILE delta can still be half the table's bytes
+      after skewed compaction, and at the 100×-scale steady state the
+      delta's bytes are the actual scan bill the refresh pays.
+    """
+    if table_bytes <= small_table_bytes:
+        return "recompute"
+    return (
+        "recompute"
+        if delta_bytes > recompute_ratio * table_bytes
+        else "incremental"
+    )
+
+
 class MaterializedAgg:
     """An incrementally-maintained ``GROUP BY`` over a lake table.
 
@@ -249,25 +280,24 @@ class MaterializedAgg:
         max_retries: int = 5,
         mode: str = "auto",
         recompute_ratio: float = 0.6,
+        small_table_bytes: int = 64 << 20,
     ) -> dict:
         """Advance the view to the base table's latest version. Returns a
         ledger: versions walked, files scanned (the commit's delta, not
         the table), groups changed, and ``mode`` — which strategy ran.
 
-        ``mode='auto'`` (default) routes on scan cost: the incremental
-        path reads ``plus + minus`` files, the recompute path reads the
-        new snapshot's files — when the delta's file count exceeds
-        ``recompute_ratio ×`` the snapshot's, a from-scratch GROUP BY is
-        the cheaper plan (one scan, no state join, no min/max repair
-        scan). A compaction commit is the extreme case: plus+minus spans
-        ~2× the table while recompute scans it once. Below the ratio —
-        the steady state this class exists for — cost stays proportional
-        to the commit. There is also a fixed per-refresh overhead (state
-        read + join + commit) that dominates at small scale: measured at
-        sf0.1, a 2-of-16-file delta refreshes in 0.60 s vs 0.42 s
-        recompute (BASELINE.md round-10 note) — the crossover favors
-        incremental only once per-file scan cost outweighs that fixed
-        bill, which is exactly the 100×-scale regime.
+        ``mode='auto'`` (default) routes on :func:`_route_refresh`'s
+        two-regime BYTES model (r12, VERDICT r11 #4): tables at or under
+        ``small_table_bytes`` recompute outright — the fixed per-refresh
+        bill (state read + merge join + min/max repair, several jobs)
+        dominates there and made auto pick the measurably slower path at
+        sf0.1 in r10/r11 — while larger tables go incremental unless the
+        delta's BYTES exceed ``recompute_ratio ×`` the snapshot's (a
+        compaction commit is the extreme case: plus+minus spans ~2× the
+        table while recompute scans it once). Sizes come from one
+        driver-side stat sweep over the two file lists; if any file
+        can't be statted (non-local scheme), routing falls back to the
+        r10 file-count ratio.
         ``mode='incremental'`` / ``mode='recompute'`` force a path."""
         if mode not in ("auto", "incremental", "recompute"):
             raise ValueError(f"unknown refresh mode {mode!r}")
@@ -316,14 +346,34 @@ class MaterializedAgg:
             legacy_state = old_state is not None and any(
                 f"__c_{c}" not in old_state.columns for c in self._sum_cols
             )
+            if mode == "auto" and not legacy_state:
+                import os
+
+                try:
+                    delta_b = sum(
+                        os.path.getsize(os.path.join(self.base.root, f))
+                        for f in plus + minus
+                    )
+                    table_b = sum(
+                        os.path.getsize(os.path.join(self.base.root, f))
+                        for f in new_files
+                    )
+                    routed = _route_refresh(
+                        delta_b, table_b, recompute_ratio, small_table_bytes
+                    )
+                except OSError:
+                    # non-statable scheme: fall back to the file-count ratio
+                    routed = (
+                        "recompute"
+                        if len(plus) + len(minus)
+                        > recompute_ratio * max(1, len(new_files))
+                        else "incremental"
+                    )
+            else:
+                routed = mode
             recompute = (
-                mode == "recompute"
+                routed == "recompute"
                 or legacy_state  # pre-counter state: one recompute migrates it
-                or (
-                    mode == "auto"
-                    and len(plus) + len(minus)
-                    > recompute_ratio * max(1, len(new_files))
-                )
             )
             if recompute:
                 merged = self._full_state(spark, v_to)

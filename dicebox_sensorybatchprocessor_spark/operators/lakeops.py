@@ -566,7 +566,11 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_qty": ("max", "l_quantity"),
         },
     )
-    view.refresh(spark)
+    # small_table_bytes=0: this query's CLAIM is the incremental
+    # machinery itself (delta-file-proportional refresh), so it pins the
+    # byte-ratio routing regime — the fixture tables sit under the 64 MB
+    # floor where default auto now recomputes (r12, mv._route_refresh)
+    view.refresh(spark, small_table_bytes=0)
 
     batch2 = li.filter(F.col("l_orderkey") % 5 == 0).select(
         "l_orderkey",
@@ -577,7 +581,7 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") + 10).alias("l_quantity"),
     )
     merge_upsert(table, batch2, ("l_orderkey", "l_linenumber"))
-    ledger2 = view.refresh(spark)
+    ledger2 = view.refresh(spark, small_table_bytes=0)
 
     feed = li.filter(F.col("l_orderkey") % 7 == 0).select(
         "l_orderkey",
@@ -590,7 +594,7 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.merge_apply(
         table, feed, ("l_orderkey", "l_linenumber"), op_col="op", seq_col="seq"
     )
-    ledger3 = view.refresh(spark)
+    ledger3 = view.refresh(spark, small_table_bytes=0)
 
     # single-key commit: the delta-proportional refresh claim — one
     # bucket rewrites, so the refresh reads 2 files however big the table
@@ -606,7 +610,7 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merge_upsert(table, batch4, ("l_orderkey", "l_linenumber"))
-    ledger4 = view.refresh(spark)
+    ledger4 = view.refresh(spark, small_table_bytes=0)
 
     n_files = len(table.snapshot()["files"])
     incremental = (

@@ -77,6 +77,16 @@ OPS = (
     # the exponent should be pure scan)
     "sim_ann_ivfpq",
     "mm_image_meta",
+    # r12 additions (VERDICT r11 #6): the rest of the multimodal family
+    # (all map-only mapInPandas — exponents should sit at or under the
+    # scan exponent) and the two r11 ANN-ingest legs whose O(batch)
+    # claims were argued, not measured, at ×10: frozen-quantizer
+    # incremental encode and the encode-in-stream lake composition
+    "mm_image_resize",
+    "mm_audio_feature",
+    "mm_frame_sample",
+    "sim_ann_ivfpq_persisted",
+    "stream_ann_ingest",
 )
 
 

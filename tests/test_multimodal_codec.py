@@ -276,3 +276,131 @@ def test_audio_features_df_real_codec_and_quarantine(spark):
     assert good == [(1, 16000, 1, 0.5), (1, 16000, 2, 0.5), (2, 8000, 1, 0.0)]
     bad = [r for r in out if r.decode_error is not None]
     assert [r.doc_id for r in bad] == [3] and bad[0].energy is None
+
+
+# --- second codecs: PPM box-filter + G.711 µ-law (r12, VERDICT r11 #5) ----
+# A second wire format per modality, driving the SAME hooks with real
+# kernel ARITHMETIC: area-average resampling (not nearest pick) and
+# µ-law segment expansion (not PCM passthrough).
+
+import math
+
+from dicebox_sensorybatchprocessor_spark.llm.multimodal import audio_features_df
+from dicebox_sensorybatchprocessor_spark.llm.ppm_codec import (
+    decode_ppm,
+    decode_ppm_pixels,
+    encode_ppm,
+    resize_ppm,
+)
+from dicebox_sensorybatchprocessor_spark.llm.wav_codec import (
+    decode_mulaw_wav,
+    encode_mulaw_wav,
+)
+
+
+def _make_ppm(width, height, pixels, n_channels=3, comment=False):
+    """Independent in-test PNM writer (bytes only, not the package
+    encoder), optionally with header comments."""
+    magic = b"P6" if n_channels == 3 else b"P5"
+    hdr = b"\n# in-test writer\n" if comment else b"\n"
+    return magic + hdr + f"{width} {height}\n255\n".encode() + bytes(pixels)
+
+
+def test_decode_ppm_against_independent_writer():
+    # 3x2 RGB: Rec.601 luma over known pixel values, comments tolerated
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255] * 2)
+    w, h, luma = decode_ppm(_make_ppm(3, 2, px, comment=True))
+    assert (w, h) == (3, 2)
+    assert luma == pytest.approx((0.299 + 0.587 + 0.114) / 3, abs=1e-5)
+
+
+def test_resize_ppm_is_a_true_box_filter():
+    # 2x2 gray downsampled to 1x1 must be the exact rounded MEAN — the
+    # arithmetic a nearest-neighbor or hash stub cannot produce
+    img = _make_ppm(2, 2, bytes([0, 100, 200, 56]), n_channels=1)
+    _, _, _, px = decode_ppm_pixels(resize_ppm(img, 1, 1))
+    assert list(px) == [89]  # (0+100+200+56)/4 = 89
+    # constant image stays constant at any target size
+    const = _make_ppm(7, 5, bytes([10, 200, 30] * 35))
+    _, _, _, px2 = decode_ppm_pixels(resize_ppm(const, 3, 2))
+    assert set(px2[0::3]) == {10} and set(px2[1::3]) == {200}
+    # upscale replicates source boxes losslessly
+    _, _, _, up = decode_ppm_pixels(resize_ppm(img, 4, 4))
+    assert list(up[:4]) == [0, 0, 100, 100]
+
+
+def test_decode_ppm_rejects_corrupt():
+    good = _make_ppm(2, 2, bytes(12))
+    for bad in (b"P4\n1 1\nx", b"P6\n2 2\n65535\n" + bytes(24), good[:-1], b""):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_image_resize_df_ppm_box_filter_and_quarantine(spark):
+    """The registered twin's exact mapInPandas seam, driven by the PPM
+    box-filter kernel: resized payloads re-decode with the box-filter
+    mean, corrupt bytes quarantine, good rows unaffected."""
+    big = _make_ppm(64, 48, bytes((i * 7) % 256 for i in range(64 * 48 * 3)))
+    small = _make_ppm(2, 2, bytes([0, 100, 200, 56]), n_channels=1)
+    rows = [(1, big), (2, small), (3, b"P7 not a binary pnm")]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    out = {
+        r.doc_id: r
+        for r in image_resize_df(
+            df, max_edge=32, decoder=decode_ppm, resizer=resize_ppm
+        ).collect()
+    }
+    assert out[3].decode_error is not None and out[3].resized is None
+    assert (out[1].src_width, out[1].src_height) == (64, 48)
+    assert (out[1].dst_width, out[1].dst_height) == (32, 32)
+    w, h, nch, _ = decode_ppm_pixels(bytes(out[1].resized))
+    assert (w, h, nch) == (32, 32, 3)
+    # the 2x2 source fits under max_edge: payload re-decodes bit-exact
+    w2, h2, _, px2 = decode_ppm_pixels(bytes(out[2].resized))
+    assert (w2, h2) == (2, 2) and list(px2) == [0, 100, 200, 56]
+
+
+def test_decode_mulaw_wav_sine_rms():
+    # µ-law-coded sine at amplitude 0.5: RMS ≈ 0.5/√2 within the G.711
+    # quantization error envelope (~3%)
+    sr = 8000
+    samples = [0.5 * math.sin(2 * math.pi * 440 * i / sr) for i in range(2048)]
+    rate, energies = decode_mulaw_wav(encode_mulaw_wav(sr, samples))
+    assert rate == sr and len(energies) == 2
+    for e in energies:
+        assert e == pytest.approx(0.5 / math.sqrt(2), rel=0.03)
+
+
+def test_decode_mulaw_wav_stereo_and_corrupt():
+    # L = -R cancels to silence after mono averaging
+    frames = [0.4, -0.4] * 128
+    rate, energies = decode_mulaw_wav(
+        encode_mulaw_wav(16000, frames, n_channels=2)
+    )
+    assert rate == 16000 and energies == pytest.approx([0.0], abs=2e-3)
+    pcm = _make_wav(8000, [0] * 16)  # PCM (format tag 1) must be refused
+    for bad in (b"nope", pcm, encode_mulaw_wav(8000, [0.1] * 4)[:20]):
+        with pytest.raises(ValueError):
+            decode_mulaw_wav(bad)
+
+
+def test_audio_features_df_mulaw_codec_and_quarantine(spark):
+    """The registered twin's exact mapInPandas seam, driven by the µ-law
+    expansion kernel: real per-window RMS rows, quarantine preserved."""
+    sr = 8000
+    loud = encode_mulaw_wav(sr, [0.5] * 1024 + [0.0] * 1024)
+    rows = [(1, loud), (2, b"RIFF but not really")]
+    df = spark.createDataFrame(rows, "doc_id long, audio binary")
+    out = audio_features_df(df, decoder=decode_mulaw_wav).collect()
+    good = sorted(
+        (r.doc_id, r.sample_rate, r.window_no, r.energy)
+        for r in out
+        if r.decode_error is None
+    )
+    assert [g[:3] for g in good] == [(1, sr, 1), (1, sr, 2)]
+    # constant amplitude 0.5 quantizes to exactly 16764/32124 (the G.711
+    # segment-7 codeword 0x8F expands to 16764) — pin the real arithmetic
+    assert good[0][3] == pytest.approx(16764 / 32124, abs=1e-5)
+    assert good[1][3] == pytest.approx(0.0, abs=1e-5)  # µ-law silence is exact 0
+    bad = [r for r in out if r.decode_error is not None]
+    assert [r.doc_id for r in bad] == [2] and bad[0].energy is None

@@ -101,7 +101,9 @@ def test_refresh_scans_only_the_file_delta(spark, tmp_path):
     mv.refresh(spark)
     n_total = len(t.snapshot()["files"])
     merge_upsert(t, _base_df(spark, [(5, "a", 123.0)]), ("k",))
-    ledger = mv.refresh(spark)
+    # small_table_bytes=0: pin the byte-ratio regime (a test table sits
+    # under the 64 MB floor where default auto now recomputes, r12)
+    ledger = mv.refresh(spark, small_table_bytes=0)
     assert ledger["plus_files"] + ledger["minus_files"] < n_total
     assert ledger["plus_files"] <= 1 and ledger["minus_files"] <= 1
     assert _got(spark, mv) == _expected(spark, t)
@@ -284,17 +286,19 @@ def test_avg_and_sum_skip_null_measure_values(spark, tmp_path):
 
 
 def test_refresh_router_picks_recompute_past_the_delta_ratio(spark, tmp_path):
-    """auto mode: a small delta refreshes incrementally; a commit whose
-    delta spans the table (compaction: plus+minus ~ 2x files) routes to
-    the one-scan recompute — and both produce the identical view."""
+    """auto mode past the small-table floor (small_table_bytes=0 pins
+    the byte-ratio regime): a small delta refreshes incrementally; a
+    commit whose delta spans the table (compaction: plus+minus ~ 2x
+    bytes) routes to the one-scan recompute — and both produce the
+    identical view."""
     t, mv = _mk(spark, tmp_path)
     led0 = mv.refresh(spark)  # initial build: plus == table -> recompute
     assert led0["mode"] == "recompute"
     merge_upsert(t, _base_df(spark, [(5, "a", 99.0)]), ("k",))
-    led1 = mv.refresh(spark)
+    led1 = mv.refresh(spark, small_table_bytes=0)
     assert led1["mode"] == "incremental"  # 1-bucket delta stays O(delta)
     t.compact(spark)
-    led2 = mv.refresh(spark)
+    led2 = mv.refresh(spark, small_table_bytes=0)
     assert led2["mode"] == "recompute"  # delta spans the table
     assert _got(spark, mv) == _expected(spark, t)
     # forced modes still converge to the same view
@@ -303,6 +307,42 @@ def test_refresh_router_picks_recompute_past_the_delta_ratio(spark, tmp_path):
     assert _got(spark, mv) == _expected(spark, t)
     with pytest.raises(ValueError, match="mode"):
         mv.refresh(spark, mode="bogus")
+
+
+def test_refresh_router_is_right_at_both_scale_ends(spark, tmp_path):
+    """VERDICT r11 #4: the auto router picked incremental at sf0.1 where
+    recompute measured 1.7x faster — the fixed per-refresh bill, not
+    bytes, dominates small tables. Pins the two-regime cost model:
+
+    - pure function: small tables recompute regardless of delta ratio;
+      big tables go incremental when delta ≪ table (the 100x-scale
+      steady state) and recompute past the byte ratio (compaction);
+    - end-to-end: a DEFAULT auto refresh over a tiny test table now
+      picks recompute (it sits under the 64 MB floor) yet still
+      produces the identical view."""
+    from dicebox_sensorybatchprocessor_spark.mv import _route_refresh
+
+    mb = 1 << 20
+    # small-table regime: recompute even for a 1-byte delta
+    assert _route_refresh(1, 10 * mb) == "recompute"
+    # big-table regime, delta ≪ table: incremental (the steady state)
+    assert _route_refresh(10 * mb, 1000 * mb) == "incremental"
+    # big-table regime, delta spans the table (compaction): recompute
+    assert _route_refresh(1900 * mb, 1000 * mb) == "recompute"
+    # boundary: the ratio applies strictly above recompute_ratio
+    assert _route_refresh(600 * mb, 1000 * mb) == "incremental"
+    assert _route_refresh(601 * mb, 1000 * mb) == "recompute"
+
+    t, mv = _mk(spark, tmp_path)
+    mv.refresh(spark)
+    merge_upsert(t, _base_df(spark, [(5, "a", 99.0)]), ("k",))
+    led = mv.refresh(spark)  # default small_table_bytes=64 MB
+    assert led["mode"] == "recompute"
+    assert _got(spark, mv) == _expected(spark, t)
+    # and a forced incremental over the same history converges too
+    merge_upsert(t, _base_df(spark, [(7, "b", 3.0)]), ("k",))
+    assert mv.refresh(spark, mode="incremental")["mode"] == "incremental"
+    assert _got(spark, mv) == _expected(spark, t)
 
 
 def test_mv_matches_group_by_over_random_histories(spark, tmp_path):
@@ -436,11 +476,12 @@ def test_legacy_state_without_counters_migrates_via_recompute(spark, tmp_path):
         bucket_meta={"mv_base_version": mv.refreshed_version()},
     )
     merge_upsert(t, _base_df(spark, [(3, "a", 77.0)]), ("k",))
-    led1 = mv.refresh(spark)  # 1-bucket delta would be incremental, but...
+    # small_table_bytes=0 keeps the test in the byte-ratio regime (r12)
+    led1 = mv.refresh(spark, small_table_bytes=0)
     assert led1["mode"] == "recompute"  # ...legacy state forces migration
     assert _got(spark, mv) == _expected(spark, t)
     merge_upsert(t, _base_df(spark, [(4, "b", -5.0)]), ("k",))
-    led2 = mv.refresh(spark)
+    led2 = mv.refresh(spark, small_table_bytes=0)
     assert led2["mode"] == "incremental"  # migrated: increments resume
     assert _got(spark, mv) == _expected(spark, t)
     # noop ledgers carry the mode key too (bench reads it unconditionally)

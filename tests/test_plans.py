@@ -557,12 +557,16 @@ def test_merge_into_plans_left_join_never_full_outer(spark, tmp_path):
 
 
 def test_star_emission_plans_window_not_self_join(spark):
-    """The star emitter's whole scale claim is structural: candidates
-    come from ONE window-min over the band relation — no self-join at
-    all — where the pairs emitter necessarily plans a band-key
-    equi-self-join. A regression that reintroduces a join into the star
-    path would silently restore the quadratic emission the router
-    exists to avoid."""
+    """The star emitter's scale claim is structural (r12 hybrid form):
+    the UNBOUNDED leg — buckets past the 32-doc cap, where quadratic
+    emission would actually blow up — plans window functions only, no
+    self-join; the self-join that does appear serves ONLY the sub-cap
+    buckets (its inputs are filtered `__c <= 32`, so its per-bucket
+    cost is a constant ≤ C(32,2)); and the band relation is built ONCE
+    (ReusedExchange feeds every leg). Pinned two ways: the default plan
+    shows the gated join + windows + reuse, and forcing every bucket
+    onto the star leg (cap=0) plans NO join at all — the pre-r12
+    invariant, preserved for the leg that handles growth."""
     from dicebox_sensorybatchprocessor_spark import api
     from dicebox_sensorybatchprocessor_spark.io import load
 
@@ -571,18 +575,26 @@ def test_star_emission_plans_window_not_self_join(spark):
         text_col="text", id_col="doc_id", k=8,
     )
 
-    def tree(df):
+    def full_and_tree(df):
         df.collect()
-        return _final_tree(
-            spark._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+        s = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
         )
+        return s, _final_tree(s)
 
-    star = tree(api.minhash_banded_candidates_star(sh))
-    assert "Window" in star, star
-    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", star), star
-    pairs = tree(api.minhash_banded_candidates(sh))
+    bands = api._minhash_band_relation(sh, "doc_id", "s", 8, 4)
+    # star-only leg (cap=0): window emission, structurally join-free
+    _, star_only = full_and_tree(api._star_from_bands(bands, "doc_id", 0))
+    assert "Window" in star_only, star_only
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", star_only
+    ), star_only
+    # default hybrid: join present but gated by the bucket-size cap on
+    # BOTH inputs, band relation exchange reused across legs
+    full, hybrid = full_and_tree(api._star_from_bands(bands, "doc_id"))
+    assert "Window" in hybrid and "ReusedExchange" in hybrid, hybrid
+    assert len(re.findall(r"<= 32", full)) >= 2, full  # both join inputs capped
+    _, pairs = full_and_tree(api.minhash_banded_candidates(sh))
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", pairs), pairs
 
 
