@@ -317,19 +317,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors and the probe ranks cells by INNER PRODUCT q̂·center — the
     criterion ivfpq_search proved in r11 (L2-to-unequal-norm-means
     buried a true neighbor's cell at rank 14/16 there) — so the whole
-    ANN family shares one coarse-ranking discipline. Re-measured at
-    nprobe=8 of 16: 5/5 at sf0.01, 4/5 at sf0.1 (one true neighbor's
-    cell sits at IP rank 8 — a genuinely marginal cell: L2 ranked the
-    same cell 6, the fixture's top-5 scatter across mid-ranked cells
-    either way, the usual high-dim recall/probe trade-off; nprobe=4
-    measures 2/5 at sf0.1 under both criteria). The ≥3 threshold
-    leaves a margin so KMeans build drift or fixture evolution can't
-    flip the driver's hash gate. The MEASURED overlap is deliberately
-    not in the hashed output (it would reintroduce the flakiness the
-    margin buys off); regressions below 5/5 at sf0.01 are caught
-    locally instead by tests/test_metamorphic.py::
-    test_ivf_measured_recall, which pins ivf_measured_overlap() ==
-    topk (ADVICE r3)."""
+    ANN family shares one coarse-ranking discipline, and nprobe aligns
+    with the IVFPQ leg's 10/16 dial. Re-measured under IP at nprobe=10:
+    5/5 at BOTH sf0.01 and sf0.1 (at nprobe=8 sf0.1 measured 4/5 — one
+    true neighbor's cell sits at IP rank 8, a genuinely marginal cell
+    that L2 ranked 6; nprobe=4 measures 2/5 under both criteria — the
+    usual high-dim recall/probe trade-off). The ≥3 threshold leaves a
+    margin so KMeans build drift or fixture evolution can't flip the
+    driver's hash gate. The MEASURED overlap is deliberately not in
+    the hashed output (it would reintroduce the flakiness the margin
+    buys off); regressions below 5/5 at sf0.01 are caught locally
+    instead by tests/test_metamorphic.py::test_ivf_measured_recall,
+    which pins ivf_measured_overlap() == topk (ADVICE r3)."""
     n_overlap, _topk, exact_top = ivf_measured_overlap(spark, sf_dir)
     return exact_top.withColumn("ivf_recall_at_5_ok", F.lit(n_overlap >= 3))
 
@@ -364,7 +363,7 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
     from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
 
-    n_cells, nprobe, topk = 16, 8, 5
+    n_cells, nprobe, topk = 16, 10, 5
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
     qvec = [float(x) for x in qrow["embedding"]]
@@ -408,7 +407,7 @@ def ivf_measured_overlap(spark: SparkSession, sf_dir: str) -> tuple[int, int, Da
     api.knn_query (round 7)."""
     from dicebox_sensorybatchprocessor_spark import api
 
-    n_cells, nprobe, topk = 16, 8, 5
+    n_cells, nprobe, topk = 16, 10, 5
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     assigned, centers = api.ivf_index(e, vec_col="embedding", n_cells=n_cells, seed=42)
 
