@@ -405,3 +405,121 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resized").cast("string").alias("resized_key"),
         ((F.col("dst_width") * F.col("dst_height")) <= 600).alias("fits_budget"),
     )
+
+
+@register(
+    "mm_ppm_resize_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + n_chars % 13 AS BIGINT) AS src_width,
+           CAST(1 + doc_id % 11 AS BIGINT) AS src_height,
+           CAST(least(1 + n_chars % 13, 8) AS BIGINT) AS dst_width,
+           CAST(least(1 + doc_id % 11, 8) AS BIGINT) AS dst_height,
+           round((doc_id % 256) / 255.0, 6) AS mean_luma
+    FROM documents
+    """,
+)
+def mm_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-kernel image leg, value-checked end to end (r12, VERDICT r11
+    #5): per document a deterministic CONSTANT grayscale PGM is encoded
+    (width = 1+n_chars%13, height = 1+doc_id%11, pixel = doc_id%256 —
+    wire bytes via llm/ppm_codec.encode_ppm), box-filter-resampled to an
+    8-px edge clamp with resize_ppm, and the RESIZED payload re-decoded
+    with decode_ppm. Because an area-average of a constant image is
+    exactly that constant, the decoded mean_luma must equal
+    (doc_id%256)/255 — real pixel arithmetic whose result DuckDB
+    recomputes value-for-value, unlike the registered stub twins whose
+    payloads are hash keys (mm_image_resize) — and the decoded dst dims
+    must equal the clamp arithmetic. The whole synth → encode → resize
+    → decode chain runs inside ONE Arrow-batched mapInPandas: map-only,
+    zero Exchange, the same 100 TB contract as the other mm_* legs."""
+    from dicebox_sensorybatchprocessor_spark.llm.ppm_codec import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "doc_id": [], "src_width": [], "src_height": [],
+                "dst_width": [], "dst_height": [], "mean_luma": [],
+            }
+            for rid, n_chars in zip(batch["doc_id"], batch["n_chars"]):
+                w, h, val = 1 + int(n_chars) % 13, 1 + int(rid) % 11, int(rid) % 256
+                blob = encode_ppm(w, h, 1, bytes([val] * (w * h)))
+                resized = resize_ppm(blob, min(w, 8), min(h, 8))
+                dw, dh, luma = decode_ppm(resized)
+                out["doc_id"].append(rid)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["dst_width"].append(dw)
+                out["dst_height"].append(dh)
+                out["mean_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        kernel,
+        "doc_id long, src_width long, src_height long, dst_width long,"
+        " dst_height long, mean_luma double",
+    )
+
+
+@register(
+    "mm_mulaw_energy_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           g.i AS window_no,
+           0.0 AS energy
+    FROM documents, generate_series(1, 3) g(i)
+    WHERE g.i <= 1 + doc_id % 3
+    """,
+)
+def mm_mulaw_energy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-kernel audio leg, value-checked end to end (r12, VERDICT r11
+    #5): per document a deterministic SILENT µ-law WAV is encoded
+    (8 kHz, exactly 256·(1+doc_id%3) samples — wire bytes via
+    llm/wav_codec.encode_mulaw_wav, RIFF format tag 7) and decoded with
+    decode_mulaw_wav (manual RIFF walk + G.711 segment expansion +
+    windowed RMS at window=256). G.711 encodes true silence losslessly
+    (compress(0) → 0xFF → expand → 0), so every window's RMS energy is
+    exactly 0.0 and the window COUNT is the sample arithmetic DuckDB
+    recomputes — the energy path exercised with real sample math in the
+    driver gate, complementing the stub twin (mm_audio_feature) whose
+    energies are hash-derived. One mapInPandas with 1→N window
+    expansion: map-only, zero Exchange."""
+    from dicebox_sensorybatchprocessor_spark.llm.wav_codec import (
+        decode_mulaw_wav,
+        encode_mulaw_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, rates, nos, ens = [], [], [], []
+            for rid in batch["doc_id"]:
+                n = 256 * (1 + int(rid) % 3)
+                blob = encode_mulaw_wav(8000, [0.0] * n)
+                rate, energies = decode_mulaw_wav(blob, window=256)
+                for i, e in enumerate(energies, start=1):
+                    ids.append(rid)
+                    rates.append(rate)
+                    nos.append(i)
+                    ens.append(e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "window_no": nos,
+                    "energy": ens,
+                }
+            )
+
+    return d.mapInPandas(
+        kernel,
+        "doc_id long, sample_rate long, window_no long, energy double",
+    )

@@ -392,6 +392,21 @@ def test_image_resize_map_only(spark):
     assert "MapInPandas" in tree or "ArrowEvalPython" in tree or "PythonMapInArrow" in tree, tree
 
 
+def test_real_codec_legs_map_only(spark):
+    """The r12 REAL-kernel registered legs (PPM box-filter resize,
+    µ-law windowed energy) carry the same zero-Exchange contract as the
+    stub twins: synth → encode → real decode runs inside one
+    mapInPandas, no shuffle of media bytes."""
+    for q in ("mm_ppm_resize_real", "mm_mulaw_energy_real"):
+        tree = _final_tree(_plan(spark, q))
+        assert "Exchange" not in tree, (q, tree)
+        assert (
+            "MapInPandas" in tree
+            or "ArrowEvalPython" in tree
+            or "PythonMapInArrow" in tree
+        ), (q, tree)
+
+
 def test_curation_capstone_plan_ledger(spark):
     """pipeline_curation_capstone's shuffle/scan ledger: the quality pass
     reuses the TF exchange (one statistics scan), the corpus re-scan for
