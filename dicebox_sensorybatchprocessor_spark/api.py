@@ -908,6 +908,73 @@ def pack_sequences(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+    with_text: bool = True,
+) -> DataFrame:
+    """Sliding-window token chunking (r12) — the context-window
+    preparation step pack_sequences complements: every document becomes
+    1 + floor((n−1)/stride) overlapping chunks of ≤ ``chunk_size``
+    whitespace tokens, each shifted by ``stride`` (overlap =
+    chunk_size − stride), so a span that crosses one chunk boundary is
+    fully contained in the next — the standard long-document →
+    fixed-window training-example transform. Columns: id, chunk_no
+    (1-based), token_off (0-based), n_tokens_chunk, n_tokens_doc
+    [, chunk_text].
+
+    Entirely JVM-side (split → sequence → explode → slice → concat_ws):
+    a map-only explode whose fan-out is the chunk count — no shuffle, no
+    Python, output partitioning follows input partitioning, the same
+    zero-Exchange contract as the multimodal kernels. Rows with NULL
+    text are dropped (no tokens → no chunks); a single-token doc yields
+    exactly one chunk. ``stride`` must be positive and at most
+    ``chunk_size`` (gaps would silently drop tokens)."""
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in (0, chunk_size]; got stride={stride},"
+            f" chunk_size={chunk_size}"
+        )
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    ks = F.sequence(
+        F.lit(0).cast("int"),
+        F.floor((n - F.lit(1)) / F.lit(stride)).cast("int"),
+    )
+    off = F.col("__sbp_k").cast("bigint") * stride
+    n_doc = F.size("__sbp_toks").cast("bigint")
+    length = F.least(F.lit(chunk_size).cast("bigint"), n_doc - off)
+    out = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, toks.alias("__sbp_toks"), F.explode(ks).alias("__sbp_k"))
+        .select(
+            id_col,
+            (F.col("__sbp_k") + 1).cast("bigint").alias("chunk_no"),
+            off.alias("token_off"),
+            length.alias("n_tokens_chunk"),
+            n_doc.alias("n_tokens_doc"),
+            *(
+                [
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("__sbp_toks"),
+                            (off + 1).cast("int"),
+                            length.cast("int"),
+                        ),
+                    ).alias("chunk_text")
+                ]
+                if with_text
+                else []
+            ),
+        )
+    )
+    return out
+
+
 def temperature_mix(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -525,3 +525,59 @@ def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.quality_signals(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, n, g.k,
+             g.k * 24 AS token_off,
+             least(32, n - g.k * 24) AS len
+      FROM base, generate_series(0, 64) g(k)
+      WHERE g.k <= floor((n - 1) / 24.0)
+    ),
+    hashed AS (
+      SELECT c.doc_id, c.k, c.token_off, c.len, c.n,
+             md5(array_to_string(b.t[c.token_off + 1 : c.token_off + c.len], ' '))
+               AS chunk_md5
+      FROM chunks c JOIN base b ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           CAST(k + 1 AS BIGINT) AS chunk_no,
+           CAST(token_off AS BIGINT) AS token_off,
+           CAST(len AS BIGINT) AS n_tokens_chunk,
+           CAST(n AS BIGINT) AS n_tokens_doc,
+           chunk_md5
+    FROM hashed
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (r12) — the long-document →
+    fixed-context-window transform every pretraining pipeline runs
+    between curation and packing: ≤32-token chunks at stride 24
+    (8-token overlap, so a span crossing one boundary is intact in the
+    next chunk), 1 + floor((n−1)/24) chunks per doc, chunk content
+    value-checked via md5 of the reassembled token slice. Thin wrapper
+    over api.chunk_tokens: split → sequence → explode → slice, ALL
+    JVM-side — a map-only explode with zero shuffle and no Python, the
+    fan-out bounded by the chunk count (the complement of
+    pack_sequences, which bins the chunks this op emits)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return api.chunk_tokens(
+        d, text_col="text", id_col="doc_id", chunk_size=32, stride=24
+    ).select(
+        "doc_id",
+        "chunk_no",
+        "token_off",
+        "n_tokens_chunk",
+        "n_tokens_doc",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

@@ -1484,3 +1484,43 @@ def test_ivfpq_save_load_encode_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert enc == stored
+
+
+def test_chunk_tokens_overlap_invariants(spark):
+    """api.chunk_tokens (r12): chunk arithmetic and content invariants —
+    every doc yields 1+floor((n-1)/stride) chunks; consecutive chunks
+    overlap by chunk_size-stride tokens; reassembling stride-aligned
+    chunk prefixes reproduces the document; single-token docs yield one
+    chunk; NULL text drops; invalid stride rejected."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(80))),  # 80 tokens -> 4 chunks
+        (2, "solo"),
+        (3, None),
+        (4, " ".join(f"u{i}" for i in range(24))),  # exactly one stride -> 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = api.chunk_tokens(df, chunk_size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 4}  # NULL text dropped
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_no)
+    assert [r.token_off for r in c1] == [0, 24, 48, 72]
+    assert [r.n_tokens_chunk for r in c1] == [32, 32, 32, 8]
+    assert all(r.n_tokens_doc == 80 for r in c1)
+    # overlap: chunk k's last 8 tokens == chunk k+1's first 8
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text.split()[24:32] == b.chunk_text.split()[:8]
+    # full coverage: stride-prefixes of each chunk reassemble the doc
+    reassembled = []
+    for r in c1:
+        reassembled += r.chunk_text.split()[:24]
+    assert reassembled[:80] == rows[0][1].split()
+    assert by_doc[2][0].chunk_text == "solo" and by_doc[2][0].n_tokens_chunk == 1
+    assert len(by_doc[4]) == 1 and by_doc[4][0].n_tokens_chunk == 24
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        api.chunk_tokens(df, chunk_size=8, stride=9)
+    with _pytest.raises(ValueError, match="stride"):
+        api.chunk_tokens(df, chunk_size=8, stride=0)

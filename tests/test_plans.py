@@ -641,3 +641,13 @@ def test_ivfpq_probe_prunes_codes_scan(spark):
     assert "TakeOrderedAndProject" in tree, tree
     assert "BroadcastHashJoin" in tree, tree
     assert re.search(r"cell.*(IN|INSET)|(IN|INSET).*cell", plan, re.IGNORECASE), plan
+
+
+def test_chunk_overlap_map_only_no_python(spark):
+    """text_chunk_overlap is a pure JVM explode: zero Exchange (output
+    partitioning follows input), no Python evaluation anywhere — the
+    chunk fan-out must not cost a shuffle or an Arrow hop."""
+    tree = _final_tree(_plan(spark, "text_chunk_overlap"))
+    assert "Exchange" not in tree, tree
+    for bad in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonMapInArrow"):
+        assert bad not in tree, tree
