@@ -435,3 +435,51 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("quarter(o_orderdate)").cast("int").alias("qtr"),
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+             || '?lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS url,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query,
+           lang AS lang_param,
+           CAST(n_chars AS VARCHAR) AS n_param,
+           'https' AS protocol
+    FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (r12) — the web-corpus curation verbs
+    (domain extraction for per-site dedup/mixing caps, parameter
+    plucking for crawl filtering): a deterministic URL is synthesized
+    from fixture columns JVM-side, then decomposed with Spark's
+    ``parse_url`` (HOST / PATH / QUERY / per-key QUERY / PROTOCOL).
+    The oracle reconstructs every component by string arithmetic from
+    the same columns, so the parser's output is value-checked against
+    the known wire format rather than trusted. All codegen'd
+    expressions, no shuffle, no Python."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("n_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )
