@@ -18,6 +18,16 @@ Scale notes (the part that matters at 100 TB):
 - dedup_near_verified composes the two tiers — banded-MinHash candidates →
   exact Jaccard verify on colliding pairs only — and is oracle-checked
   equal to the full all-pairs verifier: the scale path, proven lossless.
+- the survivor legs (dedup_survivors / dedup_survivors_star) end the
+  story: verified pairs → connected components → one min-id survivor per
+  cluster. The star leg's r12 hybrid emission (band-rotated sorted-
+  neighborhood above a 32-doc bucket cap, exact all-pairs below it) is
+  survivor-identical to all-pairs on every measured corpus including
+  adversarial chaining, at O(corpus) emission.
+- exact/quadratic twins carry ``audit_only=True`` in the registry
+  (dedup_ngram_jaccard, dedup_embedding, dedup_minhash_lsh here;
+  emb_label_margin in similarity.py) — they audit the banded/ANN paths,
+  never run as the production leg (README table).
 """
 
 from __future__ import annotations
