@@ -2951,3 +2951,117 @@ def dedup_survivors_star(
         threshold=threshold,
         route="collapse+star",
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """Substring-level duplicate-span detection (r12) — the
+    within-document complement of the doc-level dedup family: find every
+    maximal token span of length ≥ ``k`` whose ``k``-token shingles
+    recur anywhere in the corpus (``min_count`` total occurrences,
+    including within the same document), the exact-substring-dedup
+    semantics of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better" re-expressed as a shingle inverted index
+    instead of a suffix array — the suffix array is a single-machine
+    data structure; the inverted index is a shuffle.
+
+    Plan shape (three keyed exchanges, nothing all-pairs):
+      1. map-only shingle emission — split → sequence → explode →
+         slice → md5, all JVM, fan-out = token count;
+      2. ONE hash-partitioned window ``count(*) over (partition by
+         shingle_hash)`` marks recurring shingles (a groupBy + self-join
+         would shuffle the shingle relation twice; the window shuffles
+         it once — AQE's skew handling covers boilerplate shingles that
+         repeat millions of times);
+      3. per-document island merge (gap-and-islands over shingle start
+         positions: a new span starts when the gap exceeds ``k``) and
+         one groupBy(doc) rollup.
+
+    Output: id, n_tokens, dup_spans, dup_tokens (tokens covered by
+    ≥1 recurring shingle), dup_ratio (1e-6-rounded), keep — the gate is
+    computed on exact integers (``dup_tokens·2 ≤ n_tokens`` for the
+    default 0.5) so the boolean is engine-exact. Documents shorter than
+    ``k`` tokens emit no shingles and report zero duplication."""
+    from pyspark.sql import Window
+
+    from dicebox_sensorybatchprocessor_spark.utils import stable_round
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__sbp_toks"), F.size(toks).alias("__sbp_n")
+    )
+    ks = F.when(
+        F.col("__sbp_n") >= k,
+        F.sequence(F.lit(0).cast("int"), (F.col("__sbp_n") - k).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = base.select(
+        id_col,
+        F.col("__sbp_n").alias("__sbp_nd"),
+        F.explode(ks).alias("__sbp_p"),
+        F.col("__sbp_toks"),
+    ).select(
+        id_col,
+        "__sbp_nd",
+        F.col("__sbp_p").cast("bigint").alias("__sbp_p"),
+        F.md5(
+            F.concat_ws(" ", F.slice("__sbp_toks", F.col("__sbp_p") + 1, k))
+        ).alias("__sbp_h"),
+    )
+    w_hash = Window.partitionBy("__sbp_h")
+    dup_pos = shingles.withColumn("__sbp_c", F.count("*").over(w_hash)).filter(
+        F.col("__sbp_c") >= min_count
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("__sbp_p")
+    islands = (
+        dup_pos.withColumn("__sbp_prev", F.lag("__sbp_p").over(w_doc))
+        .withColumn(
+            "__sbp_new",
+            F.when(
+                F.col("__sbp_prev").isNull()
+                | (F.col("__sbp_p") > F.col("__sbp_prev") + k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sbp_isl",
+            F.sum("__sbp_new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "__sbp_isl").agg(
+        F.min("__sbp_p").alias("__sbp_s"),
+        (F.max("__sbp_p") + (k - 1)).alias("__sbp_e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("dup_spans"),
+        F.sum(F.col("__sbp_e") - F.col("__sbp_s") + 1)
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint"))
+    # integer keep gate: dup_tokens / n <= max_dup_ratio, cross-multiplied
+    # with the ratio as an exact small fraction (1e6 denominator)
+    ratio_num = int(round(max_dup_ratio * 1_000_000))
+    return (
+        base.select(id_col, F.col("__sbp_n").cast("bigint").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_spans"), F.lit(0).cast("bigint")).alias(
+                "dup_spans"
+            ),
+            dup_tokens.alias("dup_tokens"),
+            stable_round(dup_tokens / F.col("n_tokens"), 6).alias("dup_ratio"),
+            (dup_tokens * 1_000_000 <= F.col("n_tokens") * ratio_num).alias(
+                "keep"
+            ),
+        )
+    )

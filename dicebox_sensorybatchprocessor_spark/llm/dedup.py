@@ -721,3 +721,76 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.prefix_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_substring",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT b.doc_id, b.n, g.k AS p,
+             md5(array_to_string(b.t[g.k + 1 : g.k + 8], ' ')) AS h
+      FROM base b, generate_series(0, 4096) g(k)
+      WHERE b.n >= 8 AND g.k <= b.n - 8
+    ),
+    dup AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c FROM sh
+      ) WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, g, min(p) AS s, max(p) + 7 AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           floor((coalesce(p.dup_tokens, 0) * 1.0 / b.n) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_ratio,
+           coalesce(p.dup_tokens, 0) * 1000000 <= b.n * 500000 AS keep
+    FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-SPAN detection (r12) — the semantics of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any ≥8-token span whose
+    shingles recur anywhere in the corpus is flagged, per-document spans
+    are merged to maximal islands, and documents past 50% duplicated
+    tokens fail the keep gate. The doc-level family (dedup_exact/near/
+    minhash) answers "is this DOCUMENT a copy"; this answers "which
+    PASSAGES inside it are boilerplate/copies" — the op that catches
+    licenses, headers, and quoted blocks doc-level dedup is blind to.
+
+    Spark-first: suffix arrays (the paper's tool) are single-machine;
+    here the same span set falls out of a shingle inverted index — one
+    map-only shingle explode, ONE hash-partitioned count window to mark
+    recurring shingles, one per-doc gap-and-islands merge. Three keyed
+    exchanges, zero self-joins, fan-out bounded by token count — the
+    plan scales linearly to a 100 TB corpus (the oracle's
+    generate_series upper bound 4096 is fixture headroom only; Spark's
+    sequence() has no such cap)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.duplicate_spans(
+        load(spark, sf_dir, "documents"), k=8, min_count=2, max_dup_ratio=0.5
+    )
