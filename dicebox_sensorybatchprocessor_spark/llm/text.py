@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import stable_round
 
 # Constant upper bound for character-shingle generation: documents.text is
 # 48..553 chars (FIXTURES.md). DuckDB can't lateral-join generate_series on
@@ -580,4 +581,161 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_chunk",
         "n_tokens_doc",
         F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@register(
+    "text_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(
+               ('0x' || substr(md5('qw|' || token), 1, 15))::BIGINT % 2001
+               - 1000
+             ) AS BIGINT) AS score_fp
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_fp,
+           floor((score_fp / (n_tokens * 1000.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_weight,
+           score_fp > 0 AS keep
+    FROM scored
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (r12) — the fastText-style hashed
+    linear classifier every web-corpus pipeline runs (CCNet/GPT-3-style
+    quality scoring), with deterministic weights so the score is
+    value-checkable: each token hashes (portable md5-prefix family, the
+    dedup_simhash device) to an integer weight in [−1000, 1000], the
+    document score is the exact BIGINT weight sum, the gate is
+    ``score > 0`` on the integer. A real deployment swaps the hash
+    weight for a trained embedding-bag lookup — same plan, the weight
+    map becomes a broadcast join or a dictionary inside the lambda.
+
+    Plan shape — the part that matters at 100 TB: ZERO shuffles for the
+    scoring itself. The per-token weight and the document sum run inside
+    one whole-stage-codegen'd projection via higher-order functions
+    (``transform`` → ``aggregate`` over the split array), so scoring a
+    corpus is a map-only scan; no explode, no groupBy, no Python. (The
+    oracle pays an unnest + GROUP BY for the same numbers — SQL has no
+    higher-order fold.)"""
+    toks = F.split(F.col("text"), " ")
+    weight = lambda t: (  # noqa: E731 — HOF lambda, JVM-evaluated
+        F.conv(F.substring(F.md5(F.concat(F.lit("qw|"), t)), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2001
+        - 1000
+    )
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score_fp"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "score_fp",
+        stable_round(
+            F.col("score_fp") / (F.col("n_tokens") * F.lit(1000.0)), 6
+        ).alias("mean_weight"),
+        (F.col("score_fp") > 0).alias("keep"),
+    )
+
+
+@register(
+    "text_pii_extract",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@' || source
+                  || '.example.com or +1-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' cc admin' || CAST(doc_id % 7 AS VARCHAR)
+                               || '@example.org'
+                          ELSE '' END AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+'))
+                AS BIGINT) AS n_emails,
+           array_to_string(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+'),
+                           ',') AS emails,
+           CAST(len(regexp_extract_all(t, '\\+1-[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           array_to_string(
+             regexp_extract_all(t, '\\+1-[0-9]{3}-[0-9]{4}'), ',')
+             AS phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+)
+def text_pii_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII extraction + redaction (r12) over document text — the
+    complement of events_pii_scrub (which masks structured props): find
+    every email and phone in free text with ``regexp_extract_all``,
+    return the match lists and counts, and value-check the REDACTED
+    text via md5 (both replacement passes applied). PII is synthesized
+    onto the fixture text from doc_id arithmetic (the fn_url device) so
+    the oracle knows the expected wire format exactly: one contact
+    email + one +1 phone per doc, a second email on even doc_ids.
+
+    Patterns are restricted to the Java-regex ∩ RE2 common dialect
+    (character classes, bounded repeats — no lookaround), so both
+    engines match identical spans. Plan: single codegen'd projection —
+    regexp_extract_all and regexp_replace are JVM intrinsics; map-only,
+    zero shuffle, no Python."""
+    email_re = "[a-z0-9]+@[a-z0-9.]+"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com or +1-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" cc admin"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("@example.org"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    emails = F.regexp_extract_all(F.col("t"), F.lit(email_re), 0)
+    phones = F.regexp_extract_all(F.col("t"), F.lit(phone_re), 0)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return synth.select(
+        "doc_id",
+        F.size(emails).cast("bigint").alias("n_emails"),
+        F.array_join(emails, ",").alias("emails"),
+        F.size(phones).cast("bigint").alias("n_phones"),
+        F.array_join(phones, ",").alias("phones"),
+        F.md5(redacted).alias("redacted_md5"),
     )
