@@ -1,0 +1,134 @@
+"""Unit/property tests for the round-12 session additions:
+api.duplicate_spans (substring-level dedup) and
+operators.graph.pagerank_fixed (integer fixed-point PageRank).
+
+The parametrized oracle sweep (test_correctness.py) already value-checks
+the registered queries against DuckDB; these tests pin the SEMANTIC
+invariants the oracle can't see — span-merge correctness on constructed
+corpora, rank-mass conservation, and partitioning-invariance of the
+integer trajectory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dicebox_sensorybatchprocessor_spark import api
+from dicebox_sensorybatchprocessor_spark.operators.graph import (
+    _SCALE,
+    pagerank_fixed,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_duplicate_spans_short_docs_report_zero(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])  # < k=8 tokens
+    out = {r["doc_id"]: r for r in api.duplicate_spans(df, k=8).collect()}
+    assert out[1]["dup_tokens"] == 0 and out[1]["keep"]
+    assert out[1]["n_tokens"] == 3
+
+
+def test_duplicate_spans_full_copy_flags_everything(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    df = _docs(spark, [(1, text), (2, text), (3, "x " * 19 + "x")])
+    out = {r["doc_id"]: r for r in api.duplicate_spans(df, k=8).collect()}
+    # docs 1/2 are full copies: one maximal span covering all 20 tokens
+    for d in (1, 2):
+        assert out[d]["dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 20
+        assert out[d]["dup_ratio"] == 1.0
+        assert not out[d]["keep"]
+    # doc 3 repeats ONE token 20 times -> every 8-shingle inside it is
+    # identical (self-recurring), so it's also fully flagged: the
+    # min_count=2 gate counts total occurrences, within-doc included
+    assert out[3]["dup_tokens"] == 20 and not out[3]["keep"]
+
+
+def test_duplicate_spans_merges_overlapping_islands(spark):
+    # shared 10-token block at offsets 5..14 of doc 1 and 0..9 of doc 2;
+    # the three recurring 8-shingles (starts 5,6,7 in doc 1) must merge
+    # into ONE island of 10 tokens, not three spans
+    shared = [f"s{i}" for i in range(10)]
+    d1 = [f"a{i}" for i in range(5)] + shared + [f"b{i}" for i in range(5)]
+    d2 = shared + [f"c{i}" for i in range(10)]
+    df = _docs(spark, [(1, " ".join(d1)), (2, " ".join(d2))])
+    out = {r["doc_id"]: r for r in api.duplicate_spans(df, k=8).collect()}
+    assert out[1]["dup_spans"] == 1 and out[1]["dup_tokens"] == 10
+    assert out[2]["dup_spans"] == 1 and out[2]["dup_tokens"] == 10
+    assert out[1]["keep"]  # 10/20 == the 0.5 default gate boundary (<=)
+    assert out[2]["keep"]
+
+
+def test_duplicate_spans_partitioning_invariant(spark):
+    text = " ".join(f"w{i % 13}" for i in range(40))
+    rows = [(i, text if i % 3 == 0 else f"u{i} " * 30 + f"u{i}") for i in range(30)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, api.duplicate_spans(df, k=8).collect()))
+    b = sorted(map(tuple, api.duplicate_spans(df.repartition(7), k=8).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _ring(spark, n):
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    return edges, nodes
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # on a symmetric ring every node must hold identical mass at every
+    # iteration — any asymmetry would be an ordering artifact
+    edges, nodes = _ring(spark, 16)
+    out = pagerank_fixed(edges, nodes, iterations=5).collect()
+    vals = {r["rank_fp"] for r in out}
+    assert len(vals) == 1
+    assert abs(next(iter(vals)) - _SCALE // 16) <= 2  # div flooring slack
+
+
+def test_pagerank_mass_conserved_within_flooring(spark):
+    # total mass stays SCALE minus bounded integer-floor leakage:
+    # each of the 5 rounds floors at most 1e-9 per edge contribution,
+    # per-node damping div, and per-node teleport div
+    edges, nodes = _ring(spark, 10)
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 10)], "src bigint, dst bigint"
+    )
+    for e in (edges, star.unionAll(edges)):
+        out = pagerank_fixed(e, nodes, iterations=5).agg(
+            F.sum("rank_fp")
+        ).collect()[0][0]
+        assert out <= _SCALE
+        assert out >= _SCALE - 5 * (e.count() + 2 * 10)
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    # star graph: everyone links to node 0, node 0 links to node 1
+    n = 12
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)] + [(0, 1)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["rank_fp"] for r in pagerank_fixed(edges, nodes).collect()}
+    assert out[0] == max(out.values())
+    assert out[1] > out[2]  # node 1 inherits node 0's mass
+    assert len({out[i] for i in range(2, n)}) == 1  # leaves identical
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges, nodes = _ring(spark, 32)
+    extra = spark.createDataFrame(
+        [(i, (7 * i + 3) % 32) for i in range(32)], "src bigint, dst bigint"
+    )
+    e = edges.unionAll(extra).distinct()
+    a = sorted(map(tuple, pagerank_fixed(e, nodes).collect()))
+    b = sorted(map(tuple, pagerank_fixed(e.repartition(11), nodes).collect()))
+    assert a == b
