@@ -87,6 +87,16 @@ OPS = (
     "mm_frame_sample",
     "sim_ann_ivfpq_persisted",
     "stream_ann_ingest",
+    # r12 session additions: substring-span dedup (shingle inverted
+    # index — the count-window over ×amp shingles is the term to watch),
+    # fixed-iteration PageRank (5 × two keyed shuffles over a 3N-edge
+    # relation — expect ~linear), and the two map-only text legs
+    # (hashed linear classifier via HOF aggregate, regexp PII extract —
+    # exponents should sit at the scan exponent)
+    "dedup_substring",
+    "graph_pagerank",
+    "text_quality_classifier",
+    "text_pii_extract",
 )
 
 
