@@ -3065,3 +3065,73 @@ def duplicate_spans(
             ),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 30,
+    salt: str = "pri",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007) — the
+    weighted without-replacement sampler whose k-item sample supports
+    UNBIASED subset-sum estimation: item i draws uniform
+    u_i ∈ (0, 1], gets priority q_i = w_i / u_i, the k highest
+    priorities survive, and every survivor's estimator weight is
+    ``max(w_i, τ)`` with τ = the (k+1)-th priority — Σ estimates over
+    any subset are unbiased for the true weighted sum. This is the
+    principled form of quality-weighted corpus subsampling
+    (temperature_mix reweights sources; this samples individual
+    documents proportional-to-weight with an estimator attached).
+
+    Determinism contract: u_i is the md5-uniform ``(h+1)/2^60`` over the
+    salted id (the content-keyed device every sampler here uses —
+    rerun/partitioning invariant, stable under appends), and the
+    priority is computed as ``w · 2^60 / (h+1)`` — w·2^60 is exact in a
+    double for any w < 2^10·…·2^52/2^60, then ONE correctly-rounded
+    division — so the ranking is bit-identical across engines with no
+    ln/pow in sight (the exponential-rank form of weighted sampling
+    would cost a libm call whose last ulp differs between engines).
+
+    One shuffle (the per-group window); τ falls out of the same sorted
+    run as the rank, so the estimator is free. At 100 TB the hazard is
+    a skew-heavy group — same WindowGroupLimit note as cap_per_group."""
+    from pyspark.sql import Window
+
+    _reject_column_collisions(df, ("priority", "keep", "est_weight"), "priority_sample")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pri = (
+        F.col(weight_col).cast("double") * F.lit(1152921504606846976.0)
+    ) / (h + F.lit(1)).cast("double")
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    w_grp = Window.partitionBy(group_col)
+    ranked = df.withColumn("priority", pri).withColumn(
+        "__sbp_rn", F.row_number().over(w_rank)
+    )
+    tau = F.max(
+        F.when(F.col("__sbp_rn") == k + 1, F.col("priority"))
+    ).over(w_grp)
+    return ranked.select(
+        id_col,
+        group_col,
+        weight_col,
+        (F.col("__sbp_rn") <= k).alias("keep"),
+        F.when(
+            F.col("__sbp_rn") <= k,
+            F.greatest(
+                F.col(weight_col).cast("double"), F.coalesce(tau, F.lit(0.0))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("est_weight"),
+    )

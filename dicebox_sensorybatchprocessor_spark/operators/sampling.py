@@ -154,3 +154,50 @@ def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return api.cap_per_group(d, group_col="source", id_col="doc_id", k=30)
+
+
+@register(
+    "sample_priority",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             (n_chars * 1152921504606846976.0)
+               / (('0x' || substr(md5('pri|' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT + 1) AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, priority,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY priority DESC, doc_id ASC) AS rn
+      FROM pri
+    ),
+    tau AS (
+      SELECT lang, max(CASE WHEN rn = 31 THEN priority END) AS tau
+      FROM ranked GROUP BY lang
+    )
+    SELECT r.doc_id, r.lang, r.n_chars,
+           r.rn <= 30 AS keep,
+           CASE WHEN r.rn <= 30
+                THEN greatest(CAST(r.n_chars AS DOUBLE), coalesce(t.tau, 0.0))
+                ELSE 0.0 END AS est_weight
+    FROM ranked r JOIN tau t ON t.lang = r.lang
+    """,
+)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (r12) — Duffield–Lund–Thorup weighted top-k per
+    language with the unbiased subset-sum estimator attached: 30 docs
+    per lang drawn proportional-to-n_chars via md5-uniform priorities
+    q = w/u, survivors carry ``max(w, τ)`` (τ = 31st priority) so any
+    subset's estimator sum is unbiased for its true weight. The whole
+    sampler is one per-group window; the priority is one exact double
+    division, no libm, so Spark and DuckDB rank identically. See
+    :func:`api.priority_sample` for the determinism contract."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.priority_sample(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        weight_col="n_chars",
+        group_col="lang",
+        k=30,
+    )

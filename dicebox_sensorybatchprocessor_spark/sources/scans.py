@@ -299,3 +299,50 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_bad).cast("bigint").alias("n_bad"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via Spark's ``binaryFile`` source (r12) — the
+    entry point of every multimodal pipeline: a directory of opaque
+    blobs becomes (path, modificationTime, length, content) rows that
+    the mm_* decode kernels consume. Here one ``.bin`` file per sampled
+    document (10% of doc_ids, utf-8 text bytes — deterministic, so the
+    oracle recomputes length and md5 from the documents table without
+    touching the filesystem), read back distributed, ids parsed from
+    filenames with regexp_extract, content value-checked by md5.
+
+    Staging writes the fixture files driver-side once per (sf_dir)
+    scratch key — fixture construction, not the operator under test.
+    The SCAN is the operator: binaryFile splits the listing across the
+    cluster, prunes column-wise (length-only queries never read bytes),
+    and at 100 TB is exactly how image/audio corpora land — with
+    ``pathGlobFilter``/``recursiveFileLookup`` for layout and
+    ``spark.sql.files.maxPartitionBytes`` sizing the per-task batch."""
+    out, fresh = scratch_dir_cached("sbp_binfiles_", cache_key=f"binf|{sf_dir}")
+    if fresh:
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter("doc_id % 10 = 0 AND text IS NOT NULL")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
