@@ -2953,6 +2953,68 @@ def dedup_survivors_star(
     )
 
 
+def _duplicate_span_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`duplicate_spans` / :func:`remove_duplicate_spans`:
+    returns ``(base, spans)`` where ``base`` is (id, __sbp_toks, __sbp_n)
+    over non-null-text rows and ``spans`` is the merged maximal duplicated
+    islands (id, __sbp_isl, __sbp_s, __sbp_e) — map-only shingle emission,
+    ONE count-window over the shingle hash, per-doc gap-and-islands merge."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__sbp_toks"), F.size(toks).alias("__sbp_n")
+    )
+    ks = F.when(
+        F.col("__sbp_n") >= k,
+        F.sequence(F.lit(0).cast("int"), (F.col("__sbp_n") - k).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = base.select(
+        id_col,
+        F.explode(ks).alias("__sbp_p"),
+        F.col("__sbp_toks"),
+    ).select(
+        id_col,
+        F.col("__sbp_p").cast("bigint").alias("__sbp_p"),
+        F.md5(
+            F.concat_ws(" ", F.slice("__sbp_toks", F.col("__sbp_p") + 1, k))
+        ).alias("__sbp_h"),
+    )
+    w_hash = Window.partitionBy("__sbp_h")
+    dup_pos = shingles.withColumn("__sbp_c", F.count("*").over(w_hash)).filter(
+        F.col("__sbp_c") >= min_count
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("__sbp_p")
+    islands = (
+        dup_pos.withColumn("__sbp_prev", F.lag("__sbp_p").over(w_doc))
+        .withColumn(
+            "__sbp_new",
+            F.when(
+                F.col("__sbp_prev").isNull()
+                | (F.col("__sbp_p") > F.col("__sbp_prev") + k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sbp_isl",
+            F.sum("__sbp_new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "__sbp_isl").agg(
+        F.min("__sbp_p").alias("__sbp_s"),
+        (F.max("__sbp_p") + (k - 1)).alias("__sbp_e"),
+    )
+    return base, spans
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -2988,57 +3050,9 @@ def duplicate_spans(
     computed on exact integers (``dup_tokens·2 ≤ n_tokens`` for the
     default 0.5) so the boolean is engine-exact. Documents shorter than
     ``k`` tokens emit no shingles and report zero duplication."""
-    from pyspark.sql import Window
-
     from dicebox_sensorybatchprocessor_spark.utils import stable_round
 
-    toks = F.split(F.col(text_col), " ")
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), toks.alias("__sbp_toks"), F.size(toks).alias("__sbp_n")
-    )
-    ks = F.when(
-        F.col("__sbp_n") >= k,
-        F.sequence(F.lit(0).cast("int"), (F.col("__sbp_n") - k).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
-    shingles = base.select(
-        id_col,
-        F.col("__sbp_n").alias("__sbp_nd"),
-        F.explode(ks).alias("__sbp_p"),
-        F.col("__sbp_toks"),
-    ).select(
-        id_col,
-        "__sbp_nd",
-        F.col("__sbp_p").cast("bigint").alias("__sbp_p"),
-        F.md5(
-            F.concat_ws(" ", F.slice("__sbp_toks", F.col("__sbp_p") + 1, k))
-        ).alias("__sbp_h"),
-    )
-    w_hash = Window.partitionBy("__sbp_h")
-    dup_pos = shingles.withColumn("__sbp_c", F.count("*").over(w_hash)).filter(
-        F.col("__sbp_c") >= min_count
-    )
-    w_doc = Window.partitionBy(id_col).orderBy("__sbp_p")
-    islands = (
-        dup_pos.withColumn("__sbp_prev", F.lag("__sbp_p").over(w_doc))
-        .withColumn(
-            "__sbp_new",
-            F.when(
-                F.col("__sbp_prev").isNull()
-                | (F.col("__sbp_p") > F.col("__sbp_prev") + k),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "__sbp_isl",
-            F.sum("__sbp_new").over(
-                w_doc.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-    )
-    spans = islands.groupBy(id_col, "__sbp_isl").agg(
-        F.min("__sbp_p").alias("__sbp_s"),
-        (F.max("__sbp_p") + (k - 1)).alias("__sbp_e"),
-    )
+    base, spans = _duplicate_span_relation(df, text_col, id_col, k, min_count)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("dup_spans"),
         F.sum(F.col("__sbp_e") - F.col("__sbp_s") + 1)
@@ -3134,4 +3148,60 @@ def priority_sample(
         )
         .otherwise(F.lit(0.0))
         .alias("est_weight"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The SCRUB half of exact-substring dedup (:func:`duplicate_spans`
+    detects; this rewrites): every token covered by a recurring ≥``k``
+    span is removed and the remaining tokens are re-joined in order —
+    the transform Lee et al.-style pipelines apply to the corpus before
+    training. Returns (id, n_tokens, n_removed, clean_text); a document
+    whose every token was duplicated comes back with empty text, not a
+    dropped row.
+
+    Plan shape: the span relation costs the same three keyed exchanges
+    as detection; the rewrite itself is JVM-side array surgery — the
+    per-doc islands are collected to an array (one groupBy, span-count
+    sized), broadcast-joined back, and tokens are filtered by a
+    higher-order ``filter(... !exists(islands, s ≤ i ≤ e))`` inside one
+    codegen'd projection. No explode of the token stream, no Python —
+    the document is rewritten in place as an array value."""
+    base, spans = _duplicate_span_relation(df, text_col, id_col, k, min_count)
+    isl = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("__sbp_s").alias("s"), F.col("__sbp_e").alias("e")
+            )
+        ).alias("__sbp_islands")
+    )
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    islands = F.coalesce(F.col("__sbp_islands"), empty)
+    indexed = F.transform(
+        F.col("__sbp_toks"),
+        lambda t, i: F.struct(t.alias("t"), i.cast("bigint").alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            islands, lambda s: (x["i"] >= s["s"]) & (x["i"] <= s["e"])
+        ),
+    )
+    clean = F.transform(kept, lambda x: x["t"])
+    return (
+        base.join(isl, id_col, "left")
+        .select(
+            id_col,
+            F.col("__sbp_n").cast("bigint").alias("n_tokens"),
+            (F.col("__sbp_n") - F.size(clean)).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.concat_ws(" ", clean).alias("clean_text"),
+        )
     )

@@ -794,3 +794,77 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.duplicate_spans(
         load(spark, sf_dir, "documents"), k=8, min_count=2, max_dup_ratio=0.5
     )
+
+
+@register(
+    "dedup_substring_rewrite",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT b.doc_id, g.k AS p,
+             md5(array_to_string(b.t[g.k + 1 : g.k + 8], ' ')) AS h
+      FROM base b, generate_series(0, 4096) g(k)
+      WHERE b.n >= 8 AND g.k <= b.n - 8
+    ),
+    dup AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c FROM sh
+      ) WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, g, min(p) AS s, max(p) + 7 AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    kept AS (
+      SELECT b.doc_id, pos.p, b.t[pos.p + 1] AS tok
+      FROM base b, generate_series(0, 4096) pos(p)
+      WHERE pos.p < b.n
+        AND NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = b.doc_id
+                          AND pos.p BETWEEN s.s AND s.e)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCRUB half of substring dedup (r12; dedup_substring detects,
+    this rewrites): tokens inside recurring ≥8-token spans are removed
+    and the survivors re-joined in order — the corpus transform a
+    training pipeline actually applies. Cleaned text is value-checked
+    verbatim (not hashed), so token order, separator discipline, and
+    the everything-removed → empty-string edge are all on the oracle.
+
+    Spark-first rewrite: the per-doc islands collect to an array and
+    broadcast back; token removal is a higher-order
+    ``filter(¬exists(islands, s≤i≤e))`` inside one codegen'd projection
+    — the token stream itself is never exploded (the oracle pays a
+    generate_series unnest + NOT EXISTS anti-join + ordered string_agg
+    for the same rewrite). See :func:`api.remove_duplicate_spans`."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    return api.remove_duplicate_spans(
+        load(spark, sf_dir, "documents"), k=8, min_count=2
+    )
