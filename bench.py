@@ -109,6 +109,16 @@ LLM_BLOCK = [
     # 1.24). Same DuckDB baseline row as dedup_survivors (identical
     # output contract).
     "dedup_survivors_star",
+    # round 12 (continuation session): substring-span detect + scrub
+    # (the Lee-et-al exact-substring story), the zero-shuffle hashed
+    # linear quality classifier, and fixed-point PageRank — tracked for
+    # drift; no BASELINE.md rows yet (their DuckDB twins ARE the oracle
+    # pipelines, measurable via scripts/measure_llm_baseline.py when a
+    # baseline column is next refreshed)
+    "dedup_substring",
+    "dedup_substring_rewrite",
+    "text_quality_classifier",
+    "graph_pagerank",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H
