@@ -309,3 +309,99 @@ def test_bloom_candidates_superset_of_true_hits(spark):
     docs_exact = {r[0] for r in base}
     docs_bloom = {r[0] for r in bloom}
     assert docs_exact == docs_bloom
+
+
+def test_duplicate_spans_fresh_vocab_doc_is_inert(spark):
+    """Appending a document over a brand-new vocabulary (no shingle can
+    collide with the existing corpus) must not change any existing
+    document's span report — the locality property that makes
+    incremental corpus growth safe for substring dedup."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    base = load(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    before = {
+        r["doc_id"]: tuple(r)
+        for r in api.duplicate_spans(base).collect()
+    }
+    fresh = spark.createDataFrame(
+        [(10_000_000, " ".join(f"zzfresh{i}" for i in range(40)))],
+        "doc_id bigint, text string",
+    )
+    after = {
+        r["doc_id"]: tuple(r)
+        for r in api.duplicate_spans(base.unionAll(fresh)).collect()
+    }
+    new_row = after.pop(10_000_000)
+    assert after == before
+    assert new_row[3] == 0  # dup_tokens: the fresh doc itself is clean
+
+
+def test_substring_rewrite_is_consistent_with_detection(spark):
+    """clean_text must contain exactly n_tokens − dup_tokens tokens
+    (detection and rewrite agree on what a duplicated token is), and the
+    kept tokens must be a subsequence of the original document."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    docs = load(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    det = {
+        r["doc_id"]: r for r in api.duplicate_spans(docs).collect()
+    }
+    rew = api.remove_duplicate_spans(docs).collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(rew) == len(det)
+    for r in rew:
+        d = det[r["doc_id"]]
+        assert r["n_removed"] == d["dup_tokens"]
+        kept = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert len(kept) == d["n_tokens"] - d["dup_tokens"]
+        # subsequence check
+        it = iter(originals[r["doc_id"]].split(" "))
+        assert all(tok in it for tok in kept)
+
+
+def test_priority_sample_k_monotone_and_estimator_floor(spark):
+    """Growing k must never evict a previously-kept item (the priority
+    order is fixed; k only moves the cut line), and every survivor's
+    estimator weight is ≥ its true weight (est = max(w, τ))."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    docs = load(spark, SF_ORACLE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    k10 = {
+        r["doc_id"]
+        for r in api.priority_sample(docs, "n_chars", k=10).collect()
+        if r["keep"]
+    }
+    r30 = api.priority_sample(docs, "n_chars", k=30).collect()
+    k30 = {r["doc_id"] for r in r30 if r["keep"]}
+    assert k10 <= k30
+    for r in r30:
+        if r["keep"]:
+            assert r["est_weight"] >= float(r["n_chars"])
+        else:
+            assert r["est_weight"] == 0.0
+
+
+def test_pagerank_edge_duplication_is_inert(spark):
+    """The derived edge set is DISTINCT: feeding the same edge list
+    twice (pre-distinct duplication) must not change ranks — degree and
+    contributions are computed on the deduped relation."""
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    nodes = spark.range(24).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, (5 * i + 1) % 24) for i in range(24)]
+        + [(i, (7 * i + 2) % 24) for i in range(24)],
+        "src bigint, dst bigint",
+    ).distinct()
+    a = sorted(map(tuple, pagerank_fixed(edges, nodes).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_fixed(edges.unionAll(edges).distinct(), nodes).collect(),
+        )
+    )
+    assert a == b
