@@ -42,6 +42,7 @@ def pagerank_fixed(
     node_col: str = "node",
     iterations: int = 5,
     damping_pct: int = 85,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank.
 
@@ -56,19 +57,34 @@ def pagerank_fixed(
     the exact double ``rank_fp / 1e9``.
 
     Plan: deg is one hash-agg over edges; the (edges ⋈ deg) relation is
-    computed once and persisted — each iteration then pays exactly one
-    join (ranks on src) and one aggregate (sum on dst) plus the
-    node-table left join that re-injects teleport-only vertices. At a
-    real 100 TB corpus you would bucket edges by src so the per-round
-    join never reshuffles the big relation, and checkpoint ranks every
-    ~10 rounds to cut lineage; 5 rounds here keeps plain persist.
+    persisted + eagerly materialized so the five per-iteration joins
+    read the cache instead of re-deriving it; each iteration then pays
+    exactly one join (ranks on src) and one aggregate (sum on dst) plus
+    the node-table left join that re-injects teleport-only vertices.
+    With ``materialize=True`` (default) the result is
+    ``localCheckpoint``-ed — the standard iterative-algorithm ending
+    (MLlib does the same): it truncates the O(iterations)-deep lineage
+    so downstream consumers re-read materialized partitions instead of
+    re-running the loop, and — the part that keeps resource lifetimes
+    honest — lets this function release the edge cache in ``finally``
+    because the RETURNED plan no longer references it. At a real 100 TB
+    corpus you would bucket edges by src so the per-round join never
+    reshuffles the big relation, and use a reliable checkpoint (HDFS /
+    object store) instead of localCheckpoint, which does not survive
+    executor loss. ``materialize=False`` returns the lazy plan
+    (ReusedExchange de-duplicates the five edge-relation subtrees) for
+    callers that only .explain() or compose further — they own the
+    recompute cost.
     """
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_fixed: empty node set")
     teleport = ((100 - damping_pct) * _SCALE) // (100 * n)
     deg = edges.groupBy("src").agg(F.count("*").alias("__sbp_deg"))
-    ed = edges.join(deg, "src").persist()
+    ed = edges.join(deg, "src")
+    if materialize:
+        ed = ed.persist()
+        ed.count()  # make the persist real before the loop references it
     node_ids = nodes.select(F.col(node_col).alias("node"))
     ranks = node_ids.select(
         "node", F.lit(_SCALE // n).cast("bigint").alias("rank_fp")
@@ -103,16 +119,13 @@ def pagerank_fixed(
                 "rank"
             ),
         )
-        # materialization happens at the caller's action; persist on ed is
-        # released eagerly once the final plan no longer needs it would
-        # require an action here — leave it to Spark's LRU (bounded: one
-        # edges⋈deg relation per call)
+        if materialize:
+            out = out.localCheckpoint(eager=True)
         return out
     finally:
-        # the returned plan references ed; blocking unpersist here would
-        # recompute it per iteration job. Non-blocking release marks it
-        # evictable after the caller's action.
-        ed.unpersist(False)
+        if materialize:
+            # safe: the checkpointed result no longer references ed
+            ed.unpersist(False)
 
 
 def _pagerank_oracle(iterations: int = 5) -> str:
