@@ -3169,10 +3169,13 @@ def remove_duplicate_spans(
     Plan shape: the span relation costs the same three keyed exchanges
     as detection; the rewrite itself is JVM-side array surgery — the
     per-doc islands are collected to an array (one groupBy, span-count
-    sized), broadcast-joined back, and tokens are filtered by a
-    higher-order ``filter(... !exists(islands, s ≤ i ≤ e))`` inside one
-    codegen'd projection. No explode of the token stream, no Python —
-    the document is rewritten in place as an array value."""
+    sized) and joined back on the id (broadcast while the island
+    relation fits the threshold, an ordinary keyed shuffle join beyond
+    — both correct; at 100 TB it is the shuffle), and tokens are
+    filtered by a higher-order ``filter(... !exists(islands,
+    s ≤ i ≤ e))`` inside one codegen'd projection. No explode of the
+    token stream, no Python — the document is rewritten in place as an
+    array value."""
     base, spans = _duplicate_span_relation(df, text_col, id_col, k, min_count)
     isl = spans.groupBy(id_col).agg(
         F.collect_list(

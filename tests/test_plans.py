@@ -747,3 +747,14 @@ def _binfile_dir() -> str:
     )
     assert not fresh, "scan_binaryfile must have staged before this test"
     return path
+
+
+def test_substring_rewrite_no_python_no_nested_loop(spark):
+    """The scrub leg rewrites documents array-side: no Python worker
+    anywhere, and the islands re-join is an equi-join on the id (a
+    BroadcastNestedLoopJoin would mean the join key was lost and every
+    doc scans every island list)."""
+    plan = _plan(spark, "dedup_substring_rewrite")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
