@@ -43,6 +43,8 @@ def pagerank_fixed(
     iterations: int = 5,
     damping_pct: int = 85,
     materialize: bool = True,
+    n: int | None = None,
+    redistribute_dangling: bool = True,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank.
 
@@ -50,11 +52,20 @@ def pagerank_fixed(
     enumerating every vertex (isolated vertices keep teleport-only
     mass). Ranks are BIGINT multiples of 1e-9: initial mass
     ``SCALE div N`` per node, per-round update
-    ``T + (damping · Σ_{u→v} (r_u div deg_u)) div 100`` with
-    ``T = ((100 − damping) · SCALE) div (100 · N)`` — every operation
-    integral, so the fixpoint trajectory is engine- and
-    partitioning-exact. Returns (node, rank_fp, rank) where ``rank`` is
-    the exact double ``rank_fp / 1e9``.
+    ``T + (damping · (Σ_{u→v} (r_u div deg_u) + D div N)) div 100``
+    with ``T = ((100 − damping) · SCALE) div (100 · N)`` and ``D`` the
+    total rank held by DANGLING nodes (out-degree 0) that round —
+    redistributed uniformly, the standard PageRank treatment; without
+    it a sink node's damped share simply vanishes and every rank
+    deflates round over round (real crawl graphs are full of sinks).
+    Every operation is integral, so the fixpoint trajectory is engine-
+    and partitioning-exact. Returns (node, rank_fp, rank) where
+    ``rank`` is the exact double ``rank_fp / 1e9``. Pass ``n`` when the
+    caller already knows the node count to skip one counting job.
+    ``redistribute_dangling=False`` drops the per-round dangling
+    aggregate + broadcast — ONLY valid when every node provably has an
+    out-edge (the caller owns the proof); the results are identical in
+    that case and the plan is ~3× lighter per iteration at small scale.
 
     Plan: deg is one hash-agg over edges; the (edges ⋈ deg) relation is
     persisted + eagerly materialized so the five per-iteration joins
@@ -76,7 +87,8 @@ def pagerank_fixed(
     callers that only .explain() or compose further — they own the
     recompute cost.
     """
-    n = nodes.count()
+    if n is None:
+        n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_fixed: empty node set")
     teleport = ((100 - damping_pct) * _SCALE) // (100 * n)
@@ -86,6 +98,9 @@ def pagerank_fixed(
         ed = ed.persist()
         ed.count()  # make the persist real before the loop references it
     node_ids = nodes.select(F.col(node_col).alias("node"))
+    dangling = node_ids.join(
+        edges.select(F.col("src").alias("node")), "node", "left_anti"
+    )
     ranks = node_ids.select(
         "node", F.lit(_SCALE // n).cast("bigint").alias("rank_fp")
     )
@@ -100,17 +115,28 @@ def pagerank_fixed(
                 .groupBy("node")
                 .agg(F.sum("__sbp_c").alias("__sbp_s"))
             )
-            ranks = (
-                node_ids.join(contribs, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(teleport).cast("bigint")
-                        + F.expr(
-                            f"({damping_pct} * coalesce(__sbp_s, 0L)) div 100"
-                        )
-                    ).alias("rank_fp"),
+            updated = node_ids.join(contribs, "node", "left")
+            if redistribute_dangling:
+                # total mass sitting on out-degree-0 nodes this round:
+                # a 1-row aggregate broadcast into the update (empty
+                # anti-join → sum NULL → 0)
+                d_sum = dangling.join(ranks, "node").agg(
+                    F.coalesce(F.sum("rank_fp"), F.lit(0))
+                    .cast("bigint")
+                    .alias("__sbp_d")
                 )
+                updated = updated.crossJoin(F.broadcast(d_sum))
+                inflow = (
+                    f"coalesce(__sbp_s, 0L) + __sbp_d div {n}"
+                )
+            else:
+                inflow = "coalesce(__sbp_s, 0L)"
+            ranks = updated.select(
+                "node",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr(f"({damping_pct} * ({inflow})) div 100")
+                ).alias("rank_fp"),
             )
         out = ranks.select(
             "node",
@@ -194,5 +220,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     edges = srcs[0].unionAll(srcs[1]).unionAll(srcs[2]).distinct()
     return pagerank_fixed(
-        edges, d.select(F.col("doc_id").alias("node")), node_col="node"
+        edges,
+        d.select(F.col("doc_id").alias("node")),
+        node_col="node",
+        n=n,
+        # every doc emits 3 edges, so out-degree ≥ 1 by construction —
+        # the dangling redistribution term is provably zero here
+        redistribute_dangling=False,
     ).withColumnsRenamed({"node": "doc_id"})

@@ -132,3 +132,28 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank_fixed(e, nodes).collect()))
     b = sorted(map(tuple, pagerank_fixed(e.repartition(11), nodes).collect()))
     assert a == b
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # node 0 is a true sink (no out-edge): its damped share must be
+    # redistributed, not vanish — mass stays within flooring leakage
+    n = 8
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)], "src bigint, dst bigint"
+    )
+    out = {r["node"]: r["rank_fp"] for r in pagerank_fixed(edges, nodes).collect()}
+    total = sum(out.values())
+    # without redistribution the sink absorbs+drops ~7/8 of the mass per
+    # round: after 5 rounds total collapses toward teleport-only ~0.15.
+    # with redistribution total stays within integer-floor leakage.
+    assert total >= _SCALE - 5 * (len(out) * 3 + n)
+    assert out[0] == max(out.values())  # the sink still ranks highest
+    assert len({out[i] for i in range(1, n)}) == 1
+
+
+def test_pagerank_explicit_n_matches_counted(spark):
+    edges, nodes = _ring(spark, 16)
+    a = sorted(map(tuple, pagerank_fixed(edges, nodes).collect()))
+    b = sorted(map(tuple, pagerank_fixed(edges, nodes, n=16).collect()))
+    assert a == b
