@@ -111,10 +111,9 @@ LLM_BLOCK = [
     "dedup_survivors_star",
     # round 12 (continuation session): substring-span detect + scrub
     # (the Lee-et-al exact-substring story), the zero-shuffle hashed
-    # linear quality classifier, and fixed-point PageRank — tracked for
-    # drift; no BASELINE.md rows yet (their DuckDB twins ARE the oracle
-    # pipelines, measurable via scripts/measure_llm_baseline.py when a
-    # baseline column is next refreshed)
+    # linear quality classifier, and fixed-point PageRank — same-machine
+    # DuckDB baselines measured 2026-08-16 (BASELINE.md "Round-12
+    # continuation additions" table; each runs its own oracle SQL)
     "dedup_substring",
     "dedup_substring_rewrite",
     "text_quality_classifier",

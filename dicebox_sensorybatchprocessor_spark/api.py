@@ -3114,14 +3114,10 @@ def priority_sample(
     a skew-heavy group — same WindowGroupLimit note as cap_per_group."""
     from pyspark.sql import Window
 
+    from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
+
     _reject_column_collisions(df, ("priority", "keep", "est_weight"), "priority_sample")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = md5_prefix_int(F.col(id_col).cast("string"), salt=salt)
     pri = (
         F.col(weight_col).cast("double") * F.lit(1152921504606846976.0)
     ) / (h + F.lit(1)).cast("double")

@@ -625,12 +625,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is a map-only scan; no explode, no groupBy, no Python. (The
     oracle pays an unnest + GROUP BY for the same numbers — SQL has no
     higher-order fold.)"""
+    from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
+
     toks = F.split(F.col("text"), " ")
     weight = lambda t: (  # noqa: E731 — HOF lambda, JVM-evaluated
-        F.conv(F.substring(F.md5(F.concat(F.lit("qw|"), t)), 1, 15), 16, 10)
-        .cast("bigint")
-        % 2001
-        - 1000
+        md5_prefix_int(t, salt="qw") % 2001 - 1000
     )
     score = F.aggregate(
         F.transform(toks, weight),

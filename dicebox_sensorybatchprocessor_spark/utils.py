@@ -162,3 +162,17 @@ def stable_round_sql(expr: str, decimals: int = 6) -> str:
     """DuckDB SQL mirroring :func:`stable_round` bit-for-bit."""
     s = float(10**decimals)
     return f"floor(({expr}) * {s} + 0.5) / {s}"
+
+
+def md5_prefix_int(col: Column, salt: str | None = None) -> Column:
+    """The portable 60-bit uniform hash used across the engine: BIGINT
+    from the first 15 hex chars of md5 — Spark
+    ``conv(substring(md5(x),1,15),16,10)`` ≡ DuckDB
+    ``('0x' || substr(md5(x),1,15))::BIGINT``, bit-identical by
+    construction, which is what makes every hash-keyed sampler/dedup
+    value-checkable cross-engine. ``salt`` prepends ``"<salt>|"``.
+    (Several pre-r12 call sites inline the same expression next to
+    their hand-written SQL twins; new code should use this helper.)"""
+    if salt is not None:
+        col = F.concat(F.lit(f"{salt}|"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
