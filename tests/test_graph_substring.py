@@ -157,3 +157,65 @@ def test_pagerank_explicit_n_matches_counted(spark):
     a = sorted(map(tuple, pagerank_fixed(edges, nodes).collect()))
     b = sorted(map(tuple, pagerank_fixed(edges, nodes, n=16).collect()))
     assert a == b
+
+
+# ------------------------------------------------- property: brute force
+
+
+def _spans_reference(docs: dict[int, list[str]], k: int, min_count: int):
+    """O(everything) Python reference for duplicate_spans semantics."""
+    from collections import Counter
+
+    shingle_counts: Counter = Counter()
+    positions: dict[int, list[int]] = {}
+    for did, toks in docs.items():
+        ps = list(range(0, max(len(toks) - k + 1, 0)))
+        positions[did] = ps
+        for p in ps:
+            shingle_counts[" ".join(toks[p : p + k])] += 1
+    out = {}
+    for did, toks in docs.items():
+        dup_ps = [
+            p
+            for p in positions[did]
+            if shingle_counts[" ".join(toks[p : p + k])] >= min_count
+        ]
+        spans = []
+        for p in dup_ps:
+            if spans and p <= spans[-1][1] - (k - 1) + k:  # gap ≤ k merges
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        dup_tokens = sum(e - s + 1 for s, e in spans)
+        out[did] = (len(toks), len(spans), dup_tokens)
+    return out
+
+
+def test_duplicate_spans_matches_bruteforce_on_random_corpora(spark):
+    """Randomized differential test against the brute-force reference:
+    tiny vocabulary + short docs force heavy shingle collisions, the
+    regime where island merging and within-doc counting can go wrong."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    k = 3
+    token = st.integers(min_value=0, max_value=4).map(lambda i: f"t{i}")
+    doc = st.lists(token, min_size=1, max_size=14)
+    corpus = st.lists(doc, min_size=1, max_size=7)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpus)
+    def run(corpus):
+        docs = {i: toks for i, toks in enumerate(corpus)}
+        df = _docs(spark, [(i, " ".join(t)) for i, t in docs.items()])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+            for r in api.duplicate_spans(df, k=k).collect()
+        }
+        assert got == _spans_reference(docs, k, 2)
+
+    run()
