@@ -228,3 +228,107 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the dangling redistribution term is provably zero here
         redistribute_dangling=False,
     ).withColumnsRenamed({"node": "doc_id"})
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    materialize: bool = True,
+    n_seeds: int | None = None,
+) -> DataFrame:
+    """Personalized (seeded) PageRank — same integer fixed-point
+    recurrence as :func:`pagerank_fixed` with the teleport MASS pinned
+    to a seed set instead of spread uniformly: random walks restart at
+    the seeds, so ranks measure proximity-weighted reachability FROM
+    the seeds — the topic-/site-conditioned quality signal (seed a
+    trusted domain list, rank the crawl by how reachable each page is
+    from trust; TrustRank is exactly this shape). Banked for round-13
+    registration (the oracle is the same unrolled-CTE device with a
+    per-node teleport column); the function + tests land now so the
+    semantics are pinned before the driver-facing wiring.
+
+    Integer contract: initial mass ``SCALE div |S|`` on each seed and 0
+    elsewhere; per round ``r'_v = T_v + (damping · (Σ_in + [v∈S] ·
+    (D div |S|))) div 100`` with ``T_v = ((100−damping)·SCALE) div
+    (100·|S|)`` for seeds, 0 otherwise, and dangling mass ``D``
+    restarting at the seeds (the standard PPR treatment — in PPR the
+    walk restarts at seeds, so lost mass returns there, not uniformly).
+    Every operation BIGINT — engine/partitioning/join-order exact.
+
+    Plan shape identical to pagerank_fixed (one persisted edges⋈deg
+    relation, per-round join + aggregate + node-table left join), plus
+    a broadcast-sized seed-flag join computed once."""
+    if n_seeds is None:
+        n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    teleport = ((100 - damping_pct) * _SCALE) // (100 * n_seeds)
+    node_ids = nodes.select(F.col(node_col).alias("node"))
+    seed_ids = seeds.select(F.col(node_col).alias("node")).distinct()
+    flagged = node_ids.join(
+        seed_ids.withColumn("__sbp_seed", F.lit(1)), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("__sbp_seed"), F.lit(0)).alias("__sbp_seed")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("__sbp_deg"))
+    ed = edges.join(deg, "src")
+    if materialize:
+        ed = ed.persist()
+        ed.count()
+    dangling = node_ids.join(
+        edges.select(F.col("src").alias("node")), "node", "left_anti"
+    )
+    ranks = flagged.select(
+        "node",
+        (F.col("__sbp_seed") * F.lit(_SCALE // n_seeds))
+        .cast("bigint")
+        .alias("rank_fp"),
+    )
+    try:
+        for _ in range(iterations):
+            contribs = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_fp div __sbp_deg").alias("__sbp_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("__sbp_c").alias("__sbp_s"))
+            )
+            d_sum = dangling.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank_fp"), F.lit(0))
+                .cast("bigint")
+                .alias("__sbp_d")
+            )
+            ranks = (
+                flagged.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(d_sum))
+                .select(
+                    "node",
+                    (
+                        (F.col("__sbp_seed") * F.lit(teleport)).cast("bigint")
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(__sbp_s, 0L)"
+                            f" + __sbp_seed * (__sbp_d div {n_seeds})))"
+                            " div 100"
+                        )
+                    ).alias("rank_fp"),
+                )
+            )
+        out = ranks.select(
+            "node",
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(float(_SCALE))).alias(
+                "rank"
+            ),
+        )
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if materialize:
+            ed.unpersist(False)

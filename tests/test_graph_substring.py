@@ -219,3 +219,75 @@ def test_duplicate_spans_matches_bruteforce_on_random_corpora(spark):
         assert got == _spans_reference(docs, k, 2)
 
     run()
+
+
+# -------------------------------------------- personalized pagerank (r13)
+
+
+def test_ppr_mass_starts_and_restarts_at_seeds(spark):
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # chain 0→1→2→3→4 with a sink at 4; seed = {0}
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(edges, nodes, seeds).collect()
+    }
+    # proximity decay from the seed: strictly decreasing along the chain
+    # until the sink (which accumulates what is not yet restarted)
+    assert out[0] > out[1] > out[2] > out[3]
+    # total mass conserved within flooring leakage
+    assert sum(out.values()) <= _SCALE
+    assert sum(out.values()) >= _SCALE - 5 * (5 * 3 + 4)
+
+
+def test_ppr_unreachable_component_gets_zero(spark):
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two disjoint rings; seeds only in the first — the second must
+    # hold exactly zero mass every round (no uniform teleport in PPR)
+    nodes = spark.range(8).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)]
+        + [(4 + i, 4 + (i + 1) % 4) for i in range(4)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node bigint")
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(edges, nodes, seeds).collect()
+    }
+    assert all(out[i] == 0 for i in range(4, 8))
+    assert all(out[i] > 0 for i in range(4))
+
+
+def test_ppr_partitioning_invariant(spark):
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    nodes = spark.range(20).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, (3 * i + 1) % 20) for i in range(20)]
+        + [(i, (7 * i + 5) % 20) for i in range(20)],
+        "src bigint, dst bigint",
+    ).distinct()
+    seeds = spark.createDataFrame([(0,), (5,), (10,)], "node bigint")
+    a = sorted(map(tuple, personalized_pagerank(edges, nodes, seeds).collect()))
+    b = sorted(
+        map(
+            tuple,
+            personalized_pagerank(
+                edges.repartition(9), nodes, seeds
+            ).collect(),
+        )
+    )
+    assert a == b
