@@ -1524,3 +1524,26 @@ def test_chunk_tokens_overlap_invariants(spark):
         api.chunk_tokens(df, chunk_size=8, stride=9)
     with _pytest.raises(ValueError, match="stride"):
         api.chunk_tokens(df, chunk_size=8, stride=0)
+
+
+def test_sq8_topk_recall_and_full_shortlist_equals_exact(spark):
+    """api.sq8_topk (banked for r13 registration): with the shortlist
+    covering the whole corpus the rerank IS the exact scan (graceful
+    degradation, same contract as ivf_probe nprobe=all), and a 50-wide
+    shortlist over int8 codes recovers the exact top-5 on the fixture —
+    SQ8's per-component error (≤ scale/2) is far below the fixture's
+    neighbor margins."""
+    emb = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    q = emb.orderBy("vec_id").first()
+    qvec = [float(x) for x in q.embedding]
+    rest = emb.filter(F.col("vec_id") != q.vec_id)
+    exact = api.knn_query(rest, qvec, k=5)
+    full = api.sq8_topk(rest, qvec, k=5, shortlist=10_000)
+    assert [r.vec_id for r in full.collect()] == [
+        r.vec_id for r in exact.collect()
+    ]
+    short = api.sq8_topk(rest, qvec, k=5, shortlist=50)
+    overlap = {r.vec_id for r in short.collect()} & {
+        r.vec_id for r in exact.collect()
+    }
+    assert len(overlap) >= 4  # measured 5/5 at SF_ORACLE; claim leaves margin
