@@ -2953,20 +2953,14 @@ def dedup_survivors_star(
     )
 
 
-def _duplicate_span_relation(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    k: int,
-    min_count: int,
+def _shingle_relation(
+    df: DataFrame, text_col: str, id_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared core of :func:`duplicate_spans` / :func:`remove_duplicate_spans`:
-    returns ``(base, spans)`` where ``base`` is (id, __sbp_toks, __sbp_n)
-    over non-null-text rows and ``spans`` is the merged maximal duplicated
-    islands (id, __sbp_isl, __sbp_s, __sbp_e) — map-only shingle emission,
-    ONE count-window over the shingle hash, per-doc gap-and-islands merge."""
-    from pyspark.sql import Window
-
+    """Map-only shingle emission shared by the batch and incremental
+    substring-dedup paths: returns ``(base, shingles)`` where ``base``
+    is (id, __sbp_toks, __sbp_n) over non-null-text rows and
+    ``shingles`` is (id, __sbp_p, __sbp_h) — one k-token md5 per start
+    position, split → sequence → explode → slice, all JVM."""
     toks = F.split(F.col(text_col), " ")
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("__sbp_toks"), F.size(toks).alias("__sbp_n")
@@ -2986,10 +2980,16 @@ def _duplicate_span_relation(
             F.concat_ws(" ", F.slice("__sbp_toks", F.col("__sbp_p") + 1, k))
         ).alias("__sbp_h"),
     )
-    w_hash = Window.partitionBy("__sbp_h")
-    dup_pos = shingles.withColumn("__sbp_c", F.count("*").over(w_hash)).filter(
-        F.col("__sbp_c") >= min_count
-    )
+    return base, shingles
+
+
+def _islands_to_spans(dup_pos: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gap-and-islands merge shared by the batch and incremental paths:
+    duplicated start positions (id, __sbp_p, …) → merged maximal spans
+    (id, __sbp_isl, __sbp_s, __sbp_e); a new span starts when the gap
+    exceeds ``k``."""
+    from pyspark.sql import Window
+
     w_doc = Window.partitionBy(id_col).orderBy("__sbp_p")
     islands = (
         dup_pos.withColumn("__sbp_prev", F.lag("__sbp_p").over(w_doc))
@@ -3008,11 +3008,32 @@ def _duplicate_span_relation(
             ),
         )
     )
-    spans = islands.groupBy(id_col, "__sbp_isl").agg(
+    return islands.groupBy(id_col, "__sbp_isl").agg(
         F.min("__sbp_p").alias("__sbp_s"),
         (F.max("__sbp_p") + (k - 1)).alias("__sbp_e"),
     )
-    return base, spans
+
+
+def _duplicate_span_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`duplicate_spans` / :func:`remove_duplicate_spans`:
+    returns ``(base, spans)`` where ``base`` is (id, __sbp_toks, __sbp_n)
+    over non-null-text rows and ``spans`` is the merged maximal duplicated
+    islands (id, __sbp_isl, __sbp_s, __sbp_e) — map-only shingle emission,
+    ONE count-window over the shingle hash, per-doc gap-and-islands merge."""
+    from pyspark.sql import Window
+
+    base, shingles = _shingle_relation(df, text_col, id_col, k)
+    w_hash = Window.partitionBy("__sbp_h")
+    dup_pos = shingles.withColumn("__sbp_c", F.count("*").over(w_hash)).filter(
+        F.col("__sbp_c") >= min_count
+    )
+    return base, _islands_to_spans(dup_pos, id_col, k)
 
 
 def duplicate_spans(
@@ -3248,3 +3269,100 @@ def sq8_topk(
         .limit(shortlist)
     )
     return _exact_cosine_rerank(df, cand, query_vec, k, vec_col, id_col)
+
+
+def duplicate_spans_incremental(
+    batch: DataFrame,
+    state: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    max_dup_ratio: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental substring-span dedup — the O(batch) streaming form of
+    :func:`duplicate_spans` (banked for round-13's encode-in-stream
+    registration, NOTES backlog #3; same contract family as
+    dedup_incremental's fingerprint table and stream_ann_ingest's
+    frozen-quantizer encode): arriving documents are flagged against a
+    persisted shingle-count ``state`` table, and the batch's own counts
+    merge into the returned next state. Returns ``(flagged, new_state)``
+    where ``flagged`` has duplicate_spans' exact output schema for the
+    BATCH rows and ``new_state`` is (__sbp_h, __sbp_c).
+
+    Exactness contract (what the r13 oracle will claim): a shingle in an
+    arriving document is duplicated iff its count over standing ∪ batch
+    is ≥ ``min_count`` — so ``flagged`` equals the one-shot
+    ``duplicate_spans(standing ∪ batch)`` RESTRICTED to the batch ids,
+    provably, batch by batch. (Retroactive flags on STANDING docs whose
+    shingles only now recur are the one-shot recompute's job — the
+    incremental contract scores arrivals, exactly; it never rescores
+    history. dedup_incremental draws the identical line.)
+
+    Cost shape: the standing corpus is never rescanned — one map-only
+    shingle emission over the batch, one batch-side count aggregate,
+    one keyed join of the batch's DISTINCT shingle hashes against the
+    state table (hash-partitioned; at 100 TB the state table is
+    bucketed by hash so the probe is co-located), the same per-doc
+    island merge, and a full-outer count merge whose width is the
+    batch's distinct-shingle count."""
+    base, shingles = _shingle_relation(batch, text_col, id_col, k)
+    batch_counts = shingles.groupBy("__sbp_h").agg(
+        F.count("*").alias("__sbp_cb")
+    )
+    if state is None:
+        merged = batch_counts.select(
+            "__sbp_h",
+            F.col("__sbp_cb").cast("bigint").alias("__sbp_c"),
+        )
+    else:
+        merged = (
+            batch_counts.join(
+                state.select(
+                    "__sbp_h", F.col("__sbp_c").alias("__sbp_cs")
+                ),
+                "__sbp_h",
+                "full_outer",
+            )
+            .select(
+                "__sbp_h",
+                (
+                    F.coalesce(F.col("__sbp_cb"), F.lit(0))
+                    + F.coalesce(F.col("__sbp_cs"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("__sbp_c"),
+            )
+        )
+    dup_pos = shingles.join(
+        merged.filter(F.col("__sbp_c") >= min_count).select("__sbp_h"),
+        "__sbp_h",
+    )
+    spans = _islands_to_spans(dup_pos, id_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("dup_spans"),
+        F.sum(F.col("__sbp_e") - F.col("__sbp_s") + 1)
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    from dicebox_sensorybatchprocessor_spark.utils import stable_round
+
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint"))
+    ratio_num = int(round(max_dup_ratio * 1_000_000))
+    flagged = (
+        base.select(id_col, F.col("__sbp_n").cast("bigint").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_spans"), F.lit(0).cast("bigint")).alias(
+                "dup_spans"
+            ),
+            dup_tokens.alias("dup_tokens"),
+            stable_round(dup_tokens / F.col("n_tokens"), 6).alias("dup_ratio"),
+            (dup_tokens * 1_000_000 <= F.col("n_tokens") * ratio_num).alias(
+                "keep"
+            ),
+        )
+    )
+    return flagged, merged

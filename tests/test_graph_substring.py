@@ -291,3 +291,49 @@ def test_ppr_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+# ------------------------------------- incremental substring dedup (r13)
+
+
+def test_incremental_spans_match_oneshot_restricted_to_arrivals(spark):
+    """The banked incremental contract: after any batch, its flagged
+    output equals the ONE-SHOT duplicate_spans over everything seen so
+    far, RESTRICTED to that batch's ids — proven over three batches
+    with cross-batch, within-batch, and retroactive-only duplication."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    b1 = _docs(spark, [(1, shared), (2, "a " * 11 + "a")])
+    b2 = _docs(spark, [(3, shared), (4, " ".join(f"u{i}" for i in range(12)))])
+    b3 = _docs(spark, [(5, " ".join(f"u{i}" for i in range(12)))])
+    batches = [b1, b2, b3]
+    state = None
+    seen = None
+    for b in batches:
+        flagged, state = api.duplicate_spans_incremental(b, state)
+        seen = b if seen is None else seen.unionAll(b)
+        ids = {r["doc_id"] for r in b.select("doc_id").collect()}
+        oneshot = {
+            r["doc_id"]: tuple(r)
+            for r in api.duplicate_spans(seen).collect()
+            if r["doc_id"] in ids
+        }
+        got = {r["doc_id"]: tuple(r) for r in flagged.collect()}
+        assert got == oneshot
+    # the final state's counts equal the one-shot shingle multiset
+    from dicebox_sensorybatchprocessor_spark.api import _shingle_relation
+
+    _, sh = _shingle_relation(seen, "text", "doc_id", 8)
+    truth = {
+        r["__sbp_h"]: r["c"]
+        for r in sh.groupBy("__sbp_h").agg(F.count("*").alias("c")).collect()
+    }
+    got_state = {r["__sbp_h"]: r["__sbp_c"] for r in state.collect()}
+    assert got_state == truth
+
+
+def test_incremental_first_batch_equals_batch_path(spark):
+    text = " ".join(f"w{i % 5}" for i in range(30))
+    b = _docs(spark, [(i, text if i % 2 == 0 else f"z{i} " * 20 + "end") for i in range(8)])
+    flagged, _ = api.duplicate_spans_incremental(b, None)
+    direct = sorted(map(tuple, api.duplicate_spans(b).collect()))
+    assert sorted(map(tuple, flagged.collect())) == direct
