@@ -100,6 +100,28 @@ OPS = (
 )
 
 
+def _force_count(df) -> int:
+    """Row count that FORCES every output column to be computed.
+
+    A bare ``.count()`` lets Catalyst prune all columns and even
+    eliminate a final left join whose right side is provably unique —
+    measured in-round: dedup_substring's count() collapsed to the base
+    table scan (0 shuffle bytes, 10× under-measured wall), and the
+    map-only text legs' count() skipped the md5/regex work entirely.
+    Counting every column's non-nulls keeps each column (and therefore
+    every upstream stage) alive while still returning the row count."""
+    from pyspark.sql import functions as _F
+
+    row = df.agg(
+        _F.count(_F.lit(1)).alias("__n"),
+        *[
+            _F.count(_F.col(c)).alias(f"__c{i}")
+            for i, c in enumerate(df.columns)
+        ],
+    ).collect()[0]
+    return row["__n"]
+
+
 def _shuffle_bytes(spark) -> int:
     """Cumulative shuffle bytes written, from the executors endpoint —
     unlike /stages it never evicts history (spark.ui.retainedStages
@@ -195,7 +217,7 @@ def main() -> None:
         for op in OPS:
             sb0 = _shuffle_bytes(spark)
             t0 = time.perf_counter()
-            n = qs[op].fn(spark, staged).count()
+            n = _force_count(qs[op].fn(spark, staged))
             wall = time.perf_counter() - t0
             sb1 = _shuffle_bytes(spark)
             results.setdefault(op, {})[f"x{level}"] = {
