@@ -36,6 +36,19 @@ from dicebox_sensorybatchprocessor_spark.utils import scratch_dir_cached
 # << corpus) as a FIXTURE artifact of the amplification, not a plan
 # property; its scale behavior is instead characterized by the
 # broadcast-vs-bloom seam docs + the bloom-superset metamorphic test.
+def _force_count(df) -> int:
+    """Row count that forces every output column (same device as
+    stress_scale._force_count, duplicated because these are plain
+    scripts, not a package): a bare .count() lets Catalyst prune all
+    columns — for quality-gate outputs that means skipping the very
+    statistics being timed."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.col(c)).alias(f"__c{i}") for i, c in enumerate(df.columns)],
+    ).collect()[0]
+    return row["__n"]
+
+
 OPS = (
     "text_unigram_lm_score",
     "text_token_entropy",
@@ -107,11 +120,11 @@ def main() -> None:
                 # the manifest) — capture the full tiny result for the
                 # bit-equality check below
                 capstone_sigs[amp] = sorted(map(str, df.collect()))
-            df.count()  # warm (first run pays file listing + codegen)
+            _force_count(df)  # warm (first run pays file listing + codegen)
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                n = df.count()
+                n = _force_count(df)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             if amp == 1:
@@ -173,11 +186,11 @@ def main() -> None:
         d = load(spark, staged, "documents")
         entry: dict[str, float] = {}
         for label, mat in (("checkpoint_off", False), ("checkpoint_on", True)):
-            api.curation_pipeline(d, materialize=mat).count()  # warm
+            _force_count(api.curation_pipeline(d, materialize=mat))  # warm
             best = None
             for _ in range(3):
                 t0 = time.perf_counter()
-                api.curation_pipeline(d, materialize=mat).count()
+                _force_count(api.curation_pipeline(d, materialize=mat))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             entry[label] = round(best, 4)
