@@ -332,3 +332,64 @@ def personalized_pagerank(
     finally:
         if materialize:
             ed.unpersist(False)
+
+
+def _ppr_oracle(iterations: int = 5, seed_mod: int = 50) -> str:
+    """Unrolled DuckDB mirror of :func:`personalized_pagerank` over the
+    derived document link graph with seeds ``doc_id % seed_mod == 0`` —
+    banked alongside the operator so round-13's registration is a
+    two-line change (tests already pin Spark ≡ this SQL at sf0.001).
+    Same integer arithmetic as the batch oracle; the teleport and
+    dangling-restart terms carry the per-node seed flag."""
+    ctes = [
+        f"seeds AS (SELECT doc_id FROM documents WHERE doc_id % {seed_mod} = 0)",
+        "ns AS (SELECT count(*) AS ns FROM seeds)",
+        "tp AS (SELECT CAST(15000000000 AS BIGINT) // (100 * ns.ns) AS tp"
+        " FROM ns)",
+        "nn AS (SELECT count(*) AS n FROM documents)",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % nn.n AS dst FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 2) % nn.n FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (5 * doc_id + 3) % nn.n FROM documents, nn
+      )
+    )""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "flags AS (SELECT d.doc_id, CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1"
+        " END AS seed FROM documents d LEFT JOIN seeds s"
+        " ON s.doc_id = d.doc_id)",
+        "r0 AS (SELECT f.doc_id AS node,"
+        " f.seed * (1000000000 // ns.ns) AS r FROM flags f, ns)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT f.doc_id AS node,
+             f.seed * tp.tp
+             + (85 * (coalesce(s.s, 0)
+                      + f.seed * (dd.d // ns.ns))) // 100 AS r
+      FROM flags f
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.r // g.deg) AS s
+        FROM edges e JOIN deg g ON g.src = e.src
+        JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = f.doc_id
+      CROSS JOIN (SELECT coalesce(sum(r.r), 0) AS d
+                  FROM r{i - 1} r
+                  LEFT JOIN deg g ON g.src = r.node
+                  WHERE g.src IS NULL) dd
+      CROSS JOIN tp CROSS JOIN ns
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp,
+           CAST(r AS DOUBLE) / 1000000000.0 AS rank
+    FROM r{iterations}
+    """
+    )

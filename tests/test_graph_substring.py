@@ -337,3 +337,42 @@ def test_incremental_first_batch_equals_batch_path(spark):
     flagged, _ = api.duplicate_spans_incremental(b, None)
     direct = sorted(map(tuple, api.duplicate_spans(b).collect()))
     assert sorted(map(tuple, flagged.collect())) == direct
+
+
+def test_ppr_oracle_generator_matches_spark(spark):
+    """The banked r13 registration pair: personalized_pagerank over the
+    derived doc link graph (seeds = doc_id % 50 == 0) must equal the
+    unrolled-CTE DuckDB oracle _ppr_oracle emits — verified here so the
+    r13 registration is a two-line change with the hard part already
+    red/green."""
+    from dicebox_sensorybatchprocessor_spark import load
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        _ppr_oracle,
+        personalized_pagerank,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import run_oracle
+
+    d = load(spark, SF_ORACLE, "documents").select("doc_id")
+    n = d.count()
+    srcs = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.lit(a) * F.col("doc_id") + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for a, c in ((2, 1), (3, 2), (5, 3))
+    ]
+    edges = srcs[0].unionAll(srcs[1]).unionAll(srcs[2]).distinct()
+    seeds = d.filter("doc_id % 50 = 0").select(F.col("doc_id").alias("node"))
+    got = sorted(
+        tuple(r)
+        for r in personalized_pagerank(
+            edges, d.select(F.col("doc_id").alias("node")), seeds
+        ).collect()
+    )
+    want_df = run_oracle(_ppr_oracle(5, 50), SF_ORACLE)
+    want = sorted(
+        tuple(r)
+        for r in want_df[["doc_id", "rank_fp", "rank"]].itertuples(index=False)
+    )
+    assert got == want
