@@ -376,3 +376,50 @@ def test_ppr_oracle_generator_matches_spark(spark):
         for r in want_df[["doc_id", "rank_fp", "rank"]].itertuples(index=False)
     )
     assert got == want
+
+
+def test_rewrite_matches_bruteforce_on_random_corpora(spark):
+    """Same randomized differential as the detection test, for the SCRUB
+    leg: clean_text must equal the reference's token-level removal."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    k = 3
+    token = st.integers(min_value=0, max_value=4).map(lambda i: f"t{i}")
+    doc = st.lists(token, min_size=1, max_size=14)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    def reference_clean(docs, k, min_count):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for toks in docs.values():
+            for p in range(len(toks) - k + 1):
+                counts[" ".join(toks[p : p + k])] += 1
+        out = {}
+        for did, toks in docs.items():
+            covered = set()
+            for p in range(len(toks) - k + 1):
+                if counts[" ".join(toks[p : p + k])] >= min_count:
+                    covered.update(range(p, p + k))
+            out[did] = " ".join(
+                t for i, t in enumerate(toks) if i not in covered
+            )
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpus)
+    def run(corpus):
+        docs = {i: toks for i, toks in enumerate(corpus)}
+        df = _docs(spark, [(i, " ".join(t)) for i, t in docs.items()])
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in api.remove_duplicate_spans(df, k=k).collect()
+        }
+        assert got == reference_clean(docs, k, 2)
+
+    run()
