@@ -3366,3 +3366,89 @@ def duplicate_spans_incremental(
         )
     )
     return flagged, merged
+
+
+def substring_dedup_stream(
+    stream: DataFrame,
+    results_table,
+    state_table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    max_dup_ratio: float = 0.5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    txn_app_id: str | None = None,
+):
+    """Streaming substring-span dedup — :func:`duplicate_spans_incremental`
+    wired through the manifest-commit protocol (banked for round-13's
+    registration; stream_ann_ingest is the template): each arriving
+    micro-batch is flagged against the persisted shingle-count STATE
+    table in O(batch), the flagged rows blind-append to the RESULTS
+    table, and the batch-merged counts upsert back into the state, each
+    write one atomic manifest commit.
+
+    Crash/replay correctness without version travel, by WRITE ORDER:
+    the results append commits FIRST (txn ``<app>:res``), the state
+    merge SECOND (txn ``<app>:state``), both exactly-once. A replayed
+    batch whose results landed but whose state merge didn't recomputes
+    ``flagged`` from the still-pre-batch state (discarded by the
+    results txn skip) and re-runs only the state merge; a fully-landed
+    batch skips both. The inverse order would be WRONG: state-first
+    means a crash between the writes replays the flagging against a
+    state that already contains the batch's own shingles, double-
+    counting them into the results.
+
+    At 100 TB: the state table is the corpus's distinct-shingle counts
+    — bucket it by ``__sbp_h`` (pass a bucketed ManifestTable) so each
+    micro-batch's merge rewrites only touched buckets, and compact on
+    the maintenance cadence. Returns the started StreamingQuery."""
+    import os as _os
+
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    t_res = (
+        lake.ManifestTable(results_table)
+        if isinstance(results_table, str)
+        else results_table
+    )
+    t_state = (
+        lake.ManifestTable(state_table)
+        if isinstance(state_table, str)
+        else state_table
+    )
+    ck = checkpoint_dir or scratch_dir(prefix="sbp_ck_substr_")
+    app = txn_app_id or (
+        f"substring_dedup_stream:{_os.path.basename(_os.path.normpath(ck))}"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state_df = (
+            t_state.read(spark) if t_state.data_files() else None
+        )
+        flagged, new_state = duplicate_spans_incremental(
+            batch_df,
+            state_df,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            min_count=min_count,
+            max_dup_ratio=max_dup_ratio,
+        )
+        t_res.append(flagged, txn=(f"{app}:res", int(batch_id)))
+        lake.merge_upsert(
+            t_state,
+            new_state,
+            ("__sbp_h",),
+            txn=(f"{app}:state", int(batch_id)),
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", ck
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

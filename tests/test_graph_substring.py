@@ -423,3 +423,67 @@ def test_rewrite_matches_bruteforce_on_random_corpora(spark):
         assert got == reference_clean(docs, k, 2)
 
     run()
+
+
+def test_substring_dedup_stream_end_to_end(spark):
+    """The banked streaming wiring (r13 backlog #3a): three file-source
+    micro-batches flow through api.substring_dedup_stream; the RESULTS
+    table must equal the concatenation of per-batch one-shot
+    restrictions (the incremental exactness contract, now across a real
+    stream + manifest commits), the STATE table must equal the full
+    corpus's shingle-count multiset, and both tables carry the
+    exactly-once txn markers for the last batch."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
+    from dicebox_sensorybatchprocessor_spark.api import _shingle_relation
+    from dicebox_sensorybatchprocessor_spark.streaming.streams import (
+        _stage_files,
+        _streaming_session,
+    )
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    s = _streaming_session(spark)
+    shared = " ".join(f"s{i}" for i in range(12))
+    batches = [
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        )
+        for rows in (
+            [(1, shared), (2, "a " * 11 + "a")],
+            [(3, shared), (4, " ".join(f"u{i}" for i in range(12)))],
+            [(5, " ".join(f"u{i}" for i in range(12)))],
+        )
+    ]
+    staged = _stage_files(s, batches, "substr")
+    stream = s.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(staged)
+    res_t = lake.ManifestTable(scratch_dir(prefix="sbp_substr_res_"))
+    state_t = lake.ManifestTable(scratch_dir(prefix="sbp_substr_state_"))
+    q = api.substring_dedup_stream(
+        stream, res_t, state_t,
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_substr_t_"),
+        txn_app_id="substr_test",
+    )
+    q.awaitTermination()
+
+    # expected: per-batch incremental == one-shot restricted to arrivals
+    expected = {}
+    seen = None
+    for b in batches:
+        seen = b if seen is None else seen.unionAll(b)
+        ids = {r["doc_id"] for r in b.select("doc_id").collect()}
+        for r in api.duplicate_spans(seen).collect():
+            if r["doc_id"] in ids:
+                expected[r["doc_id"]] = tuple(r)
+    got = {r["doc_id"]: tuple(r) for r in res_t.read(s).collect()}
+    assert got == expected
+
+    _, sh = _shingle_relation(seen, "text", "doc_id", 8)
+    truth = {
+        r["__sbp_h"]: r["c"]
+        for r in sh.groupBy("__sbp_h").agg(F.count("*").alias("c")).collect()
+    }
+    state = {r["__sbp_h"]: r["__sbp_c"] for r in state_t.read(s).collect()}
+    assert state == truth
+    assert res_t.txn_version("substr_test:res") == 2  # batches 0..2
+    assert state_t.txn_version("substr_test:state") == 2
