@@ -487,3 +487,53 @@ def test_substring_dedup_stream_end_to_end(spark):
     assert state == truth
     assert res_t.txn_version("substr_test:res") == 2  # batches 0..2
     assert state_t.txn_version("substr_test:state") == 2
+
+
+def test_substring_stream_replay_after_partial_batch(spark):
+    """The write-order claim under a simulated crash: batch N's RESULTS
+    append lands but its STATE merge does not (crash between the two
+    commits). The replay must (a) skip the results append via its txn,
+    (b) still compute flagging against the PRE-batch state (the exact
+    hazard of the inverse order), and (c) complete the state merge —
+    ending bit-identical to a never-crashed run."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    text_a = " ".join(f"p{i}" for i in range(12))
+    b0 = spark.createDataFrame([(1, text_a)], "doc_id bigint, text string")
+    b1 = spark.createDataFrame(
+        [(2, text_a), (3, "q " * 11 + "q")], "doc_id bigint, text string"
+    )
+
+    def run(crash_between: bool):
+        res_t = lake.ManifestTable(scratch_dir(prefix="sbp_replay_res_"))
+        state_t = lake.ManifestTable(scratch_dir(prefix="sbp_replay_state_"))
+
+        def process(batch_df, batch_id, skip_state=False):
+            state_df = state_t.read(spark) if state_t.data_files() else None
+            flagged, new_state = api.duplicate_spans_incremental(
+                batch_df, state_df
+            )
+            res_t.append(flagged, txn=("app:res", batch_id))
+            if not skip_state:
+                lake.merge_upsert(
+                    state_t, new_state, ("__sbp_h",), txn=("app:state", batch_id)
+                )
+
+        process(b0, 0)
+        if crash_between:
+            process(b1, 1, skip_state=True)  # crash after results commit
+            process(b1, 1)  # checkpoint replay re-runs the whole batch
+        else:
+            process(b1, 1)
+        res = sorted(map(tuple, res_t.read(spark).collect()))
+        st = sorted(map(tuple, state_t.read(spark).collect()))
+        return res, st
+
+    clean = run(crash_between=False)
+    replayed = run(crash_between=True)
+    assert replayed == clean
+    # and the flagging itself is right: doc 2 (a copy of doc 1) is fully
+    # flagged, doc 3's self-repeats are flagged, doc 1 was clean at its time
+    res = {r[0]: r for r in clean[0]}
+    assert res[1][3] == 0 and res[2][3] == 12 and res[3][3] == 12
