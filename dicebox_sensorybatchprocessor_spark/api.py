@@ -10,7 +10,12 @@ llm/text.py, llm/dedup.py, llm/curation.py, llm/multimodal.py,
 operators/analytics.py, operators/windows.py, and streaming/streams.py
 are thin wrappers over these functions, which keeps the two surfaces
 provably identical: every API function is exercised against a DuckDB
-oracle through its registered twin.
+oracle through its registered twin — except the round-13-banked
+functions (sq8_topk, duplicate_spans_incremental,
+substring_dedup_stream, operators.graph.personalized_pagerank), whose
+registrations are queued on driver-window slots; each is pinned today
+by brute-force/equivalence tests (test_graph_substring, test_api) and
+personalized_pagerank already has its verified oracle generator.
 
 Engine-invariant guarantees shared by all functions here:
 - no Python row loops — built-in JVM expressions, or Arrow-batched
