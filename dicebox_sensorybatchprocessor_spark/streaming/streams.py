@@ -1434,3 +1434,99 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("stream_ingest_identical", F.lit(identical)).withColumn(
         "exactly_once", F.lit(exactly_once)
     )
+
+
+# --- round-13 banked registration pair (NOT yet registered: the driver
+# window is full this round; see NOTES round-13 backlog #3) -------------
+
+_SUBSTR_STREAM_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, doc_id % 3 AS b, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT bb.doc_id, bb.b, g.k AS p,
+             md5(array_to_string(bb.t[g.k + 1 : g.k + 8], ' ')) AS h
+      FROM base bb, generate_series(0, 4096) g(k)
+      WHERE bb.n >= 8 AND g.k <= bb.n - 8
+    ),
+    cum AS (
+      SELECT h, b, sum(count(*)) OVER (PARTITION BY h ORDER BY b) AS cc
+      FROM sh GROUP BY h, b
+    ),
+    dup AS (
+      SELECT s.doc_id, s.p
+      FROM sh s JOIN cum c ON c.h = s.h AND c.b = s.b
+      WHERE c.cc >= 2
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN prev IS NULL OR p > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM (SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, g, min(p) AS s, max(p) + 7 AS e
+      FROM isl GROUP BY doc_id, g
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           floor((coalesce(p.dup_tokens, 0) * 1.0 / b.n) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_ratio,
+           coalesce(p.dup_tokens, 0) * 1000000 <= b.n * 500000 AS keep
+    FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+    """
+
+
+def stream_substring_dedup_banked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring-span dedup end-to-end (banked; r13
+    registration = ``@register("stream_substring_dedup",
+    oracle=_SUBSTR_STREAM_ORACLE, cache_plan=False)`` on this
+    function): the documents corpus ARRIVES as three file-source
+    micro-batches (doc_id % 3 — a deterministic split the oracle can
+    reproduce), each flagged in O(batch) against the persisted
+    shingle-count state (api.substring_dedup_stream: results append +
+    state merge, both exactly-once manifest commits), and the returned
+    rows are the accumulated results table.
+
+    The oracle is FULLY value-checked, not a rows-only claim: a
+    cumulative per-(shingle, batch) count window reproduces the
+    incremental semantics in pure SQL — a shingle in a batch-b document
+    is duplicated iff its count over batches ≤ b reaches 2 — so every
+    per-document span statistic the stream emits is recomputed
+    engine-independently, including the asymmetry that an early copy
+    stays clean while its later twin is flagged (the defining
+    difference from the batch dedup_substring oracle)."""
+    from dicebox_sensorybatchprocessor_spark import api, lake
+
+    spark = _streaming_session(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    )
+    parts = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    staged = _stage_files(spark, parts, "substrdedup", cache_key=sf_dir)
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(staged)
+    res_t = lake.ManifestTable(scratch_dir(prefix="sbp_substr_res_"))
+    state_t = lake.ManifestTable(scratch_dir(prefix="sbp_substr_state_"))
+    q = api.substring_dedup_stream(
+        stream,
+        res_t,
+        state_t,
+        checkpoint_dir=scratch_dir(prefix="sbp_ck_substrdedup_"),
+        txn_app_id="stream_substring_dedup",
+    )
+    q.awaitTermination()
+    return res_t.read(spark)

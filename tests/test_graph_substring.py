@@ -553,3 +553,21 @@ def test_sq8_banked_pair_matches_oracle(spark):
     assert_query_matches(
         sim_ann_sq8_banked(spark, SF_ORACLE), _SQ8_ORACLE, SF_ORACLE
     )
+
+
+def test_stream_substring_banked_pair_matches_oracle(spark):
+    """The banked streaming registration pair must hash-match its fully
+    value-checked oracle (cumulative per-batch shingle counts in SQL)
+    today — r13 registration is one decorator."""
+    from dicebox_sensorybatchprocessor_spark.streaming.streams import (
+        _SUBSTR_STREAM_ORACLE,
+        stream_substring_dedup_banked,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import assert_query_matches
+
+    assert_query_matches(
+        stream_substring_dedup_banked(spark, SF_ORACLE),
+        _SUBSTR_STREAM_ORACLE,
+        SF_ORACLE,
+    )
