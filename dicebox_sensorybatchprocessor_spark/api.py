@@ -2474,10 +2474,13 @@ def _exact_cosine_rerank(
     vectors, cand, query_vec: list, k: int, vec_col: str, id_col: str
 ):
     """Shared verify tail of every shortlist-then-rerank ANN composition
-    (PQ, IVF-PQ): only the candidate ids join back (broadcast — the
+    (PQ, IVF-PQ, SQ8): only the candidate ids join back (broadcast — the
     shortlist is tiny by contract) to their full-precision vectors for
     an exact cosine, final top-k via TakeOrderedAndProject. Columns:
-    id, cosine."""
+    id, cosine — rounded to 6 decimals and ordered (cosine DESC, id ASC)
+    exactly like :func:`knn_query`, so a full shortlist degrades to the
+    IDENTICAL rows the exact scan returns even on rounded ties
+    (ADVICE r13 #3)."""
     import math as _math
 
     qn = _math.sqrt(sum(x * x for x in query_vec)) or 1.0
@@ -2499,7 +2502,7 @@ def _exact_cosine_rerank(
     )
     return (
         vectors.join(F.broadcast(cand.select(id_col)), id_col)
-        .select(id_col, cos.alias("cosine"))
+        .select(id_col, F.round(cos, 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -3248,8 +3251,17 @@ def sq8_topk(
     normalized query against dequantized codes: ``scale · Σ q_i·q̂_i``),
     a ``shortlist``-sized prefix survives via TakeOrderedAndProject,
     and the exact cosine rerank tail shared with the PQ/IVF-PQ legs
-    picks the final top-k from full vectors. Banked for round-13
-    registration (NOTES backlog #3); semantics pinned by tests now.
+    picks the final top-k from full vectors (rounded-then-id ordering,
+    identical to :func:`knn_query`). Banked for round-13 registration
+    (NOTES backlog #3); semantics pinned by tests now.
+
+    Zero corpus vectors are EXCLUDED from the shortlist by construction
+    (:func:`quantize_int8` drops scale==0 rows — a zero vector has no
+    quantization and no defined cosine), so the "full shortlist == exact
+    scan" degradation holds over the non-zero corpus; callers with
+    possible zero embeddings should pre-filter them identically on any
+    exact path they compare against (ADVICE r13 #3 documents this
+    asymmetry vs :func:`knn_query`, which only guards the QUERY).
 
     The approximation error per component is bounded by the quantizer's
     guarantee (|v_i − scale·q_i| ≤ scale/2), so the approx score sits
@@ -3284,6 +3296,7 @@ def duplicate_spans_incremental(
     k: int = 8,
     min_count: int = 2,
     max_dup_ratio: float = 0.5,
+    state_delta: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental substring-span dedup — the O(batch) streaming form of
     :func:`duplicate_spans` (banked for round-13's encode-in-stream
@@ -3294,6 +3307,16 @@ def duplicate_spans_incremental(
     merge into the returned next state. Returns ``(flagged, new_state)``
     where ``flagged`` has duplicate_spans' exact output schema for the
     BATCH rows and ``new_state`` is (__sbp_h, __sbp_c).
+
+    ``state_delta=True`` narrows ``new_state`` to the keys the batch
+    TOUCHED (merged counts for the batch's distinct shingles only) —
+    the form a keyed upsert sink wants, because
+    :func:`lake.merge_upsert`'s anti-join already preserves unseen
+    standing keys: upserting the delta yields the identical final state
+    while touching only O(batch) rows/buckets instead of rewriting the
+    whole state table every micro-batch (ADVICE r13 #1). The default
+    ``False`` keeps the chainable full-state contract (``state =
+    new_state`` across in-memory batches).
 
     Exactness contract (what the r13 oracle will claim): a shingle in an
     arriving document is duplicated iff its count over standing ∪ batch
@@ -3309,38 +3332,42 @@ def duplicate_spans_incremental(
     one keyed join of the batch's DISTINCT shingle hashes against the
     state table (hash-partitioned; at 100 TB the state table is
     bucketed by hash so the probe is co-located), the same per-doc
-    island merge, and a full-outer count merge whose width is the
-    batch's distinct-shingle count."""
+    island merge, and a touched-keys count merge whose width is the
+    batch's distinct-shingle count (flagging reads ONLY that delta —
+    the full-state union is built lazily for the default return and
+    never feeds the flagging path)."""
     base, shingles = _shingle_relation(batch, text_col, id_col, k)
     batch_counts = shingles.groupBy("__sbp_h").agg(
         F.count("*").alias("__sbp_cb")
     )
     if state is None:
-        merged = batch_counts.select(
+        delta = batch_counts.select(
             "__sbp_h",
             F.col("__sbp_cb").cast("bigint").alias("__sbp_c"),
         )
+        merged = delta
     else:
+        standing = state.select("__sbp_h", F.col("__sbp_c").alias("__sbp_cs"))
+        delta = batch_counts.join(standing, "__sbp_h", "left").select(
+            "__sbp_h",
+            (F.col("__sbp_cb") + F.coalesce(F.col("__sbp_cs"), F.lit(0)))
+            .cast("bigint")
+            .alias("__sbp_c"),
+        )
         merged = (
-            batch_counts.join(
-                state.select(
-                    "__sbp_h", F.col("__sbp_c").alias("__sbp_cs")
-                ),
-                "__sbp_h",
-                "full_outer",
-            )
-            .select(
-                "__sbp_h",
-                (
-                    F.coalesce(F.col("__sbp_cb"), F.lit(0))
-                    + F.coalesce(F.col("__sbp_cs"), F.lit(0))
+            delta
+            if state_delta
+            else delta.unionByName(
+                state.join(
+                    batch_counts.select("__sbp_h"), "__sbp_h", "anti"
+                ).select(
+                    "__sbp_h",
+                    F.col("__sbp_c").cast("bigint").alias("__sbp_c"),
                 )
-                .cast("bigint")
-                .alias("__sbp_c"),
             )
         )
     dup_pos = shingles.join(
-        merged.filter(F.col("__sbp_c") >= min_count).select("__sbp_h"),
+        delta.filter(F.col("__sbp_c") >= min_count).select("__sbp_h"),
         "__sbp_h",
     )
     spans = _islands_to_spans(dup_pos, id_col, k)
@@ -3391,8 +3418,10 @@ def substring_dedup_stream(
     registration; stream_ann_ingest is the template): each arriving
     micro-batch is flagged against the persisted shingle-count STATE
     table in O(batch), the flagged rows blind-append to the RESULTS
-    table, and the batch-merged counts upsert back into the state, each
-    write one atomic manifest commit.
+    table, and the batch's TOUCHED-key merged counts (the
+    ``state_delta`` form) upsert back into the state — so the commit
+    rewrites only the rows/buckets the batch touched, never the whole
+    standing table — each write one atomic manifest commit.
 
     Crash/replay correctness without version travel, by WRITE ORDER:
     the results append commits FIRST (txn ``<app>:res``), the state
@@ -3434,7 +3463,7 @@ def substring_dedup_stream(
         state_df = (
             t_state.read(spark) if t_state.data_files() else None
         )
-        flagged, new_state = duplicate_spans_incremental(
+        flagged, state_upd = duplicate_spans_incremental(
             batch_df,
             state_df,
             text_col=text_col,
@@ -3442,11 +3471,16 @@ def substring_dedup_stream(
             k=k,
             min_count=min_count,
             max_dup_ratio=max_dup_ratio,
+            # only the touched keys go to the upsert: merge_upsert's
+            # anti-join preserves unseen standing keys, so the commit
+            # rewrites O(batch) rows/buckets, not the whole state table
+            # (ADVICE r13 #1)
+            state_delta=True,
         )
         t_res.append(flagged, txn=(f"{app}:res", int(batch_id)))
         lake.merge_upsert(
             t_state,
-            new_state,
+            state_upd,
             ("__sbp_h",),
             txn=(f"{app}:state", int(batch_id)),
         )

@@ -181,7 +181,7 @@ def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN r.rn <= 30
                 THEN greatest(CAST(r.n_chars AS DOUBLE), coalesce(t.tau, 0.0))
                 ELSE 0.0 END AS est_weight
-    FROM ranked r JOIN tau t ON t.lang = r.lang
+    FROM ranked r LEFT JOIN tau t ON t.lang IS NOT DISTINCT FROM r.lang
     """,
 )
 def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +192,11 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset's estimator sum is unbiased for its true weight. The whole
     sampler is one per-group window; the priority is one exact double
     division, no libm, so Spark and DuckDB rank identically. See
-    :func:`api.priority_sample` for the determinism contract."""
+    :func:`api.priority_sample` for the determinism contract. The
+    oracle joins τ with ``LEFT JOIN … IS NOT DISTINCT FROM`` so a NULL
+    lang group (a real window partition on the Spark side) neither
+    drops its rows nor loses its own τ — a plain inner equi-join
+    silently evaluates NULL = NULL to NULL (ADVICE r13 #2)."""
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.priority_sample(

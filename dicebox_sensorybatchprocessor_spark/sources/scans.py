@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import scratch_dir, scratch_dir_cached
+from dicebox_sensorybatchprocessor_spark.utils import (
+    scratch_dir,
+    scratch_dir_cached,
+    scratch_stage,
+)
 
 
 @register(
@@ -327,17 +331,25 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and at 100 TB is exactly how image/audio corpora land — with
     ``pathGlobFilter``/``recursiveFileLookup`` for layout and
     ``spark.sql.files.maxPartitionBytes`` sizing the per-task batch."""
-    out, fresh = scratch_dir_cached("sbp_binfiles_", cache_key=f"binf|{sf_dir}")
-    if fresh:
-        rows = (
-            load(spark, sf_dir, "documents")
-            .filter("doc_id % 10 = 0 AND text IS NOT NULL")
-            .select("doc_id", "text")
-            .collect()
-        )
-        for r in rows:
-            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as fh:
-                fh.write(r["text"].encode("utf-8"))
+    with scratch_stage("sbp_binfiles_", cache_key=f"binf|{sf_dir}") as (
+        out,
+        fresh,
+    ):
+        # a raise inside this block (driver failure mid write-loop)
+        # evicts the cache entry and removes the partial dir, so a later
+        # call re-stages instead of reading an incomplete fixture
+        if fresh:
+            rows = (
+                load(spark, sf_dir, "documents")
+                .filter("doc_id % 10 = 0 AND text IS NOT NULL")
+                .select("doc_id", "text")
+                .collect()
+            )
+            for r in rows:
+                with open(
+                    os.path.join(out, f"{r['doc_id']}.bin"), "wb"
+                ) as fh:
+                    fh.write(r["text"].encode("utf-8"))
     back = spark.read.format("binaryFile").load(out)
     return back.select(
         F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)

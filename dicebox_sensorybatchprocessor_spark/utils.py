@@ -26,6 +26,7 @@ import atexit
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -93,6 +94,23 @@ def scratch_dir_cached(prefix: str, cache_key: str | None = None) -> tuple[str, 
     if cache_key is not None:
         _SCRATCH_CACHE[(prefix, cache_key)] = (path, True)
     return path, True
+
+
+@contextmanager
+def scratch_stage(prefix: str, cache_key: str):
+    """Crash-safe fixture staging over :func:`scratch_dir_cached`: yields
+    ``(path, fresh)``; if the caller's staging body raises part-way, the
+    cache entry is EVICTED and the half-written directory removed, so
+    the next call re-stages from scratch instead of silently reusing an
+    incomplete dir as complete (ADVICE r13 #4 — a mid-loop failure must
+    not publish a short fixture that underfills every later read)."""
+    path, fresh = scratch_dir_cached(prefix, cache_key)
+    try:
+        yield path, fresh
+    except BaseException:
+        _SCRATCH_CACHE.pop((prefix, cache_key), None)
+        shutil.rmtree(path, ignore_errors=True)
+        raise
 
 
 @atexit.register

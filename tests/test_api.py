@@ -1547,3 +1547,80 @@ def test_sq8_topk_recall_and_full_shortlist_equals_exact(spark):
         r.vec_id for r in exact.collect()
     }
     assert len(overlap) >= 4  # measured 5/5 at SF_ORACLE; claim leaves margin
+
+
+def test_rerank_rounded_tie_ordering_matches_knn(spark):
+    """ADVICE r13 #3: the shared rerank tail must order by the 6-decimal
+    ROUNDED cosine then id, exactly like knn_query — on a corpus where
+    the unrounded cosines differ only past the 6th decimal (a rounded
+    tie), a full-shortlist sq8_topk must return knn_query's rows in
+    knn_query's order, not the unrounded order (which would flip the
+    pair)."""
+    rows = [
+        (1, [1.0, 0.0010]),   # cosine ≈ 0.9999995 — rounds to 1.0
+        (5, [1.0, 0.0009]),   # cosine ≈ 0.9999996 — HIGHER unrounded,
+        #                       same 6-dp value: tie must break by id
+        (9, [0.1, 1.0]),      # clearly lower — fills k
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    qvec = [1.0, 0.0]
+    exact = [(r.vec_id, r.cosine) for r in api.knn_query(df, qvec, k=3).collect()]
+    full = [(r.vec_id, r.cosine) for r in api.sq8_topk(df, qvec, k=3, shortlist=100).collect()]
+    assert [i for i, _ in exact] == [1, 5, 9]  # rounded tie broken by id
+    assert full == exact  # full shortlist ≡ exact scan, values included
+
+
+def test_priority_sample_null_group_matches_registered_oracle(spark):
+    """ADVICE r13 #2: a NULL group key is a real window partition on the
+    Spark side; the REGISTERED oracle's τ join must neither drop those
+    rows (inner equi-join: NULL = NULL is NULL) nor lose their own τ
+    (plain LEFT JOIN can't match NULL to NULL either). Runs the
+    registered oracle text — k rescaled — over a corpus with an
+    over-quota NULL-lang group and demands an exact match."""
+    import duckdb
+
+    from dicebox_sensorybatchprocessor_spark import all_queries
+    from tests.oracle import _canon_rows
+
+    rows = [
+        (i, None if i < 6 else "en", 10 + 7 * i) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    got = api.priority_sample(
+        df, weight_col="n_chars", group_col="lang", k=3
+    ).toPandas()
+    sql = all_queries()["sample_priority"].oracle.replace("= 31", "= 4").replace(
+        "<= 30", "<= 3"
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    exp = con.execute(sql).fetchdf()
+    assert len(got) == len(exp) == 12  # NULL-lang rows survive the τ join
+    assert _canon_rows(got) == _canon_rows(exp)
+
+
+def test_scratch_stage_evicts_incomplete_staging():
+    """ADVICE r13 #4: a staging body that raises mid-way must not leave
+    the half-written directory published as complete — the next call
+    sees fresh=True on a clean dir instead of reusing the partial one."""
+    import os
+
+    import pytest as _pytest
+
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_stage
+
+    key = "advice-r13-4"
+    with _pytest.raises(RuntimeError, match="mid-staging"):
+        with scratch_stage("sbp_stage_test_", cache_key=key) as (p, fresh):
+            assert fresh
+            with open(os.path.join(p, "partial.bin"), "wb") as fh:
+                fh.write(b"half")
+            raise RuntimeError("simulated mid-staging crash")
+    assert not os.path.exists(p)  # partial dir removed, not published
+    with scratch_stage("sbp_stage_test_", cache_key=key) as (p2, fresh2):
+        assert fresh2 and os.listdir(p2) == []  # re-staged from scratch
+    with scratch_stage("sbp_stage_test_", cache_key=key) as (p3, fresh3):
+        assert p3 == p2 and not fresh3  # completed staging caches normally

@@ -571,3 +571,57 @@ def test_stream_substring_banked_pair_matches_oracle(spark):
         _SUBSTR_STREAM_ORACLE,
         SF_ORACLE,
     )
+
+
+def test_incremental_state_delta_only_touched_keys_upsert_equivalent(spark):
+    """ADVICE r13 #1: ``state_delta=True`` must (a) leave the flagged
+    output bit-identical to the full-state mode, (b) return ONLY the
+    batch's distinct shingle keys (the O(batch) width the docstring
+    claims), and (c) produce the identical final state when each
+    batch's delta is upserted through merge_upsert — the production
+    sink path that motivated the mode (full-state upserts rewrote the
+    whole table every micro-batch)."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.api import _shingle_relation
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    batches = [
+        _docs(spark, [(1, shared), (2, "a " * 11 + "a")]),
+        _docs(spark, [(3, shared), (4, " ".join(f"u{i}" for i in range(12)))]),
+        _docs(spark, [(5, " ".join(f"u{i}" for i in range(12)))]),
+    ]
+    full_state, delta_state = None, None
+    t_full = lake.ManifestTable(scratch_dir(prefix="sbp_delta_full_"))
+    t_delta = lake.ManifestTable(scratch_dir(prefix="sbp_delta_delta_"))
+    for b in batches:
+        f_full, full_state = api.duplicate_spans_incremental(b, full_state)
+        f_delta, delta = api.duplicate_spans_incremental(
+            b,
+            t_delta.read(spark) if t_delta.data_files() else None,
+            state_delta=True,
+        )
+        # (a) flagging identical in both modes
+        assert sorted(map(tuple, f_full.collect())) == sorted(
+            map(tuple, f_delta.collect())
+        )
+        # (b) delta keys == the batch's distinct shingle hashes, exactly
+        _, sh = _shingle_relation(b, "text", "doc_id", 8)
+        batch_keys = {r["__sbp_h"] for r in sh.select("__sbp_h").distinct().collect()}
+        assert {r["__sbp_h"] for r in delta.collect()} == batch_keys
+        # (c) both upsert routes advance the persisted state
+        lake.merge_upsert(t_full, full_state, ("__sbp_h",))
+        lake.merge_upsert(t_delta, delta, ("__sbp_h",))
+    final_full = sorted(map(tuple, t_full.read(spark).collect()))
+    final_delta = sorted(map(tuple, t_delta.read(spark).collect()))
+    assert final_full == final_delta
+    # and the final state is the one-shot truth over everything seen
+    seen = batches[0]
+    for b in batches[1:]:
+        seen = seen.unionAll(b)
+    _, sh = _shingle_relation(seen, "text", "doc_id", 8)
+    truth = sorted(
+        (r["__sbp_h"], r["c"])
+        for r in sh.groupBy("__sbp_h").agg(F.count("*").alias("c")).collect()
+    )
+    assert final_delta == truth
