@@ -33,7 +33,11 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, stable_round
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum,
+    md5_prefix_int,
+    stable_round,
+)
 
 
 def _doc_term_freq(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -359,15 +363,7 @@ def _minhash_band_relation(
         )
     rows_per_band = rows // bands
     mh_cols = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}|"), F.col(shingle_col))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias(f"mh{j}")
+        F.min(md5_prefix_int(F.col(shingle_col), salt=str(j))).alias(f"mh{j}")
         for j in range(rows)
     ]
     sig = shingles.groupBy(id_col).agg(*mh_cols)
@@ -821,10 +817,10 @@ def hash_bucket(col: Column, salt: str, n: int) -> Column:
     is a pure function of (salt, value), so it is stable under
     repartitioning, appends, and reruns, unlike randomSplit/sample
     whose seeded RNG shifts with partitioning."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10
-    )
-    return F.pmod(h.cast("bigint"), F.lit(n))
+    # callers pass pre-formed salts (some already "<salt>|"-shaped), so
+    # the concat stays here and the helper runs saltless over it
+    h = md5_prefix_int(F.concat(F.lit(salt), col.cast("string")))
+    return F.pmod(h, F.lit(n))
 
 
 def hash_split(
@@ -1006,13 +1002,7 @@ def temperature_mix(
         group_col, "n_docs", F.least(F.lit(1.0), accept_c / denom).alias("rate")
     )
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("double")
+        md5_prefix_int(F.col(id_col).cast("string"), salt=salt).cast("double")
         / 1152921504606846976.0
     )
     return df.join(F.broadcast(rates), group_col).withColumn("keep", u < F.col("rate"))
@@ -2392,15 +2382,7 @@ def _unit_train_sample(df, unit, vec_col: str, train_rows: int | None, corpus_n)
     n = corpus_n if corpus_n is not None else df.count()
     if n > train_rows:
         ppm = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("pqtrain|"), F.to_json(F.col(vec_col)))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            md5_prefix_int(F.to_json(F.col(vec_col)), salt="pqtrain"),
             F.lit(1_000_000),
         )
         train = df.filter(ppm < int(train_rows * 1_000_000 / n)).select(

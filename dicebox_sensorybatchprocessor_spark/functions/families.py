@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
 
 
 @register(
@@ -281,7 +282,7 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
-        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias("md5_prefix_int"),
+        md5_prefix_int(F.col("text")).alias("md5_prefix_int"),
     )
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
 
 _MAX_LEN = 600  # documents.text ≤ 553 chars (FIXTURES.md)
 
@@ -189,7 +190,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
-    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint")
+    h = md5_prefix_int(F.col("token"))
     bit_cols = [
         F.when(
             F.sum(
@@ -868,3 +869,50 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.remove_duplicate_spans(
         load(spark, sf_dir, "documents"), k=8, min_count=2
     )
+
+
+def _substr_incremental_oracle() -> str:
+    """The cumulative-count oracle for the incremental substring
+    contract is IDENTICAL to the streaming leg's (one shingle-count
+    state advanced batch by batch, batches = doc_id % 3): a shingle in
+    a batch-b document is duplicated iff its count over batches ≤ b
+    reaches 2. Imported from the streaming module, where it was first
+    value-checked — both registrations claiming one oracle text is the
+    point: the batch chain and the manifest-commit stream must agree
+    row-for-row."""
+    from dicebox_sensorybatchprocessor_spark.streaming.streams import (
+        _SUBSTR_STREAM_ORACLE,
+    )
+
+    return _SUBSTR_STREAM_ORACLE
+
+
+@register("dedup_substring_incremental", oracle=_substr_incremental_oracle())
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring-span dedup, batch-chained (r13): the corpus
+    arrives as three deterministic batches (doc_id % 3) and each is
+    flagged in O(batch) against the IN-MEMORY chained shingle-count
+    state (``state = new_state`` across calls — the full-state
+    contract; the registered stream_substring_dedup twin drives the
+    same operator through manifest-commit tables with the O(batch)
+    ``state_delta`` upsert instead). Output is the union of the three
+    flagged batches — including the defining asymmetry that an early
+    copy stays clean while its later twin is flagged — and the oracle
+    recomputes every per-document span statistic from a cumulative
+    per-(shingle, batch) count window. See
+    :func:`api.duplicate_spans_incremental` for the exactness contract
+    and the touched-keys cost shape."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    state, outs = None, []
+    for i in range(3):
+        flagged, state = api.duplicate_spans_incremental(
+            d.filter(F.col("doc_id") % 3 == i), state
+        )
+        outs.append(flagged)
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])

@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import fixed_point_sum, fixed_point_sum_sql
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+    md5_prefix_int,
+)
 
 
 @register(
@@ -193,11 +197,7 @@ def pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("canon_key").orderBy("doc_id")
     deduped = canon.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint"),
+        md5_prefix_int(F.col("doc_id").cast("string"), salt="split"),
         F.lit(10),
     )
     assigned = deduped.withColumn(

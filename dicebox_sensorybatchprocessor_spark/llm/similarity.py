@@ -818,10 +818,10 @@ _SQ8_ORACLE = """
     """
 
 
+@register("sim_ann_sq8", oracle=_SQ8_ORACLE)
 def sim_ann_sq8_banked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized ANN in the registered sim_ann_ivf SHAPE
-    (banked; r13 registration = ``@register("sim_ann_sq8",
-    oracle=_SQ8_ORACLE)`` on this function): rows are the in-engine
+    (banked in r12, registered r13): rows are the in-engine
     exact brute-force top-5 (DuckDB recomputes value-for-value) and
     ``sq8_recall_at_5_ok`` claims api.sq8_topk's shortlist-50 search
     over int8 codes recovered ≥3 of them — measured 5/5 at both sf0.01

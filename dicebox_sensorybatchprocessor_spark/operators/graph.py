@@ -393,3 +393,32 @@ def _ppr_oracle(iterations: int = 5, seed_mod: int = 50) -> str:
     FROM r{iterations}
     """
     )
+
+
+@register("personalized_pagerank", oracle=_ppr_oracle(5, 50))
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seeded) PageRank (r13 registration of the banked
+    r12 pair) over the same derived document link graph as
+    :func:`graph_pagerank`, with the teleport mass pinned to the seed
+    set ``doc_id % 50 == 0`` — ranks measure proximity-weighted
+    reachability FROM the seeds (the TrustRank-shaped curation signal:
+    seed trusted docs, weight the corpus by reachability-from-trust).
+    The oracle unrolls the identical BIGINT recurrence as chained CTEs
+    with per-node seed flags, so every intermediate rank is
+    value-checked; dangling mass restarts at the seeds (the standard
+    PPR treatment). See :func:`personalized_pagerank` for the integer
+    contract and the per-iteration plan shape."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    srcs = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.lit(a) * F.col("doc_id") + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for a, c in ((2, 1), (3, 2), (5, 3))
+    ]
+    edges = srcs[0].unionAll(srcs[1]).unionAll(srcs[2]).distinct()
+    seeds = d.filter("doc_id % 50 = 0").select(F.col("doc_id").alias("node"))
+    return personalized_pagerank(
+        edges, d.select(F.col("doc_id").alias("node")), seeds
+    ).withColumnsRenamed({"node": "doc_id"})

@@ -1436,8 +1436,7 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round-13 banked registration pair (NOT yet registered: the driver
-# window is full this round; see NOTES round-13 backlog #3) -------------
+# --- banked in r12 (window budget), registered r13 ---------------------
 
 _SUBSTR_STREAM_ORACLE = """
     WITH base AS (
@@ -1489,11 +1488,12 @@ _SUBSTR_STREAM_ORACLE = """
     """
 
 
+@register(
+    "stream_substring_dedup", oracle=_SUBSTR_STREAM_ORACLE, cache_plan=False
+)
 def stream_substring_dedup_banked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming substring-span dedup end-to-end (banked; r13
-    registration = ``@register("stream_substring_dedup",
-    oracle=_SUBSTR_STREAM_ORACLE, cache_plan=False)`` on this
-    function): the documents corpus ARRIVES as three file-source
+    """Streaming substring-span dedup end-to-end (banked in r12,
+    registered r13): the documents corpus ARRIVES as three file-source
     micro-batches (doc_id % 3 — a deterministic split the oracle can
     reproduce), each flagged in O(batch) against the persisted
     shingle-count state (api.substring_dedup_stream: results append +
