@@ -625,3 +625,46 @@ def test_incremental_state_delta_only_touched_keys_upsert_equivalent(spark):
         for r in sh.groupBy("__sbp_h").agg(F.count("*").alias("c")).collect()
     )
     assert final_delta == truth
+
+
+def test_substring_delta_rewrites_only_touched_buckets(spark):
+    """The 100 TB cost claim behind ADVICE r13 #1, proven at the file
+    level: with a BUCKETED state table, upserting the ``state_delta``
+    form rewrites only the buckets the batch's shingles land in —
+    untouched buckets' files carry into the new manifest byte-identical
+    (same path) — while upserting the full merged state touches every
+    non-empty bucket and carries nothing."""
+    from dicebox_sensorybatchprocessor_spark import lake
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_dir
+
+    wide = [
+        (i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)
+    ]
+    b1 = _docs(spark, wide)
+    b2 = _docs(spark, [(99, " ".join(f"z{j}" for j in range(12)))])
+
+    def run(delta_mode: bool):
+        t = lake.ManifestTable(
+            scratch_dir(prefix=f"sbp_bucket_{'d' if delta_mode else 'f'}_")
+        )
+        _, s1 = api.duplicate_spans_incremental(b1, None, state_delta=delta_mode)
+        lake.merge_upsert(t, s1, ("__sbp_h",), n_buckets=8)
+        v1 = set(t.data_files())
+        _, s2 = api.duplicate_spans_incremental(
+            b2, t.read(spark), state_delta=delta_mode
+        )
+        lake.merge_upsert(t, s2, ("__sbp_h",))
+        return v1, set(t.data_files())
+
+    v1d, v2d = run(delta_mode=True)
+    # the 1-doc batch has ≤5 distinct shingles → ≤5 of 8 buckets touched:
+    # at least 3 of b1's bucket files must be carried verbatim
+    assert len(v1d & v2d) >= 3
+    v1f, v2f = run(delta_mode=False)
+    # the full merged state carries EVERY standing key → every non-empty
+    # bucket is rewritten and no data file survives by path
+    assert not (v1f & v2f)
+    # and both routes agree on the final state content
+    d = sorted(map(tuple, spark.read.parquet(*v2d).collect()))
+    f = sorted(map(tuple, spark.read.parquet(*v2f).collect()))
+    assert d == f
