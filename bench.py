@@ -118,6 +118,17 @@ LLM_BLOCK = [
     "dedup_substring_rewrite",
     "text_quality_classifier",
     "graph_pagerank",
+    # round 13: the four new registrations that run as batch plans —
+    # the batch-chained incremental substring leg, seeded PageRank, and
+    # the SQ8 int8-scan ANN rung; same-machine DuckDB baselines
+    # measured 2026-08-16 (BASELINE.md "Round-13 additions" table).
+    # stream_substring_dedup is excluded: its wall is dominated by
+    # three availableNow micro-batch commits through fresh manifest
+    # tables (the streaming_steady_state block already prices that
+    # machinery), not by a comparable batch plan.
+    "dedup_substring_incremental",
+    "personalized_pagerank",
+    "sim_ann_sq8",
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H

@@ -97,6 +97,16 @@ OPS = (
     "graph_pagerank",
     "text_quality_classifier",
     "text_pii_extract",
+    # r13 registrations: the streaming substring sink (per-batch
+    # flagging + touched-keys state upsert — the O(batch) claim under
+    # ×amp batch width), its in-memory batch-chained twin, seeded
+    # PageRank (same shuffle-linear shape as graph_pagerank plus the
+    # broadcast seed flags), and the SQ8 scan (map-only quantize+score
+    # — expect the scan exponent)
+    "stream_substring_dedup",
+    "dedup_substring_incremental",
+    "personalized_pagerank",
+    "sim_ann_sq8",
 )
 
 
@@ -211,10 +221,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    # SBP_STRESS_OPS=a,b,c restricts the matrix (targeted high-amp
+    # cells); SBP_STRESS_WARM=1 runs each selected op once untimed at
+    # ×1 first — the r12 protocol finding: a fresh JVM's first cells
+    # carry ~6 s of codegen/executor warm-up and read as bogus negative
+    # exponents, so amp cells must be measured warm.
+    ops = tuple(OPS)
+    if os.environ.get("SBP_STRESS_OPS"):
+        sel = {o.strip() for o in os.environ["SBP_STRESS_OPS"].split(",")}
+        unknown = sel - set(OPS)
+        if unknown:
+            raise SystemExit(f"unknown stress ops: {sorted(unknown)}")
+        ops = tuple(o for o in OPS if o in sel)
+    if os.environ.get("SBP_STRESS_WARM") == "1":
+        for op in ops:
+            _force_count(qs[op].fn(spark, sf_dir))
+            print(f"warm {op}", flush=True)
+
     results: dict[str, dict] = {}
     for level in (1, amp):
         staged = sf_dir if level == 1 else _stage_amplified(spark, sf_dir, amp)
-        for op in OPS:
+        for op in ops:
             sb0 = _shuffle_bytes(spark)
             t0 = time.perf_counter()
             n = _force_count(qs[op].fn(spark, staged))
