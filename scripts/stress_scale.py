@@ -168,7 +168,7 @@ def _stage_amplified(spark, sf_dir: str, amp: int) -> str:
             "lang",
             "source",
             "n_chars",
-        ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        ).repartition(64).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     )
     e = load(spark, sf_dir, "embeddings").withColumn("rep", reps)
     (
@@ -176,7 +176,7 @@ def _stage_amplified(spark, sf_dir: str, amp: int) -> str:
             (F.col("vec_id") * amp + F.col("rep")).alias("vec_id"),
             *[c for c in e.columns if c not in ("vec_id", "rep")],
         )
-        .write.mode("overwrite")
+        .repartition(64).write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
     li = load(spark, sf_dir, "lineitem").withColumn("rep", reps)
@@ -185,7 +185,7 @@ def _stage_amplified(spark, sf_dir: str, amp: int) -> str:
             (F.col("l_orderkey") * amp + F.col("rep")).alias("l_orderkey"),
             *[c for c in li.columns if c not in ("l_orderkey", "rep")],
         )
-        .write.mode("overwrite")
+        .repartition(64).write.mode("overwrite")
         .parquet(f"{out}/lineitem.parquet")
     )
     # events ×amp with fresh event_ids (user_id/ts untouched, so the
@@ -198,7 +198,7 @@ def _stage_amplified(spark, sf_dir: str, amp: int) -> str:
             (F.col("event_id") * amp + F.col("rep")).alias("event_id"),
             *[c for c in ev.columns if c not in ("event_id", "rep")],
         )
-        .write.mode("overwrite")
+        .repartition(64).write.mode("overwrite")
         .parquet(f"{out}/events.parquet")
     )
     return out
@@ -215,6 +215,20 @@ def main() -> None:
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4058")
         .config("spark.driver.memory", "16g")
+        # r13 finding: the probe fixtures compress to a few MB (the
+        # ×amp corpus is near-copies), so bytes-based split sizing gave
+        # CPU-dense scans (minhash = 8 salted md5s per shingle → ~2e9
+        # hashes at ×100 behind a ~10⁴× explode fan-out) THREE tasks on
+        # a 32-core box — jstack showed md5 pinning one core for 25 min
+        # measuring the harness's file layout, not the operator. A real
+        # 100 TB corpus has thousands of splits; a 1 MB split size plus
+        # repartitioned staging (both ×1 and ×amp read a 64-file copy,
+        # see _stage_amplified) restores honest parallelism on BOTH
+        # sides of every exponent.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        # same artifact on the reduce side: AQE's byte-based advisory
+        # sizing coalesced the md5-bearing min-agg stage to 3 tasks.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .getOrCreate()
     )
     ensure_engine_conf(spark)
@@ -240,7 +254,9 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for level in (1, amp):
-        staged = sf_dir if level == 1 else _stage_amplified(spark, sf_dir, amp)
+        # both levels read a repartitioned 64-file staged copy so the
+        # exponent compares equal parallelism (see session conf note)
+        staged = _stage_amplified(spark, sf_dir, level)
         for op in ops:
             sb0 = _shuffle_bytes(spark)
             t0 = time.perf_counter()
