@@ -31,6 +31,7 @@ _log = logging.getLogger(__name__)
 _OPTIONAL_CONF_KEYS = {
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
     "spark.sql.execution.arrow.pyspark.enabled",
     "spark.sql.shuffle.partitions",
 }
@@ -61,6 +62,18 @@ _RUNTIME_CONF = {
     # shuffles that are tiny relative to the cluster — where keeping
     # parallelism is equally right.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64KB",
+    # Same blindness one level up (r13): AQE's 64 MB advisory TARGET is
+    # byte-based, so a CPU-dense reduce stage over a compact shuffle —
+    # the near-dup verify aggregation hashes every candidate pair's
+    # shingles but ships only ids — coalesces to a handful of tasks on
+    # a 32-core box (measured: dedup_near_verified 3.6 → 2.7 s at sf0.1
+    # with a 4 MB target; file-split size had no effect — the reduce
+    # side was the bottleneck). At the 100 TB design point production
+    # shuffle partitions dwarf any advisory so coalescing never binds;
+    # deployments should instead watch the skew-join interaction (the
+    # advisory is also the skew-SPLIT target — raise it back toward
+    # 64 MB via --conf where skew splitting dominates).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
 }
 
 
