@@ -1624,3 +1624,54 @@ def test_scratch_stage_evicts_incomplete_staging():
         assert fresh2 and os.listdir(p2) == []  # re-staged from scratch
     with scratch_stage("sbp_stage_test_", cache_key=key) as (p3, fresh3):
         assert p3 == p2 and not fresh3  # completed staging caches normally
+
+
+def test_ivfpq_encode_zero_vector_matches_trainer_guard(spark):
+    """ADVICE r12 (b): an all-zero embedding must encode deterministically
+    like the trainer treats it (zero-norm guard → the zero UNIT vector →
+    cell = argmin ||center||²), not divide by zero or vanish — the
+    incremental-ingest path sees raw user batches."""
+    import numpy as np
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 + 1) for j in range(4)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    _, centers, books = api.ivfpq_index(
+        df, vec_col="embedding", n_cells=2, n_segments=2, n_codes=2, seed=1
+    )
+    batch = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0, 0.0]), (100, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    enc = {
+        r["vec_id"]: r
+        for r in api.ivfpq_encode(
+            batch, centers, books, vec_col="embedding", id_cols=("vec_id",)
+        ).collect()
+    }
+    assert set(enc) == {99, 100}  # the zero vector is encoded, not dropped
+    exp_cell = int(np.argmin([sum(c * c for c in ctr) for ctr in centers]))
+    assert enc[99]["cell"] == exp_cell
+    assert all(isinstance(c, int) for c in enc[99]["codes"])  # finite codes
+
+
+def test_pq_index_unpersists_train_sample_on_raising_fit(spark, monkeypatch):
+    """ADVICE r12 (c): a KMeans fit that raises mid-build must not leak
+    the persisted training sample — the try/finally unpersists it, so
+    repeated failed builds cannot accumulate cached partitions."""
+    import pytest as _pytest
+    import pyspark.ml.clustering as mlc
+
+    rows = [(i, [float((i + j) % 7) + 1.0 for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def boom(self, dataset):
+        raise RuntimeError("simulated fit failure")
+
+    monkeypatch.setattr(mlc.KMeans, "fit", boom)
+    with _pytest.raises(RuntimeError, match="simulated fit failure"):
+        api.pq_index(
+            df, vec_col="embedding", n_segments=2, n_codes=2,
+            train_rows=8, corpus_n=40,
+        )
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

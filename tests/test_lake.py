@@ -1932,3 +1932,33 @@ def test_history_carries_publish_timestamps(spark, tmp_path):
         _json.dump(m, fh)
     hist2 = ManifestTable(str(t.root)).history()
     assert isinstance(hist2[-1]["timestamp"], float)
+
+
+def test_vacuum_survives_data_file_vanishing_mid_walk(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (a): the DESTRUCTIVE vacuum walk must tolerate an
+    orphan vanishing between listing and remove (a second concurrent
+    vacuum) — the walk continues and reclaims the rest instead of
+    crashing partway after manifests were already expired."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), n_files=1)
+    # two REPLACE commits -> the superseded files become reclaimable orphans
+    t.commit(t.stage(_df(spark, [(1, "b")])), t.latest_version())
+    t.commit(t.stage(_df(spark, [(1, "c")])), t.latest_version())
+
+    real_remove = os.remove
+    raised = {"n": 0}
+
+    def racy_remove(path):
+        if path.endswith(".parquet") and raised["n"] == 0:
+            raised["n"] += 1
+            raise FileNotFoundError(path)  # concurrent vacuum got it first
+        return real_remove(path)
+
+    monkeypatch.setattr(os, "remove", racy_remove)
+    removed = t.vacuum(retain_versions=1, min_file_age_s=0)
+    assert raised["n"] == 1  # the race actually fired
+    # the walk completed: the table still reads, and a rerun (no race)
+    # reclaims whatever the simulated concurrent vacuum "left behind"
+    assert _rows(t.read(spark)) == [(1, "c")]
+    monkeypatch.setattr(os, "remove", real_remove)
+    assert t.vacuum(retain_versions=1, min_file_age_s=0) >= 0
