@@ -23,6 +23,20 @@ block) is compared entry-by-entry; anything >25% slower than last round
 drift (floor moved too) is distinguishable from a plan regression
 (floor flat, query slower) without judge archaeology.
 
+Load-regime hardening (round 14, VERDICT r13 #2): rounds 11-13 each
+needed manual adjudication of environmental flags, and the r13 episode
+proved the floor sentinel alone is NOT a sufficient load proxy — the
+1-task ``spark.range(1)`` job stayed at its idle 0.081 s while every
+multi-task query stage ran 1.5-2.4x slower under background load (a
+single tiny task still gets a core; 32-wide stages compete). So the
+harness now (a) records ``os.getloadavg()`` next to every floor
+sentinel, and (b) when ANY entry flags, re-times the flagged entries
+once (same warm best-of-n protocol — targeted, so the rerun costs only
+the flagged set), merges by min, and re-flags. Entries that survive the
+rerun carry an in-artifact ``load_context`` (both floors, both
+loadavgs, the committed idle floor references below) — a flag is either
+reproducible-on-rerun or machine-attributable, zero adjudication.
+
 Secondary block: ``llm_queries`` times representative north-star
 operators (dedup / similarity / text pipeline / streaming) so a perf
 regression in that surface is visible round-over-round, under the same
@@ -587,6 +601,25 @@ def _median(ts: list[float]) -> float:
     return round(sorted(ts)[len(ts) // 2], 4)
 
 
+# Committed idle-floor references (best-of-3 spark.range(1).toPandas per
+# block, measured on the idle machine at r13 HEAD — BENCH_r13 committed
+# run b1ae5a0; the judge's independent idle re-measure saw 0.089). A
+# block floor above _LOAD_FLOOR_FACTOR x its reference marks the block
+# as having run in a loaded regime. NOTE: the converse does NOT hold
+# (see module docstring — the r13 load episode left floors flat), which
+# is why the rerun below triggers on ANY flag, not only on elevated
+# floors; the references exist to label, not to gate.
+_IDLE_FLOOR_REF_S = {"headline": 0.081, "llm": 0.0674, "sql": 0.0249, "skew": 0.031}
+_LOAD_FLOOR_FACTOR = 1.5
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - getloadavg is POSIX-only
+        return None
+
+
 def _measure_floor(spark) -> float:
     """Machine-load sentinel (VERDICT r4 #4): the local-mode job floor —
     spark.range(1).toPandas() best-of-3 — measured inside the same run,
@@ -616,6 +649,7 @@ def main() -> None:
             lambda: specs[name].fn(spark, sf_dir).toPandas(), 1)[0]])
 
     floors: dict[str, float] = {"headline": _measure_floor(spark)}
+    loadavgs: dict[str, list[float] | None] = {"headline": _loadavg()}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in headline:
@@ -646,11 +680,14 @@ def main() -> None:
         return bests, meds, shots
 
     floors["llm"] = _measure_floor(spark)
+    loadavgs["llm"] = _loadavg()
     llm_timings, llm_medians, llm_one_shot = _block(LLM_BLOCK)
     floors["sql"] = _measure_floor(spark)
+    loadavgs["sql"] = _loadavg()
     sql_timings, sql_medians, sql_one_shot = _block(SQL_BLOCK)
     lake_timings = _lake_block(spark, sf_dir)
     floors["skew"] = _measure_floor(spark)
+    loadavgs["skew"] = _loadavg()
     skew_timings = _skew_block(spark, sf_dir)
     skew_timings.update(_skew_stream_block(spark, sf_dir))
 
@@ -672,6 +709,64 @@ def main() -> None:
                 4,
             ),
         }
+
+    # -- regression flagging + targeted load rerun (round 14) ------------
+    # Flag FIRST, so a flagged entry can be re-timed before the totals
+    # and baseline ratios are computed from the merged numbers.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_name, prev = _load_prev_round(repo_dir)
+    if prev.get("sf") != sf:
+        prev = {}  # cross-scale comparison would flag noise, not plans
+    blocks_by_name = {
+        "queries": (timings, medians),
+        "llm_queries": (llm_timings, llm_medians),
+        "sql_queries": (sql_timings, sql_medians),
+    }
+    _flag_input = lambda: {b: t for b, (t, _) in blocks_by_name.items()}  # noqa: E731
+    regressions = _flag_regressions(prev, _flag_input())
+    rerun_record: dict | None = None
+    if regressions:
+        # Targeted rerun: re-time ONLY the flagged entries under the same
+        # warm best-of-n protocol and merge by min — a transient load
+        # episode earlier in the run cannot survive unless it also covers
+        # this pass. Floors + loadavg are re-sampled so a survivor's
+        # load_context shows both measurement windows.
+        floors["rerun"] = _measure_floor(spark)
+        loadavgs["rerun"] = _loadavg()
+        rerun_record = {
+            "reran": [f"{r['block']}:{r['query']}" for r in regressions],
+            "rule": (
+                "any flagged entry re-timed once (warm best-of-n), merged "
+                "by min, re-flagged; survivors carry load_context"
+            ),
+        }
+        for r in regressions:
+            best_d, med_d = blocks_by_name[r["block"]]
+            fn = specs[r["query"]].fn
+            runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), _N_SAMPLES)
+            if _best(runs) < best_d[r["query"]]:
+                best_d[r["query"]] = _best(runs)
+                med_d[r["query"]] = min(med_d[r["query"]], _median(runs))
+        regressions = _flag_regressions(prev, _flag_input())
+        _blk2floor = {"queries": "headline", "llm_queries": "llm", "sql_queries": "sql"}
+        for r in regressions:
+            fk = _blk2floor[r["block"]]
+            ref = _IDLE_FLOOR_REF_S.get(fk)
+            seen = [floors.get(fk), floors.get("rerun")]
+            r["load_context"] = {
+                "block_floor_s": floors.get(fk),
+                "rerun_floor_s": floors.get("rerun"),
+                "idle_floor_ref_s": ref,
+                "floor_elevated": bool(
+                    ref and any(s and s > _LOAD_FLOOR_FACTOR * ref for s in seen)
+                ),
+                "loadavg_1m_at_block": (loadavgs.get(fk) or [None])[0],
+                "loadavg_1m_at_rerun": (loadavgs.get("rerun") or [None])[0],
+                "note": (
+                    "reproduced on targeted rerun — plan-attributable "
+                    "unless floor_elevated/loadavg says otherwise"
+                ),
+            }
 
     total = round(sum(timings.values()), 4)
 
@@ -712,23 +807,14 @@ def main() -> None:
             "headline_floor_s": fl,
         }
 
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prev_name, prev = _load_prev_round(repo_dir)
-    if prev.get("sf") != sf:
-        prev = {}  # cross-scale comparison would flag noise, not plans
-    regressions = _flag_regressions(
-        prev,
-        {
-            "queries": timings,
-            "llm_queries": llm_timings,
-            "sql_queries": sql_timings,
-        },
-    )
     regression_ctx = {
         "vs": prev_name,
         "prev_floors": prev.get("floor_measured_s"),
         "cur_floors": floors,
+        "loadavg_1m_5m_15m": loadavgs,
+        "idle_floor_refs_s": _IDLE_FLOOR_REF_S,
         "rule": ">25% slower than previous round's best-of AND >20ms absolute",
+        "load_rerun": rerun_record,
     }
     n_samples = {
         "headline": _N_SAMPLES,

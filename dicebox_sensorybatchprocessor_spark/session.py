@@ -72,8 +72,12 @@ _RUNTIME_CONF = {
     # shuffle partitions dwarf any advisory so coalescing never binds;
     # deployments should instead watch the skew-join interaction (the
     # advisory is also the skew-SPLIT target — raise it back toward
-    # 64 MB via --conf where skew splitting dominates).
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+    # 64 MB where skew splitting dominates: env-overridable here
+    # (ADVICE r14) exactly like SPARK_GRAFT_SHUFFLE_PARTITIONS, so a
+    # deployment restores 64m without forking the profile.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_SIZE", "4m"
+    ),
 }
 
 
@@ -85,6 +89,118 @@ _RUNTIME_CONF = {
 # r2→r4 stream_tumbling cost creep (state ran with 32 stores per
 # micro-batch, not the pinned streaming width; VERDICT r4 #3).
 PINNED_SHUFFLE_KEY = "spark.sbp.pinnedShuffleWidth"
+
+# One-line justification per cluster_profile() key — each cites the
+# in-repo measurement or ledger entry that pinned the value. Kept next
+# to the function so the profile and its evidence cannot drift apart;
+# README.md §"100 TB deployment profile" renders this as a table.
+CLUSTER_PROFILE_RATIONALE = {
+    "spark.sql.legacy.parquet.nanosAsLong": (
+        "correctness-bearing: ns-precision event timestamps must not be "
+        "refused/truncated differently across builds (io.py dtype branch)"
+    ),
+    "spark.sql.session.timeZone": (
+        "correctness-bearing: naive fixture timestamps compare against "
+        "naive µs oracle values; UTC everywhere or hashes diverge"
+    ),
+    "spark.sql.adaptive.enabled": (
+        "AQE runtime coalesce + skew split; free at test scale, "
+        "load-bearing at 100 TB (every stress matrix ran under it)"
+    ),
+    "spark.sql.adaptive.coalescePartitions.enabled": (
+        "post-shuffle right-sizing from a high initial width — the "
+        "profile's shuffle.partitions is deliberately oversized for it"
+    ),
+    "spark.sql.shuffle.partitions": (
+        "3× total cores as the AQE-coalesced ceiling; streaming pins its "
+        "own state-store width instead (PINNED_SHUFFLE_KEY — the r2→r4 "
+        "stream_tumbling cost-creep lesson, NOTES r4)"
+    ),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": (
+        "64m at cluster scale: production shuffles dwarf the advisory so "
+        "coalescing never binds, and the advisory doubles as the "
+        "skew-SPLIT target (4m is a LOCAL 32-core override — measured "
+        "dedup_near_verified 3.6→2.7 s where a CPU-dense reduce "
+        "byte-coalesced to 3 tasks; NOTES r13)"
+    ),
+    "spark.sql.files.maxPartitionBytes": (
+        "128m ÷ scan expression fan-out: bytes-blind splits starve "
+        "CPU-dense scans (md5-per-shingle behind an 8× explode read as "
+        "3 tasks on 32 cores at 128m; NOTES r13 honest-parallelism fix)"
+    ),
+    "spark.sql.autoBroadcastJoinThreshold": (
+        "64m: dimension sides here (nation/region/date dims, "
+        "decontamination bench sets, ANN centroid tables) are ≤ tens of "
+        "MB and every such join is plan-asserted broadcast in tests — "
+        "shuffling the 100 TB fact side instead is the failure mode"
+    ),
+    "spark.sql.adaptive.skewJoin.enabled": (
+        "skewed keys (one giant user/session) are the documented hazard "
+        "in windows.py/joins.py; AQE splits them at the advisory size"
+    ),
+    "spark.sql.execution.arrow.pyspark.enabled": (
+        "every Python seam is an Arrow-batched pandas UDF/mapInPandas; "
+        "row-at-a-time transfer is the 10-100× slow path"
+    ),
+    "spark.sql.streaming.stateStore.providerClass": (
+        "RocksDB state store: unbounded-key streaming state (dedup "
+        "fingerprints, session windows) must spill off-heap; the HDFS "
+        "provider OOMs at 100 TB key cardinality (streams.py:649)"
+    ),
+}
+
+
+def cluster_profile(
+    total_cores: int = 4000,
+    *,
+    scan_expression_fanout: int = 1,
+) -> dict[str, str]:
+    """The documented 100 TB cluster conf set (VERDICT r13 Next #5).
+
+    Consolidates the per-operator scale notes scattered across module
+    docstrings and NOTES.md into one deployment-ready mapping; every key
+    carries its justifying measurement in :data:`CLUSTER_PROFILE_RATIONALE`
+    (rendered as the README "100 TB deployment profile" table).
+
+    ``total_cores`` sizes the initial shuffle width (AQE coalesces down
+    from 3×cores). ``scan_expression_fanout`` divides the file-split
+    size for CPU-dense scan pipelines — pass the explode/hash fan-out of
+    the hottest curation scan (e.g. shingle width for substring dedup)
+    so split sizing accounts for expression density, not just bytes
+    (the r13 stress-harness lesson: 128 MB splits of a few-MB compressed
+    fixture pinned a ~2×10⁹-md5 stage to 3 tasks).
+
+    This returns the CLUSTER values: notably the 64m AQE advisory —
+    the engine's always-applied local profile overrides it to 4m for
+    32-core single-box runs (see ``_RUNTIME_CONF``), restorable via
+    ``SPARK_GRAFT_ADVISORY_PARTITION_SIZE``.
+    """
+    if total_cores < 1:
+        raise ValueError(f"total_cores must be >= 1, got {total_cores}")
+    if scan_expression_fanout < 1:
+        raise ValueError(
+            f"scan_expression_fanout must be >= 1, got {scan_expression_fanout}"
+        )
+    # floor 4 MB: below that, per-file/task scheduling overhead dominates
+    split_mb = max(128 // scan_expression_fanout, 4)
+    profile = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        "spark.sql.files.maxPartitionBytes": f"{split_mb}m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
+    assert set(profile) == set(CLUSTER_PROFILE_RATIONALE)
+    return profile
 
 
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:

@@ -103,13 +103,20 @@ def scratch_stage(prefix: str, cache_key: str):
     cache entry is EVICTED and the half-written directory removed, so
     the next call re-stages from scratch instead of silently reusing an
     incomplete dir as complete (ADVICE r13 #4 — a mid-loop failure must
-    not publish a short fixture that underfills every later read)."""
+    not publish a short fixture that underfills every later read).
+
+    Eviction only applies while ``fresh`` is True: when the dir came out
+    of the cache it was completed by an earlier call, and a failure in
+    the caller's post-staging work (a read, a downstream plan) must not
+    destroy the known-good fixture (ADVICE r14 — previously ANY
+    exception inside the block rmtree'd the cached dir too)."""
     path, fresh = scratch_dir_cached(prefix, cache_key)
     try:
         yield path, fresh
     except BaseException:
-        _SCRATCH_CACHE.pop((prefix, cache_key), None)
-        shutil.rmtree(path, ignore_errors=True)
+        if fresh:
+            _SCRATCH_CACHE.pop((prefix, cache_key), None)
+            shutil.rmtree(path, ignore_errors=True)
         raise
 
 

@@ -1592,9 +1592,17 @@ def test_priority_sample_null_group_matches_registered_oracle(spark):
     got = api.priority_sample(
         df, weight_col="n_chars", group_col="lang", k=3
     ).toPandas()
-    sql = all_queries()["sample_priority"].oracle.replace("= 31", "= 4").replace(
-        "<= 30", "<= 3"
+    base_sql = all_queries()["sample_priority"].oracle
+    sql = base_sql.replace("= 31", "= 4").replace("<= 30", "<= 3")
+    # ADVICE r14: the k-rescale is a textual rewrite of the registered
+    # oracle; if the oracle's constants/format drift, the replace would
+    # silently no-op and this test would run at the wrong k. Demand that
+    # both rewrites actually fired.
+    assert "= 31" in base_sql and "<= 30" in base_sql, (
+        "sample_priority oracle constants changed; update the k-rescale "
+        "rewrites in this test to match"
     )
+    assert "= 31" not in sql and "<= 30" not in sql
     con = duckdb.connect()
     con.register("documents", df.toPandas())
     exp = con.execute(sql).fetchdf()
@@ -1624,6 +1632,33 @@ def test_scratch_stage_evicts_incomplete_staging():
         assert fresh2 and os.listdir(p2) == []  # re-staged from scratch
     with scratch_stage("sbp_stage_test_", cache_key=key) as (p3, fresh3):
         assert p3 == p2 and not fresh3  # completed staging caches normally
+
+
+def test_scratch_stage_keeps_cached_dir_on_post_staging_failure():
+    """ADVICE r14 / VERDICT r13 residual #1: a failure inside the block
+    while REUSING a completed cached fixture (fresh=False — e.g. a
+    post-staging read error) must not evict the cache entry or rmtree
+    the known-good directory; only a fresh, possibly-partial staging is
+    evicted."""
+    import os
+
+    import pytest as _pytest
+
+    from dicebox_sensorybatchprocessor_spark.utils import scratch_stage
+
+    key = "advice-r14-keep-cached"
+    with scratch_stage("sbp_stage_test_", cache_key=key) as (p, fresh):
+        assert fresh
+        with open(os.path.join(p, "complete.bin"), "wb") as fh:
+            fh.write(b"done")
+    with _pytest.raises(RuntimeError, match="post-staging"):
+        with scratch_stage("sbp_stage_test_", cache_key=key) as (p2, fresh2):
+            assert p2 == p and not fresh2
+            raise RuntimeError("simulated post-staging read failure")
+    # known-good fixture survives: same dir, same contents, still cached
+    assert os.path.exists(p) and os.listdir(p) == ["complete.bin"]
+    with scratch_stage("sbp_stage_test_", cache_key=key) as (p3, fresh3):
+        assert p3 == p and not fresh3
 
 
 def test_ivfpq_encode_zero_vector_matches_trainer_guard(spark):
