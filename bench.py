@@ -143,6 +143,13 @@ LLM_BLOCK = [
     "dedup_substring_incremental",
     "personalized_pagerank",
     "sim_ann_sq8",
+    # round 14: sim_ann_recall_sweep is deliberately NOT here — its
+    # one-shot is 33 seeded KMeans index builds (~80 s, an ingest-time
+    # cost the stats memo then amortizes) and its DuckDB oracle
+    # recomputes only the exact side, so a bench ratio would compare a
+    # five-family recall demonstration against a single exact scan (the
+    # sim_ann_ivf_persisted asymmetry). BASELINE.md carries its
+    # measured row + note instead.
 ]
 
 # Deep-SQL / maintenance block (round 3): the optimizer-heavy TPC-H

@@ -990,15 +990,18 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
     ``anchor`` = the exact-side integers the DuckDB oracle recomputes
     (n_queries, n_exact_rows, exact_id_sum, exact_cos_millionths).
 
-    Batched, not looped: ONE broadcast cross join scores every
-    (query, vector) exact cosine (integer microcosine via the
-    emb_label_margin expression shape, so the anchor sums are exact
-    BIGINTs); each family derives its per-query top-5 from family-
-    specific candidate pairs and the SAME scored relation — 100 queries
-    cost one pass per family, never 100 jobs. At 100 TB the scored
-    relation is the broadcast-queries x corpus scan every batch ANN
-    evaluation runs; candidates stay bucket/cell/shortlist-bounded
-    exactly like the single-query legs."""
+    Batched, not looped: ONE partition-wise BLAS matmul (broadcast
+    query matrix, the _cosine_topk discipline) SELECTS each query's
+    exact-top candidates, and only the surviving ~partitions x 100 x 8
+    pairs are re-scored with the JVM-fold expression emb_label_margin
+    hash-proved cross-engine — every hashed value comes from the proven
+    form, numpy only selects (integer microcosine, so the anchor sums
+    are exact BIGINTs). Each family derives its per-query top-5 from
+    family-specific candidate pairs through the same candidate-sized
+    exact rerank — 100 queries cost one pass per family, never 100
+    jobs. At 100 TB the matmul pass is the broadcast-queries x corpus
+    scan every batch ANN evaluation runs; candidates stay bucket/cell/
+    shortlist-bounded exactly like the single-query legs."""
     import numpy as np
 
     from dicebox_sensorybatchprocessor_spark import api
@@ -1033,9 +1036,12 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
         )
     )
 
-    # exact scored pairs — dot(raw, raw) / (|a|·|b|), the exact
-    # expression shape emb_label_margin hash-proved cross-engine, in
-    # integer microcosine (floor(cos·1e6 + 0.5), stable_round's form)
+    # Exact microcosine for a (qid, vec_id) pair relation — dot(raw,
+    # raw) / (|a|·|b|), the exact expression shape emb_label_margin
+    # hash-proved cross-engine, as floor(cos·1e6 + 0.5) BIGINT
+    # (stable_round's form). Spark's higher-order folds run INTERPRETED
+    # (no codegen), so this is reserved for candidate-sized relations;
+    # full-corpus scoring goes through the BLAS candidate pass below.
     dot = F.aggregate(
         F.zip_with("emb", "qraw", lambda a, b: a * b),
         F.lit(0.0),
@@ -1044,19 +1050,63 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    scored = (
-        e.crossJoin(qdf)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.floor(dot / (nrm("emb") * nrm("qraw")) * 1_000_000.0 + 0.5)
-            .cast("long")
-            .alias("cos_u"),
+
+    def exact_cos_pairs(cand):
+        """cand(qid, vec_id) -> (qid, vec_id, cos_u), JVM-fold exact."""
+        return (
+            cand.join(e, "vec_id")
+            .join(qdf, "qid")
+            .select(
+                "qid",
+                "vec_id",
+                F.floor(dot / (nrm("emb") * nrm("qraw")) * 1_000_000.0 + 0.5)
+                .cast("long")
+                .alias("cos_u"),
+            )
         )
-        .persist()
-    )
-    exact5 = _sweep_topk_per_query(scored).persist()
+
+    # Exact top-5 candidates via ONE partition-wise BLAS matmul (the
+    # _cosine_topk discipline): each partition emits its per-query top-8
+    # by (numpy-rounded microcosine DESC, vec_id ASC) — the same total
+    # order the global rank uses, so the global rounded top-5 is a
+    # subset of the union EXACTLY (per-partition selection under one
+    # total order is a semilattice; the 8 > 5 margin additionally
+    # absorbs the ~1e-9/pair chance of a numpy-vs-JVM-fold rounding
+    # disagreement at a .5 boundary). The surviving ~32·100·8 pairs are
+    # re-scored with the JVM-fold exact expression above, so every
+    # HASHED value comes from the proven cross-engine form — numpy only
+    # SELECTS. Measured 2.7 s -> ~0.4 s at sf0.1 (the interpreted fold
+    # over 100·N pairs was the warm wall).
+    bc = spark.sparkContext.broadcast((np.array(qids, dtype="int64"), qunit))
+
+    def part_top(batches):
+        import pandas as pd
+
+        b_qids, b_qunit = bc.value
+        for batch in batches:
+            if batch.empty:
+                continue
+            vids = batch["vec_id"].to_numpy()
+            m = np.stack(batch["emb"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (m / norms) @ b_qunit.T  # rows x queries
+            sims[vids[:, None] == b_qids[None, :]] = -np.inf
+            r = np.floor(sims * 1_000_000.0 + 0.5)
+            kk = min(8, len(vids))
+            out_q, out_v = [], []
+            for j in range(r.shape[1]):
+                idx = np.lexsort((vids, -r[:, j]))[:kk]
+                out_q.append(np.full(kk, b_qids[j]))
+                out_v.append(vids[idx])
+            yield pd.DataFrame(
+                {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v)}
+            )
+
+    target = min(spark.sparkContext.defaultParallelism, max(1, n // 64))
+    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
+    exact_cand = probe.mapInPandas(part_top, "qid long, vec_id long")
+    exact5 = _sweep_topk_per_query(exact_cos_pairs(exact_cand)).persist()
     a = exact5.agg(
         F.countDistinct("qid").alias("nq"),
         F.count("*").alias("nr"),
@@ -1077,7 +1127,6 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
     # collects). The oracle-HASHED exact side (anchor) is recomputed
     # every call; only the boolean-claim inputs are memoized.
     if key in _SWEEP_STATS_MEMO:
-        scored.unpersist()
         exact5.unpersist()
         return _SWEEP_STATS_MEMO[key], anchor
 
@@ -1108,8 +1157,16 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
     ) = _SWEEP_MEMO[key]
 
     def exact_top5_of(cand_pairs):
+        # self-pairs excluded HERE so every family inherits it (the IVF
+        # candidate set naturally contains the query vector whenever its
+        # own cell is probed; a self-pair scores cosine 1.0 and would
+        # steal a top-5 slot from a true neighbor)
         return _sweep_topk_per_query(
-            scored.join(cand_pairs, ["qid", "vec_id"], "semi")
+            exact_cos_pairs(
+                cand_pairs.select("qid", "vec_id")
+                .filter(F.col("vec_id") != F.col("qid"))
+                .distinct()
+            )
         )
 
     fam5s: dict[str, DataFrame] = {}
@@ -1220,7 +1277,6 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
 
     stats = _sweep_recall_stats(fam5s, exact5, qdf)
     _SWEEP_STATS_MEMO[key] = stats
-    scored.unpersist()
     exact5.unpersist()
     return stats, anchor
 
