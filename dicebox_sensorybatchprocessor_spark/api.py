@@ -1953,6 +1953,156 @@ def knn_query(
     )
 
 
+# knn_join's broadcast-matrix regime bound — the same failure mode and
+# budget discipline as cosine_topk's dense index collect.
+_KNN_JOIN_BYTE_BUDGET = 256 << 20
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "qid",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch exact k-NN JOIN by cosine — the retrieval primitive behind
+    batch RAG indexing, embedding-model eval, and ANN recall audits:
+    for EVERY row of ``queries``, the top-``k`` rows of ``corpus``
+    (r14; :func:`knn_query` is the single-vector special case). Columns:
+    query_id, id, cosine (6-dp stable-rounded), rank (1-based; ties at
+    equal rounded cosine break by id — the rounded-then-id total order
+    every exact leg shares).
+
+    Two routes by the same byte budget as :func:`cosine_topk`:
+
+    * broadcast-matrix (queries fit the budget): the L2-normalized
+      query matrix broadcasts and ONE partition-wise BLAS matmul per
+      corpus partition SELECTS each query's top-k candidates under the
+      (rounded microcosine, id) total order — per-partition selection
+      under a total order is a semilattice, so the global top-k is a
+      subset of the union exactly. Only the surviving
+      ~partitions x |Q| x (k+3) pairs are re-scored with the JVM-fold
+      expression (dot(raw,raw)/(|a|·|b|), the emb_label_margin form
+      hash-proved cross-engine) — numpy only selects, every returned
+      value comes from the proven form. At 100 TB this is the
+      broadcast-join regime: one corpus scan total, not one per query.
+    * crossJoin fallback (query set beyond the budget): the exact
+      JVM-fold score over queries x corpus with the same final window —
+      a real distributed shuffle join, identical values, for query sets
+      that are themselves corpus-scale.
+
+    Zero-norm rows on EITHER side are excluded (cosine is undefined;
+    the quantize_int8/sq8 discipline). ``exclude_self=True`` drops
+    pairs with query_id == id for the queries-drawn-from-corpus case
+    (self scores cosine 1.0 and would occupy rank 1). Both id columns
+    must be integer-typed (the broadcast route ships them as int64).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = queries.sparkSession
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__sbp_qid"),
+        F.transform(query_vec_col, lambda x: x.cast("double")).alias("__sbp_qraw"),
+    ).filter(nrm("__sbp_qraw") > 0.0)
+    c = corpus.select(
+        F.col(id_col).alias("__sbp_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__sbp_v"),
+    ).filter(nrm("__sbp_v") > 0.0)
+
+    dot = F.aggregate(
+        F.zip_with("__sbp_v", "__sbp_qraw", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_u = (
+        F.floor(dot / (nrm("__sbp_v") * nrm("__sbp_qraw")) * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("__sbp_cu")
+    )
+
+    n_q = q.count()
+    dim_row = q.select("__sbp_qraw").first()
+    if dim_row is None:
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} bigint, {id_col} bigint, cosine double, rank int",
+        )
+    if n_q * len(dim_row[0]) * 8 <= _KNN_JOIN_BYTE_BUDGET:
+        rows = q.collect()
+        qids = np.array([r["__sbp_qid"] for r in rows], dtype="int64")
+        qmat = np.stack([np.array(r["__sbp_qraw"]) for r in rows])
+        qunit = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((qids, qunit, bool(exclude_self), k))
+
+        def part_top(batches):
+            import pandas as pd
+
+            b_qids, b_qunit, b_excl, b_k = bc.value
+            for batch in batches:
+                if batch.empty:
+                    continue
+                vids = batch["__sbp_id"].to_numpy()
+                m = np.stack(batch["__sbp_v"].to_numpy()).astype("float64")
+                sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ b_qunit.T
+                if b_excl:
+                    sims[vids[:, None] == b_qids[None, :]] = -np.inf
+                r = np.floor(sims * 1_000_000.0 + 0.5)
+                # k + 3 margin absorbs the ~1e-9/pair numpy-vs-fold
+                # rounding disagreement at a .5 boundary; selection is
+                # otherwise exact under the shared total order
+                kk = min(b_k + 3, len(vids))
+                out_q, out_v = [], []
+                for j in range(r.shape[1]):
+                    idx = np.lexsort((vids, -r[:, j]))[:kk]
+                    out_q.append(np.full(kk, b_qids[j]))
+                    out_v.append(vids[idx])
+                yield pd.DataFrame(
+                    {
+                        "__sbp_qid": np.concatenate(out_q),
+                        "__sbp_id": np.concatenate(out_v),
+                    }
+                )
+
+        n_c = c.count()
+        target = min(spark.sparkContext.defaultParallelism, max(1, n_c // 64))
+        probe = c.repartition(target) if c.rdd.getNumPartitions() < target else c
+        cand = probe.mapInPandas(part_top, "__sbp_qid long, __sbp_id long")
+        if exclude_self:
+            # the -inf mask keeps self out of selection, but a partition
+            # narrower than the margin can still emit masked rows — and a
+            # self pair re-scores to cosine 1.0 in the rerank
+            cand = cand.filter(F.col("__sbp_id") != F.col("__sbp_qid"))
+        scored = cand.join(c, "__sbp_id").join(F.broadcast(q), "__sbp_qid")
+    else:
+        scored = c.crossJoin(q)
+        if exclude_self:
+            scored = scored.filter(F.col("__sbp_id") != F.col("__sbp_qid"))
+    scored = scored.select("__sbp_qid", "__sbp_id", cos_u)
+    w = Window.partitionBy("__sbp_qid").orderBy(
+        F.col("__sbp_cu").desc(), F.col("__sbp_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__sbp_qid").alias(query_id_col),
+            F.col("__sbp_id").alias(id_col),
+            (F.col("__sbp_cu").cast("double") / F.lit(1_000_000.0)).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ann_candidates_lsh(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1065,48 +1065,32 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
             )
         )
 
-    # Exact top-5 candidates via ONE partition-wise BLAS matmul (the
-    # _cosine_topk discipline): each partition emits its per-query top-8
-    # by (numpy-rounded microcosine DESC, vec_id ASC) — the same total
-    # order the global rank uses, so the global rounded top-5 is a
-    # subset of the union EXACTLY (per-partition selection under one
-    # total order is a semilattice; the 8 > 5 margin additionally
-    # absorbs the ~1e-9/pair chance of a numpy-vs-JVM-fold rounding
-    # disagreement at a .5 boundary). The surviving ~32·100·8 pairs are
-    # re-scored with the JVM-fold exact expression above, so every
-    # HASHED value comes from the proven cross-engine form — numpy only
-    # SELECTS. Measured 2.7 s -> ~0.4 s at sf0.1 (the interpreted fold
-    # over 100·N pairs was the warm wall).
-    bc = spark.sparkContext.broadcast((np.array(qids, dtype="int64"), qunit))
-
-    def part_top(batches):
-        import pandas as pd
-
-        b_qids, b_qunit = bc.value
-        for batch in batches:
-            if batch.empty:
-                continue
-            vids = batch["vec_id"].to_numpy()
-            m = np.stack(batch["emb"].to_numpy()).astype("float64")
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            sims = (m / norms) @ b_qunit.T  # rows x queries
-            sims[vids[:, None] == b_qids[None, :]] = -np.inf
-            r = np.floor(sims * 1_000_000.0 + 0.5)
-            kk = min(8, len(vids))
-            out_q, out_v = [], []
-            for j in range(r.shape[1]):
-                idx = np.lexsort((vids, -r[:, j]))[:kk]
-                out_q.append(np.full(kk, b_qids[j]))
-                out_v.append(vids[idx])
-            yield pd.DataFrame(
-                {"qid": np.concatenate(out_q), "vec_id": np.concatenate(out_v)}
-            )
-
-    target = min(spark.sparkContext.defaultParallelism, max(1, n // 64))
-    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
-    exact_cand = probe.mapInPandas(part_top, "qid long, vec_id long")
-    exact5 = _sweep_topk_per_query(exact_cos_pairs(exact_cand)).persist()
+    # Exact top-5 via api.knn_join (r14 — the sweep's exact side IS the
+    # batch retrieval primitive, registered separately as sim_knn_join):
+    # one partition-wise BLAS matmul selects candidates under the
+    # (rounded microcosine, id) total order, the JVM-fold proven form
+    # re-scores only survivors. cos_u is recovered exactly from the
+    # 6-dp stable-rounded double (cosine = cos_u/1e6 within one ulp of
+    # the integer, so floor(x*1e6+0.5) round-trips).
+    exact5 = (
+        api.knn_join(
+            spark.createDataFrame(
+                [(qid, [float(x) for x in raw]) for qid, raw in zip(qids, qmat)],
+                "qid bigint, embedding array<double>",
+            ),
+            e.withColumnRenamed("emb", "embedding"),
+            k=topk,
+            exclude_self=True,
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.floor(F.col("cosine") * 1_000_000.0 + 0.5)
+            .cast("long")
+            .alias("cos_u"),
+        )
+        .persist()
+    )
     a = exact5.agg(
         F.countDistinct("qid").alias("nq"),
         F.count("*").alias("nr"),
@@ -1367,4 +1351,68 @@ def sim_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "family string, n_queries bigint, n_exact_rows bigint, "
         "exact_id_sum bigint, exact_cos_millionths bigint, "
         "min_recall_ok boolean, mean_recall_ok boolean",
+    )
+
+
+_KNN_JOIN_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_SWEEP_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qe::DOUBLE[])
+                        * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_u,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_u DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT qid, vec_id,
+           CAST(cos_u AS DOUBLE) / 1000000.0 AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= {_SWEEP_TOPK}
+    """
+
+
+@register("sim_knn_join", oracle=_KNN_JOIN_ORACLE)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact k-NN JOIN (r14) — the retrieval primitive the recall
+    sweep audits, as a first-class operator: every query in the
+    deterministic md5-keyed 100-vector set gets its exact cosine top-5
+    from the corpus in ONE broadcast-matrix pass (api.knn_join), and all
+    500 (query, neighbor, cosine, rank) rows are value-hashed against
+    DuckDB's identical recompute — the fully-value-checked exact
+    companion to sim_ann_recall_sweep's claim rows (and the multi-query
+    generalization of sim_knn_query's single vector).
+
+    Scale story: one corpus scan serves the whole query batch (the
+    broadcast-join regime — at 100 TB this is how batch RAG indexing
+    and embedding-eval jobs run their retrieval, NOT one job per
+    query); beyond the query-matrix byte budget api.knn_join degrades
+    to the distributed crossJoin+fold form with identical values
+    (partition invariance pinned in tests)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = (
+        e.withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__k", "vec_id")
+        .limit(_SWEEP_N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return api.knn_join(
+        queries,
+        e,
+        k=_SWEEP_TOPK,
+        query_id_col="qid",
+        query_vec_col="embedding",
+        id_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
     )

@@ -517,3 +517,70 @@ def test_ann_recall_sweep_measured(spark):
     for fam, (mn, mean) in stats.items():
         assert _SWEEP_CLAIMS[fam][0] < mn or mn == 0.0
         assert _SWEEP_CLAIMS[fam][1] < mean
+
+
+def test_knn_join_routes_agree_and_match_knn_query(spark, monkeypatch):
+    """api.knn_join's broadcast-matrix route and its beyond-budget
+    crossJoin fallback must return identical rows (values included), and
+    each query's rows must equal api.knn_query's single-vector answer —
+    the batch op is exactly N single queries, computed in one pass."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, SF_ORACLE, "embeddings").limit(60)
+    queries = e.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    fast = api.knn_join(queries, e, k=3, exclude_self=True)
+    monkeypatch.setattr(api, "_KNN_JOIN_BYTE_BUDGET", 1)
+    slow = api.knn_join(queries, e, k=3, exclude_self=True)
+    monkeypatch.undo()
+    assert _rows(fast) == _rows(slow)
+
+    for q in queries.collect():
+        single = api.knn_query(
+            e.filter(F.col("vec_id") != q["qid"]),
+            [float(x) for x in q["embedding"]],
+            k=3,
+        ).collect()
+        batch = sorted(
+            (r for r in fast.collect() if r["qid"] == q["qid"]),
+            key=lambda r: r["rank"],
+        )
+        assert [r["vec_id"] for r in single] == [r["vec_id"] for r in batch]
+
+
+def test_knn_join_excludes_self_even_in_narrow_partitions(spark):
+    """With exclude_self and corpus partitions narrower than the
+    selection margin, masked self rows must still never surface (a self
+    pair re-scores to cosine 1.0 in the exact rerank)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(6)  # ~1 row per partition << the k+3 margin
+    queries = spark.createDataFrame(
+        rows[:3], "qid bigint, embedding array<double>"
+    )
+    out = api.knn_join(queries, corpus, k=2, exclude_self=True).collect()
+    assert all(r["qid"] != r["vec_id"] for r in out)
+    assert all(r["cosine"] < 1.0 for r in out)
+
+
+def test_knn_join_drops_zero_norm_rows_both_sides(spark):
+    """Zero vectors have no cosine: a zero-norm QUERY must produce no
+    rows and a zero-norm CORPUS row must never be a neighbor (the
+    quantize_int8/sq8 discipline)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [0.0, 0.0])],
+        "qid bigint, embedding array<double>",
+    )
+    out = api.knn_join(queries, corpus, k=3).collect()
+    assert {r["qid"] for r in out} == {10}
+    assert {r["vec_id"] for r in out} == {1, 3}
