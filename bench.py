@@ -143,6 +143,10 @@ LLM_BLOCK = [
     "dedup_substring_incremental",
     "personalized_pagerank",
     "sim_ann_sq8",
+    # round 14: LPA community detection over the derived link graph —
+    # the clustering counterpart to graph_pagerank's centrality; the
+    # DuckDB baseline runs its own 3-round unrolled-CTE oracle.
+    "graph_label_propagation",
     # round 14: the batch exact k-NN join (100 queries x top-5 in one
     # broadcast-matrix pass) — genuinely like-for-like with its DuckDB
     # oracle (identical 100-query exact recompute); one-shot pays the

@@ -422,3 +422,164 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(
         edges, d.select(F.col("doc_id").alias("node")), seeds
     ).withColumnsRenamed({"node": "doc_id"})
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    iterations: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (LPA community detection, r14) —
+    the graph-side clustering signal next to :func:`pagerank_fixed`'s
+    centrality and dedup_clusters' connected components: every node
+    starts labeled with itself, and each round adopts the label most
+    frequent among its in-neighbors over the SYMMETRIZED edge relation
+    (ties broken by smallest label; nodes with no neighbors keep their
+    label). Deterministic and engine-exact by construction — counts are
+    integers and the tie-break is a total order, so every intermediate
+    labeling is value-checkable, the graph_pagerank discipline.
+
+    Returns (node, community) after ``iterations`` rounds. Plan: the
+    symmetrized edges persist once; each round is one keyed join
+    (labels flow src→dst), one (node, label) count aggregate, and one
+    per-node top-1 window — two keyed shuffles and a rank per round,
+    the same per-round cost shape as PageRank. At 100 TB: bucket the
+    symmetrized edges by src so the per-round join is co-located, and
+    checkpoint the label relation every ~5 rounds to bound lineage
+    (here the result is localCheckpoint'ed once at the end)."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    if materialize:
+        sym = sym.persist()
+        sym.count()
+    node_ids = nodes.select(F.col(node_col).alias("node"))
+    labels = node_ids.select("node", F.col("node").alias("__sbp_lbl"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("__sbp_c").desc(), F.col("__sbp_lbl").asc()
+    )
+    try:
+        for _ in range(iterations):
+            incoming = (
+                sym.join(labels, sym["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"), "__sbp_lbl")
+                .agg(F.count("*").alias("__sbp_c"))
+            )
+            top = (
+                incoming.withColumn("__sbp_rk", F.row_number().over(w))
+                .filter(F.col("__sbp_rk") == 1)
+                .select("node", F.col("__sbp_lbl").alias("__sbp_new"))
+            )
+            labels = node_ids.join(labels, "node").join(top, "node", "left").select(
+                "node",
+                F.coalesce(F.col("__sbp_new"), F.col("__sbp_lbl")).alias(
+                    "__sbp_lbl"
+                ),
+            )
+        out = labels.select("node", F.col("__sbp_lbl").alias("community"))
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if materialize:
+            sym.unpersist(False)
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled DuckDB mirror of :func:`label_propagation_fixed` over the
+    same derived document link graph graph_pagerank uses (symmetrized)."""
+    ctes = [
+        "n AS (SELECT count(*) AS n FROM documents)",
+        """raw_edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % n.n AS dst FROM documents, n
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 2) % n.n FROM documents, n
+        UNION ALL
+        SELECT doc_id, (5 * doc_id + 3) % n.n FROM documents, n
+      )
+    )""",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw_edges
+        UNION ALL
+        SELECT dst, src FROM raw_edges
+      )
+    )""",
+        "l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT d.doc_id AS node, coalesce(t.lbl, p.lbl) AS lbl
+      FROM documents d
+      JOIN l{i - 1} p ON p.node = d.doc_id
+      LEFT JOIN (
+        SELECT node, lbl FROM (
+          SELECT e.dst AS node, l.lbl AS lbl,
+                 row_number() OVER (
+                   PARTITION BY e.dst
+                   ORDER BY count(*) DESC, l.lbl ASC) AS rk
+          FROM edges e JOIN l{i - 1} l ON l.node = e.src
+          GROUP BY e.dst, l.lbl
+        ) WHERE rk = 1
+      ) t ON t.node = d.doc_id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT l.node AS doc_id,
+           CAST(l.lbl AS BIGINT) AS community,
+           CAST(c.sz AS BIGINT) AS community_size
+    FROM l{iterations} l
+    JOIN (SELECT lbl, count(*) AS sz FROM l{iterations} GROUP BY lbl) c
+      ON c.lbl = l.lbl
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous LPA (r14) over the SAME
+    deterministic document link graph graph_pagerank walks, symmetrized
+    — the clustering counterpart to its centrality: 3 rounds of
+    adopt-the-modal-neighbor-label with smallest-label tie-break, then
+    each doc's community and the community's size. The oracle unrolls
+    the identical recurrence as 3 chained CTEs (integer counts, total-
+    order tie-break), so every intermediate labeling is value-checked —
+    the graph_pagerank/personalized_pagerank oracle discipline.
+    Training-pipeline role: LPA communities over a near-dup or citation
+    graph are the sampling strata that keep one cluster from dominating
+    a training mix (cap_per_group's group key at corpus scale)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    srcs = [
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.lit(a) * F.col("doc_id") + F.lit(c)) % F.lit(n)).alias("dst"),
+        )
+        for a, c in ((2, 1), (3, 2), (5, 3))
+    ]
+    edges = srcs[0].unionAll(srcs[1]).unionAll(srcs[2]).distinct()
+    lp = label_propagation_fixed(
+        edges, d.select(F.col("doc_id").alias("node")), node_col="node",
+        iterations=3,
+    )
+    sizes = lp.groupBy("community").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return lp.join(sizes, "community").select(
+        F.col("node").alias("doc_id"),
+        F.col("community").cast("bigint").alias("community"),
+        "community_size",
+    )

@@ -668,3 +668,52 @@ def test_substring_delta_rewrites_only_touched_buckets(spark):
     d = sorted(map(tuple, spark.read.parquet(*v2d).collect()))
     f = sorted(map(tuple, spark.read.parquet(*v2f).collect()))
     assert d == f
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two disjoint triangles must converge to two communities labeled by
+    each triangle's smallest node id — and the min-label tie-break makes
+    round 1 already assign every node its triangle's minimum over the
+    symmetrized neighborhood."""
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 12)], "node bigint"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation_fixed(
+            edges, nodes, iterations=3, materialize=False
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_isolated_node_keeps_own_label(spark):
+    """A node with no edges never appears on the symmetrized dst side —
+    it must keep its own label through every round, not vanish or null."""
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node bigint")
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation_fixed(
+            edges, nodes, iterations=2, materialize=False
+        ).collect()
+    }
+    assert out[99] == 99
+    # synchronous LPA's documented two-node oscillation: the pair swaps
+    # labels each round (even rounds restore 1, odd rounds hold 2's slot
+    # at the swapped value) — deterministic, mirrored exactly by the
+    # oracle's unrolled CTEs; larger structures converge (see the
+    # two-triangles test)
+    assert out[1] == 1 and out[2] == 2
