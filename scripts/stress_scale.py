@@ -107,6 +107,15 @@ OPS = (
     "dedup_substring_incremental",
     "personalized_pagerank",
     "sim_ann_sq8",
+    # r14 registrations: the batch k-NN join (broadcast-matrix BLAS
+    # selection + candidate-sized rerank — expect the scan exponent),
+    # the five-family recall sweep (index builds are sampled-training
+    # corpus-flat; the per-family candidate/shortlist passes are the
+    # terms to watch), and LPA (3 rounds x two keyed shuffles over the
+    # symmetrized 6N-edge relation — expect graph_pagerank's shape)
+    "sim_knn_join",
+    "sim_ann_recall_sweep",
+    "graph_label_propagation",
 )
 
 
