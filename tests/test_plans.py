@@ -758,3 +758,30 @@ def test_substring_rewrite_no_python_no_nested_loop(spark):
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_join_blas_route_plan_shape(spark):
+    """sim_knn_join's broadcast-matrix route must never materialize the
+    queries x corpus cross product in the plan: no CartesianProduct /
+    BroadcastNestedLoopJoin nodes, the candidate relation enters via
+    ArrowEvalPython-free mapInPandas, and both rerank joins stay
+    broadcast (the candidate and query sides are tiny by contract)."""
+    plan = _plan(spark, "sim_knn_join")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "MapInPandas" in tree  # the BLAS candidate pass, not a crossJoin
+    assert "SortMergeJoin" not in tree  # rerank joins broadcast
+
+
+def test_label_propagation_per_round_shape(spark):
+    """graph_label_propagation's final plan reads the localCheckpoint'ed
+    label relation (the iterative rounds are materialized once, the
+    pagerank_fixed device), so the residual plan is the community-size
+    join — which must stay free of cartesian nodes. The per-round
+    join+agg+rank shape itself is pinned semantically by the unrolled
+    oracle and the label_propagation unit tests."""
+    plan = _plan(spark, "graph_label_propagation")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
