@@ -3623,3 +3623,93 @@ def substring_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Token-budget allocation across sources + greedy deterministic
+    selection (r14) — the training-mix budgeter: given a total token
+    budget, each group gets a sqrt-proportional share (temperature-2
+    mixing on TOKENS, the unit a training run actually spends — compare
+    :func:`temperature_mix`, which rebalances row counts by acceptance
+    rate), and documents fill the share in md5(id) order until the next
+    doc would overflow it.
+
+    Engine-exact by construction: group token totals are BIGINT sums;
+    the sqrt weight is fixed-pointed straight off ONE correctly-rounded
+    IEEE op per group (``floor(sqrt(double(T_g)) * 1e6)`` — sqrt is
+    exactly rounded on every engine, the multiply is one op, so the
+    BIGINT weights agree bit-for-bit cross-engine with no
+    order-dependent double summation anywhere); shares are integer
+    ``(budget * w_g) div Σw`` and the greedy cut is an integer
+    cumulative-sum window ordered by the content-independent
+    (md5(id), id) key. Returns one row per group: n_docs, total_tokens,
+    alloc_tokens, docs_selected, tokens_selected.
+
+    Scale shape: one scan + one group agg for totals, a group-count-
+    sized broadcast back, one cumulative window partitioned by group
+    (the shard key at 100 TB), one final group agg. At >2^53 corpus
+    tokens move the weight arithmetic to decimal(38,0) — the fixture
+    range is asserted in tests."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__sbp_id"),
+        F.col(group_col).alias("__sbp_g"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__sbp_t"),
+    )
+    totals = toks.groupBy("__sbp_g").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__sbp_t").alias("total_tokens"),
+    )
+    w_fp = F.floor(
+        F.sqrt(F.col("total_tokens").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    weighted = totals.withColumn("__sbp_w", w_fp)
+    total_w = weighted.agg(F.sum("__sbp_w").alias("__sbp_tw"))
+    alloc = (
+        weighted.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "alloc_tokens",
+            F.expr(f"({budget_tokens}L * __sbp_w) div __sbp_tw").cast("bigint"),
+        )
+        .select("__sbp_g", "n_docs", "total_tokens", "alloc_tokens")
+    )
+    cum = F.sum("__sbp_t").over(
+        Window.partitionBy("__sbp_g")
+        .orderBy(F.md5(F.col("__sbp_id").cast("string")), F.col("__sbp_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = (
+        toks.withColumn("__sbp_cum", cum)
+        .join(F.broadcast(alloc), "__sbp_g")
+        .withColumn("__sbp_sel", F.col("__sbp_cum") <= F.col("alloc_tokens"))
+    )
+    return (
+        picked.groupBy("__sbp_g", "n_docs", "total_tokens", "alloc_tokens")
+        .agg(
+            F.sum(F.when(F.col("__sbp_sel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_selected"),
+            F.coalesce(
+                F.sum(F.when(F.col("__sbp_sel"), F.col("__sbp_t"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_selected"),
+        )
+        .select(
+            F.col("__sbp_g").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            "alloc_tokens",
+            "docs_selected",
+            "tokens_selected",
+        )
+    )

@@ -231,3 +231,71 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "scale", "max_abs_err").withColumn(
         "within_half_step", F.col("max_abs_err") <= F.col("scale") * 0.5000001
     )
+
+
+@register(
+    "corpus_token_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (SELECT CAST(sum(t) // 2 AS BIGINT) AS budget FROM toks),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_docs, total_tokens,
+             CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS w
+      FROM totals
+    ),
+    tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM weighted),
+    alloc AS (
+      SELECT source, n_docs, total_tokens,
+             CAST((b.budget * w) // tw.tw AS BIGINT) AS alloc_tokens
+      FROM weighted, b, tw
+    ),
+    cum AS (
+      SELECT doc_id, source, t,
+             sum(t) OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM toks
+    )
+    SELECT a.source, a.n_docs, a.total_tokens, a.alloc_tokens,
+           CAST(sum(CASE WHEN c.c <= a.alloc_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_selected,
+           CAST(coalesce(sum(CASE WHEN c.c <= a.alloc_tokens THEN c.t END), 0)
+                AS BIGINT) AS tokens_selected
+    FROM cum c JOIN alloc a ON a.source = c.source
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation (r14) — the budgeter a training
+    mix actually runs: HALF the corpus's total tokens are distributed
+    across sources sqrt-proportionally to their token mass
+    (temperature-2 mixing on TOKENS, the unit a run spends — the
+    row-count counterpart is corpus_sample_temperature), and each
+    source's share fills greedily in deterministic md5(doc_id) order.
+    Every number is BIGINT-exact cross-engine: the only floating point
+    is one correctly-rounded sqrt + one multiply per source, fixed-
+    pointed immediately, and the greedy cut is an integer cumulative
+    window — so the oracle value-checks the full allocation AND the
+    realized per-source doc/token selection. Thin wrapper over
+    api.token_budget_allocation; the budget constant (Σtokens // 2) is
+    derived with one count-style action first, exactly as the oracle's
+    ``b`` CTE derives it."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        F.size(F.split("text", " ")).cast("bigint").alias("t")
+    )
+    budget = int(toks.agg(F.sum("t")).first()[0] or 0) // 2
+    return api.token_budget_allocation(d, budget_tokens=budget)

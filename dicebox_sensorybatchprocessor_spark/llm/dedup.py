@@ -916,3 +916,103 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(flagged)
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+def _communities_oracle(iterations: int = 3) -> str:
+    """Unrolled LPA over the banded-MinHash candidate graph — the
+    _mh_oracle CTEs produce the edges, then the label_propagation_fixed
+    recurrence (symmetrize, modal-neighbor label, min tie-break) runs as
+    chained CTEs exactly like graph.py's _lpa_oracle."""
+    mh = "('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT"
+    ctes = [
+        f"sh AS ({_SHINGLES_SQL})",
+        f"""mins AS (
+      SELECT doc_id, g.j, min({mh}) AS mh
+      FROM sh, generate_series(0, {_MH_ROWS - 1}) g(j)
+      GROUP BY doc_id, g.j
+    )""",
+        """bands AS (
+      SELECT doc_id, j // 2 AS b,
+             CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || '_' ||
+             CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS band_key
+      FROM mins GROUP BY doc_id, j // 2
+    )""",
+        """cand AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )""",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM cand UNION ALL SELECT dst, src FROM cand
+      )
+    )""",
+        "l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""l{i} AS (
+      SELECT d.doc_id AS node, coalesce(t.lbl, p.lbl) AS lbl
+      FROM documents d
+      JOIN l{i - 1} p ON p.node = d.doc_id
+      LEFT JOIN (
+        SELECT node, lbl FROM (
+          SELECT e.dst AS node, l.lbl AS lbl,
+                 row_number() OVER (
+                   PARTITION BY e.dst
+                   ORDER BY count(*) DESC, l.lbl ASC) AS rk
+          FROM edges e JOIN l{i - 1} l ON l.node = e.src
+          GROUP BY e.dst, l.lbl
+        ) WHERE rk = 1
+      ) t ON t.node = d.doc_id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT l.node AS doc_id,
+           CAST(l.lbl AS BIGINT) AS community,
+           CAST(c.sz AS BIGINT) AS community_size
+    FROM l{iterations} l
+    JOIN (SELECT lbl, count(*) AS sz FROM l{iterations} GROUP BY lbl) c
+      ON c.lbl = l.lbl
+    """
+    )
+
+
+@register("dedup_communities", oracle=_communities_oracle(3))
+def dedup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup communities via LPA over the REAL banded-MinHash
+    candidate graph (r14) — the composition the two families were built
+    for: dedup_minhash_banded's portable-hash candidate pairs become the
+    edges and graph.label_propagation_fixed assigns every document a
+    community in a FIXED number of rounds. Contrast with dedup_clusters
+    (exact connected components, needs O(log n) rounds or a driver
+    union-find): LPA is the bounded-round approximation a 100 TB
+    pipeline can schedule as exactly 3 × (join + count-agg + top-1
+    window) regardless of graph diameter, and its min-label tie-break
+    keeps it engine-exact — the whole pipeline
+    (shingle → minhash → bands → pairs → 3 LPA rounds → sizes) is
+    value-checked end-to-end by one oracle. Documents with no candidate
+    pair stay singleton communities."""
+    from dicebox_sensorybatchprocessor_spark import api
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    cand = api.minhash_banded_candidates(
+        _shingles(spark, sf_dir), rows=_MH_ROWS, bands=_MH_BANDS
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    lp = label_propagation_fixed(cand, nodes, node_col="node", iterations=3)
+    sizes = lp.groupBy("community").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return lp.join(sizes, "community").select(
+        F.col("node").alias("doc_id"),
+        F.col("community").cast("bigint").alias("community"),
+        "community_size",
+    )

@@ -1710,3 +1710,37 @@ def test_pq_index_unpersists_train_sample_on_raising_fit(spark, monkeypatch):
             train_rows=8, corpus_n=40,
         )
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_token_budget_allocation_invariants(spark):
+    """The budgeter's exact-integer contract: selected tokens never
+    exceed the allocation, selections are greedy prefixes in md5(id)
+    order, budget 0 selects nothing, and a budget >= the corpus total
+    selects everything."""
+    rows = [
+        (i, " ".join(["w"] * n), f"s{i % 2}")
+        for i, n in enumerate([10, 20, 30, 40, 50, 60])
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in api.token_budget_allocation(df, 100).collect()}
+    assert set(out) == {"s0", "s1"}
+    for r in out.values():
+        assert 0 <= r["tokens_selected"] <= r["alloc_tokens"]
+        assert r["docs_selected"] <= r["n_docs"]
+    # the two shares never exceed the budget (integer floor division)
+    assert sum(r["alloc_tokens"] for r in out.values()) <= 100
+
+    zero = api.token_budget_allocation(df, 0).collect()
+    assert all(r["docs_selected"] == 0 and r["tokens_selected"] == 0 for r in zero)
+
+    full = api.token_budget_allocation(df, 10**9).collect()
+    assert all(
+        r["docs_selected"] == r["n_docs"]
+        and r["tokens_selected"] == r["total_tokens"]
+        for r in full
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.token_budget_allocation(df, -1)

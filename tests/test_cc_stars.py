@@ -121,3 +121,47 @@ def test_driver_and_distributed_routes_agree(spark):
     assert sorted(map(tuple, driver_labels.collect())) == sorted(
         map(tuple, dist_labels.collect())
     )
+
+
+def test_dedup_communities_invariants(spark):
+    """LPA-over-band-candidates invariants that hold regardless of the
+    fixture's family sizes (2-cliques legitimately oscillate): community
+    labels are real doc ids, docs with NO candidate pair are singletons
+    labeled by their own id, and size-≥3 band CLIQUES converge to one
+    community within 3 rounds (round-2 fixed point of synchronous LPA
+    on a clique)."""
+    from pyspark.sql import functions as F
+
+    from dicebox_sensorybatchprocessor_spark import all_queries, api, load
+    from dicebox_sensorybatchprocessor_spark.llm.dedup import (
+        _MH_BANDS,
+        _MH_ROWS,
+        _shingles,
+    )
+    from tests.conftest import SF_ORACLE
+
+    out = all_queries()["dedup_communities"].fn(spark, SF_ORACLE).collect()
+    by_doc = {r["doc_id"]: (r["community"], r["community_size"]) for r in out}
+    doc_ids = set(by_doc)
+    assert {c for c, _ in by_doc.values()} <= doc_ids  # labels are doc ids
+
+    cand = api.minhash_banded_candidates(
+        _shingles(spark, SF_ORACLE), rows=_MH_ROWS, bands=_MH_BANDS
+    ).collect()
+    import collections
+
+    adj = collections.defaultdict(set)
+    for r in cand:
+        adj[r["doc_a"]].add(r["doc_b"])
+        adj[r["doc_b"]].add(r["doc_a"])
+    for doc, (comm, size) in by_doc.items():
+        if doc not in adj:
+            assert (comm, size) == (doc, 1), f"isolated doc {doc} not singleton"
+    # size->=3 cliques (every pair collides, no external edges) converge
+    for doc, nbrs in adj.items():
+        group = nbrs | {doc}
+        if len(group) >= 3 and all(
+            adj[m] == group - {m} for m in group
+        ):
+            comms = {by_doc[m][0] for m in group}
+            assert comms == {min(group)}, f"clique {sorted(group)} -> {comms}"
