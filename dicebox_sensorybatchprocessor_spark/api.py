@@ -3677,6 +3677,9 @@ def token_budget_allocation(
     alloc = (
         weighted.crossJoin(F.broadcast(total_w))
         .withColumn(
+            # Σw >= 1e6 whenever any row survives the non-null filter
+            # (split('') is one empty token, so t >= 1 and w >= 1e6):
+            # the divisor cannot be 0 on a non-empty relation
             "alloc_tokens",
             F.expr(f"({budget_tokens}L * __sbp_w) div __sbp_tw").cast("bigint"),
         )

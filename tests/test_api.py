@@ -1744,3 +1744,4 @@ def test_token_budget_allocation_invariants(spark):
 
     with _pytest.raises(ValueError):
         api.token_budget_allocation(df, -1)
+
