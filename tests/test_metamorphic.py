@@ -584,3 +584,116 @@ def test_knn_join_drops_zero_norm_rows_both_sides(spark):
     out = api.knn_join(queries, corpus, k=3).collect()
     assert {r["qid"] for r in out} == {10}
     assert {r["vec_id"] for r in out} == {1, 3}
+
+
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),  # (source, n_tokens)
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=0, max_value=500),
+)
+def test_token_budget_matches_pure_python_reference(spark, docs, budget):
+    """api.token_budget_allocation is exact integer arithmetic end to
+    end, so a ~15-line pure-Python mirror must reproduce it bit for bit
+    over random corpora and budgets — shares, doc counts, and realized
+    token sums alike."""
+    import hashlib
+    import math
+
+    from dicebox_sensorybatchprocessor_spark import api
+
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", f"s{g}")
+        for i, (g, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["total_tokens"], r["alloc_tokens"],
+            r["docs_selected"], r["tokens_selected"],
+        )
+        for r in api.token_budget_allocation(df, budget).collect()
+    }
+
+    # pure-Python mirror: split('') is one empty token -> t = n or 1
+    toks = [(i, f"s{g}", n if n else 1) for i, (g, n) in enumerate(docs)]
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for i, g, t in toks:
+        groups.setdefault(g, []).append((i, t))
+    w = {g: math.floor(math.sqrt(float(sum(t for _, t in ds))) * 1_000_000)
+         for g, ds in groups.items()}
+    tw = sum(w.values())
+    exp = {}
+    for g, ds in groups.items():
+        alloc = (budget * w[g]) // tw
+        ds_sorted = sorted(
+            ds, key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0])
+        )
+        cum = sel_docs = sel_toks = 0
+        for _, t in ds_sorted:
+            cum += t
+            if cum <= alloc:
+                sel_docs += 1
+                sel_toks += t
+        exp[g] = (len(ds), sum(t for _, t in ds), alloc, sel_docs, sel_toks)
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None, derandomize=True, database=None)
+@given(
+    n_nodes=st.integers(min_value=1, max_value=10),
+    edge_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_edges=st.integers(min_value=0, max_value=18),
+    iterations=st.integers(min_value=1, max_value=4),
+)
+def test_label_propagation_matches_pure_python_reference(
+    spark, n_nodes, edge_seed, n_edges, iterations
+):
+    """label_propagation_fixed's recurrence (symmetrize, modal
+    in-neighbor label, min tie-break, keep-own when isolated) is exact,
+    so a dict-based Python mirror must agree on every node for random
+    graphs, including self-loops, parallel edges, and isolated nodes."""
+    import random
+    from collections import Counter, defaultdict
+
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    rng = random.Random(edge_seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    nodes = list(range(n_nodes))
+    edf = (
+        spark.createDataFrame(edges, "src bigint, dst bigint")
+        if edges
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    ndf = spark.createDataFrame([(i,) for i in nodes], "node bigint")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation_fixed(
+            edf, ndf, iterations=iterations, materialize=False
+        ).collect()
+    }
+
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    inn = defaultdict(set)
+    for a, b in sym:
+        inn[b].add(a)
+    lbl = {i: i for i in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            if not inn[v]:
+                nxt[v] = lbl[v]
+                continue
+            counts = Counter(lbl[u] for u in inn[v])
+            best = max(counts.values())
+            nxt[v] = min(l for l, c in counts.items() if c == best)
+        lbl = nxt
+    assert got == lbl
