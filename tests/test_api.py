@@ -1745,3 +1745,34 @@ def test_token_budget_allocation_invariants(spark):
     with _pytest.raises(ValueError):
         api.token_budget_allocation(df, -1)
 
+
+def test_token_budget_allocation_survives_int64_product_overflow(spark):
+    """ADVICE r14 #1 regression: the share product budget*w must run in
+    DECIMAL(38,0) — with w >= 1e6 always, any budget above ~9.2e12
+    overflows the old int64 product and Spark's non-ANSI mode would wrap
+    it silently into wrong (possibly negative) allocations. Pin the
+    exact shares against the unbounded-int Python mirror at a budget
+    deep inside the wrap regime."""
+    import hashlib
+    import math
+
+    rows = [
+        (i, " ".join(["w"] * n), f"s{i % 2}")
+        for i, n in enumerate([10, 20, 30, 40, 50, 60])
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    budget = 10**15  # budget * w ~ 2e21 >> 2^63
+    out = {r["source"]: r for r in api.token_budget_allocation(df, budget).collect()}
+
+    toks = {"s0": [(0, 10), (2, 30), (4, 50)], "s1": [(1, 20), (3, 40), (5, 60)]}
+    w = {g: math.floor(math.sqrt(float(sum(t for _, t in ds))) * 1_000_000)
+         for g, ds in toks.items()}
+    tw = sum(w.values())
+    for g, ds in toks.items():
+        exp_alloc = (budget * w[g]) // tw  # Python ints: never wraps
+        assert out[g]["alloc_tokens"] == exp_alloc, g
+        assert budget * w[g] > 2**63  # really inside the wrap regime
+        # budget exceeds the corpus: every doc selected
+        assert out[g]["docs_selected"] == len(ds)
+        assert out[g]["tokens_selected"] == sum(t for _, t in ds)
+

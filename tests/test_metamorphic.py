@@ -697,3 +697,31 @@ def test_label_propagation_matches_pure_python_reference(
             nxt[v] = min(l for l, c in counts.items() if c == best)
         lbl = nxt
     assert got == lbl
+
+
+def test_sweep_memo_insert_evicts_and_unpersists_other_entries(spark, monkeypatch):
+    """ADVICE r14 #3: the sweep's index-build memo must hold at most ONE
+    live entry — inserting for a new sf_dir evicts every other key,
+    unpersisting same-application DataFrames (their cached blocks are
+    still alive) and dropping dead-application keys outright."""
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as sim
+
+    monkeypatch.setattr(sim, "_SWEEP_MEMO", {})
+    monkeypatch.setattr(sim, "_SWEEP_STATS_MEMO", {})
+    app = spark.sparkContext.applicationId
+    d1 = spark.range(3).persist()
+    d1.count()
+    d2 = spark.range(4).persist()
+    d2.count()
+    try:
+        sim._sweep_memo_insert((app, "/dir/a"), (d1, "centers"))
+        sim._SWEEP_STATS_MEMO[(app, "/dir/a")] = {"ivf": (1.0, 1.0)}
+        sim._SWEEP_MEMO[("dead-app", "/dir/z")] = ("not-a-dataframe",)
+        sim._sweep_memo_insert((app, "/dir/b"), (d2, "centers"))
+        assert set(sim._SWEEP_MEMO) == {(app, "/dir/b")}
+        assert (app, "/dir/a") not in sim._SWEEP_STATS_MEMO
+        assert d1.storageLevel.useMemory is False, "evicted entry must unpersist"
+        assert d2.storageLevel.useMemory is True, "live entry stays cached"
+    finally:
+        d1.unpersist(False)
+        d2.unpersist(False)
