@@ -1474,3 +1474,146 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         exclude_self=True,
     )
+
+
+_KNN_JOIN_ANN_ORACLE = f"""
+    WITH q AS (
+      -- norm > 0 mirrors the Spark sample's predicate (ADVICE r14 #4)
+      SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_SWEEP_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qe::DOUBLE[])
+                        * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+        AND list_dot_product(e.embedding::DOUBLE[],
+                             e.embedding::DOUBLE[]) > 0
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos_u,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_u DESC, vec_id ASC) AS rk
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rk <= {_SWEEP_TOPK})
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(vec_id) AS BIGINT) AS exact_id_sum,
+           CAST(sum(cos_u) AS BIGINT) AS exact_cos_millionths,
+           TRUE AS recall_floor_ok,
+           TRUE AS mean_recall_ok
+    FROM topk GROUP BY qid
+    """
+
+
+@register("sim_knn_join_ann", oracle=_KNN_JOIN_ANN_ORACLE)
+def sim_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed (IVF-probed) batch retrieval with a per-query recall
+    audit (r15, VERDICT r14 Next #1) — the rung a 100 TB RAG-indexing
+    job actually runs: the deterministic md5-keyed 100-query set probes
+    api.knn_join_ann (nprobe 10 of 16 cells — the recall sweep's IVF
+    dials) instead of scanning the whole corpus, and every query's ANN
+    top-5 is audited against the exact knn_join top-5 computed in the
+    same job. Output: one row per query with the EXACT side's integers
+    (n_exact, id-sum, microcosine-sum — fully value-hashed by DuckDB's
+    identical recompute, the sim_knn_join anchor discipline) plus two
+    integer-exact recall claims: ``recall_floor_ok`` (this query's ANN
+    hit count >= 1 of 5, i.e. recall@5 >= 0.2 — the sweep's min bar,
+    measured min 0.4 at sf0.01 / 0.6 at sf0.1) and ``mean_recall_ok``
+    (total hits >= 3·n_queries, i.e. mean recall@5 >= 0.6, measured
+    ~0.91/0.89). The exact per-config recall numbers are pinned locally
+    by tests/test_metamorphic.py (the ivf_measured_overlap discipline);
+    the claims keep the usual drift margin so a KMeans rebuild cannot
+    flip the driver hash.
+
+    Scale story: this operator never touches knn_join's exact crossJoin
+    fallback — the corpus is cell-assigned once (ingest cost; here the
+    seeded in-call build), each query expands to its nprobe cells in a
+    map-only all-JVM projection, candidates come from ONE keyed join on
+    ``cell`` (partition pruning when cell is a partition column), and
+    only ~nprobe/n_cells of the corpus is ever scored per query batch.
+    The exact audit side IS sim_knn_join's one-BLAS-pass job — at
+    production scale you run the audit on a sampled query subset, not
+    every batch."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = (
+        e.filter(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+            > 0.0
+        )
+        .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__k", "vec_id")
+        .limit(_SWEEP_N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    exact = api.knn_join(
+        queries, e, k=_SWEEP_TOPK, exclude_self=True
+    ).select(
+        "qid",
+        "vec_id",
+        F.floor(F.col("cosine") * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("cos_u"),
+    )
+    # reuse the sweep's memoized (vec_id, cell) assignment when this
+    # application already built it for this sf_dir (read-only — the
+    # sweep owns the memo's lifecycle); else a seeded in-call build
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _SWEEP_MEMO.get(key)
+    kwargs = {}
+    if memo is not None and len(memo) == 8:
+        kwargs = {"assigned_cells": memo[0], "centers": memo[1]}
+    ann = api.knn_join_ann(
+        queries,
+        e,
+        k=_SWEEP_TOPK,
+        n_cells=16,
+        nprobe=10,
+        seed=42,
+        exclude_self=True,
+        **kwargs,
+    )
+    per_q = exact.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum("vec_id").cast("bigint").alias("exact_id_sum"),
+        F.sum("cos_u").cast("bigint").alias("exact_cos_millionths"),
+    )
+    hits = (
+        ann.select("qid", "vec_id")
+        .join(exact.select("qid", "vec_id"), ["qid", "vec_id"], "semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("__sbp_h"))
+    )
+    joined = per_q.join(hits, "qid", "left").withColumn(
+        "__sbp_h", F.coalesce(F.col("__sbp_h"), F.lit(0))
+    )
+    # mean recall >= 0.6 with k=5 <=> total hits >= 3 * n_queries —
+    # exact integer arithmetic, no float claims anywhere
+    tot = joined.agg(
+        F.sum("__sbp_h").alias("__sbp_th"), F.count("*").alias("__sbp_nq")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "qid",
+            "n_exact",
+            "exact_id_sum",
+            "exact_cos_millionths",
+            (F.col("__sbp_h") >= 1).alias("recall_floor_ok"),
+            (F.col("__sbp_th") >= 3 * F.col("__sbp_nq")).alias(
+                "mean_recall_ok"
+            ),
+        )
+    )

@@ -725,3 +725,57 @@ def test_sweep_memo_insert_evicts_and_unpersists_other_entries(spark, monkeypatc
     finally:
         d1.unpersist(False)
         d2.unpersist(False)
+
+
+def test_knn_join_ann_full_probe_equals_exact(spark):
+    """nprobe = n_cells degrades knn_join_ann to the exact linear scan:
+    every cell is probed, so the candidate set is the whole (non-self)
+    corpus and the rows must equal knn_join's bit for bit."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, SF_ORACLE, "embeddings").limit(60)
+    queries = (
+        e.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    exact = api.knn_join(queries, e, k=5, exclude_self=True).collect()
+    full = api.knn_join_ann(
+        queries, e, k=5, n_cells=8, nprobe=8, exclude_self=True
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_knn_join_ann_measured_recall_at_sweep_dials(spark):
+    """Pin the EXACT measured recall of the registered sim_knn_join_ann
+    config (IVF 16 cells, nprobe 10, seed 42) at sf0.01 — the
+    ivf_measured_overlap discipline: the driver-facing claims keep
+    their drift margin (floor 0.2, mean 0.6) while this test catches
+    any real regression below the measured 0.4 min / 0.91 mean, which
+    must equal the recall sweep's IVF family (same dials, same
+    quantizer geometry)."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    queries = (
+        e.withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__k", "vec_id")
+        .limit(100)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    exact = api.knn_join(queries, e, k=5, exclude_self=True)
+    ann = api.knn_join_ann(
+        queries, e, k=5, n_cells=16, nprobe=10, seed=42, exclude_self=True
+    )
+    ex = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    hits_by_q: dict = {}
+    for r in ann.collect():
+        key = (r["qid"], r["vec_id"])
+        hits_by_q.setdefault(r["qid"], 0)
+        if key in ex:
+            hits_by_q[r["qid"]] += 1
+    qids = {q for q, _ in ex}
+    recalls = [hits_by_q.get(q, 0) / 5 for q in qids]
+    assert len(recalls) == 100
+    assert min(recalls) == 0.4
+    assert round(sum(recalls) / len(recalls), 4) == 0.91

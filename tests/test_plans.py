@@ -785,3 +785,16 @@ def test_label_propagation_per_round_shape(spark):
     tree = _final_tree(plan)
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_knn_join_ann_plan_shape(spark):
+    """sim_knn_join_ann must never fall to knn_join's exact crossJoin
+    regime: no CartesianProduct anywhere, the exact audit side enters
+    via the BLAS candidate MapInPandas, and the only nested-loop join
+    permitted is the single-row recall-claims broadcast (the
+    token_budget crossJoin(broadcast(1-row)) device)."""
+    plan = _plan(spark, "sim_knn_join_ann")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "MapInPandas" in tree  # exact side's BLAS candidate pass
+    assert tree.count("BroadcastNestedLoopJoin") <= 1  # 1-row claims join
