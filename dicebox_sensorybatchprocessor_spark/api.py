@@ -3859,3 +3859,248 @@ def token_budget_allocation(
             "tokens_selected",
         )
     )
+
+
+def lpa_communities_incremental(
+    batch_shingles: DataFrame,
+    batch_ids: DataFrame,
+    state: dict | None = None,
+    rows: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    iterations: int = 3,
+) -> tuple[DataFrame, dict]:
+    """Incremental near-dup communities (r15, VERDICT r14 Next #3) — the
+    appending-corpus form of the dedup_communities pipeline
+    (shingle→minhash→bands→candidate edges→fixed-round LPA), O(touched)
+    per batch instead of a full corpus recompute. Contract family:
+    :func:`duplicate_spans_incremental` / dedup_incremental.
+
+    ``batch_shingles`` is the (id, shingle) relation for NEW documents
+    only; ``batch_ids`` enumerates every new id (including docs too
+    short to shingle — they still need a singleton label). Batch ids
+    must be disjoint from the standing corpus (the dedup_incremental
+    append-only line). Returns ``(labels, new_state)`` where ``labels``
+    is (doc_id, community) for the WHOLE corpus seen so far and
+    ``new_state`` is the dict to pass next batch:
+
+    * ``bands``  — (doc_id, b, band_key): the standing band relation a
+      new batch probes (bucket by (b, band_key) at scale → co-located).
+    * ``edges``  — SYMMETRIZED candidate edges (src, dst); append-only
+      by construction (every new edge touches a new doc).
+    * ``labels`` — (doc_id, l1 .. l``iterations``): the per-round label
+      HISTORY of the synchronous LPA run on the corpus so far. The
+      history is the state that makes incrementality EXACT.
+
+    Exactness contract (the registered oracle proves it end-to-end):
+    after each batch, ``labels`` equals the one-shot
+    ``label_propagation_fixed(edges(standing ∪ batch), iterations)``
+    on the union corpus — not approximately, bit for bit. Why bounded
+    work suffices: round-``t`` labels depend only on the ``t``-hop
+    neighborhood, so a node at graph distance ``d`` from every new doc
+    has ``l_t`` unchanged for all ``t < d`` — the whole run is
+    unchanged beyond distance ``iterations``. The batch therefore (1)
+    bands only its own docs, (2) finds new edges by probing the
+    standing band relation, (3) BFS-expands a frontier ``iterations``
+    times (N_t = ids within t hops of the batch), and (4) re-runs
+    round ``t`` ONLY on N_t, reading neighbors' round-(t−1) labels as
+    coalesce(recomputed on N_{t-1}, standing history) — valid because
+    any neighbor outside N_{t-1} is ≥ t hops out and its l_{t-1} is
+    provably unchanged. Untouched components never enter any frontier
+    and their rows pass through from state verbatim.
+
+    Cost shape per batch: one band-bucket join (new bands × standing
+    bands), ``iterations`` frontier-expansion joins and ``iterations``
+    (join + count-agg + top-1 window) rounds over edges RESTRICTED to
+    the frontier — all O(touched neighborhood), never O(corpus). The
+    returned state relations are localCheckpoint'ed so chained batches
+    do not stack lineage; at 100 TB each maps to a lake table (edges
+    appended, labels merge-upserted on the touched ids only)."""
+    from pyspark.sql import Window
+
+    spark = batch_ids.sparkSession
+    nb = _minhash_band_relation(
+        batch_shingles, id_col, shingle_col, rows, bands
+    ).select(F.col(id_col).alias("doc_id"), "b", "band_key")
+    new_ids = batch_ids.select(F.col(id_col).alias("doc_id")).distinct()
+
+    empty_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    lbl_cols = ", ".join(f"l{t} bigint" for t in range(1, iterations + 1))
+    empty_labels = spark.createDataFrame([], f"doc_id bigint, {lbl_cols}")
+    st_bands = state["bands"] if state else nb.limit(0)
+    st_edges = state["edges"] if state else empty_edges
+    st_labels = state["labels"] if state else empty_labels
+
+    all_bands = st_bands.unionByName(nb)
+    # every collision involving >= 1 new doc; symmetrize; distinct within
+    # the batch's own emission only — state edges cannot repeat here
+    # because batch ids are new, so the union below stays append-only
+    hit = (
+        nb.alias("n")
+        .join(
+            all_bands.alias("m"),
+            (F.col("n.b") == F.col("m.b"))
+            & (F.col("n.band_key") == F.col("m.band_key"))
+            & (F.col("n.doc_id") != F.col("m.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("a"), F.col("m.doc_id").alias("z"))
+    )
+    new_edges = (
+        hit.select(F.col("a").alias("src"), F.col("z").alias("dst"))
+        .unionByName(
+            hit.select(F.col("z").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    edges = st_edges.unionByName(new_edges).localCheckpoint(eager=False)
+
+    # frontier ladder: N_t = ids within t hops of the batch
+    frontiers = [new_ids.localCheckpoint(eager=False)]
+    for _ in range(iterations):
+        prev = frontiers[-1]
+        nxt = (
+            prev.unionByName(
+                edges.join(
+                    prev.withColumnRenamed("doc_id", "src"), "src"
+                ).select(F.col("dst").alias("doc_id"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        frontiers.append(nxt)
+
+    w = Window.partitionBy("dst").orderBy(
+        F.col("__sbp_c").desc(), F.col("__sbp_lbl").asc()
+    )
+    computed: list[DataFrame] = []  # computed[t-1] = labels on N_t
+    for t in range(1, iterations + 1):
+        n_t = frontiers[t]
+        # neighbors' round-(t-1) label: recomputed where recomputed,
+        # standing history otherwise, identity at t=1
+        inc = edges.join(
+            n_t.withColumnRenamed("doc_id", "dst"), "dst"
+        )
+        if t == 1:
+            inc = inc.withColumn("__sbp_lbl", F.col("src"))
+        else:
+            comp_prev = computed[-1].select(
+                F.col("doc_id").alias("src"),
+                F.col(f"l{t - 1}").alias("__sbp_cl"),
+            )
+            st_prev = st_labels.select(
+                F.col("doc_id").alias("src"),
+                F.col(f"l{t - 1}").alias("__sbp_sl"),
+            )
+            inc = (
+                inc.join(comp_prev, "src", "left")
+                .join(st_prev, "src", "left")
+                .withColumn(
+                    "__sbp_lbl",
+                    F.coalesce(
+                        F.col("__sbp_cl"), F.col("__sbp_sl"), F.col("src")
+                    ),
+                )
+            )
+        top = (
+            inc.groupBy("dst", "__sbp_lbl")
+            .agg(F.count("*").alias("__sbp_c"))
+            .withColumn("__sbp_rk", F.row_number().over(w))
+            .filter(F.col("__sbp_rk") == 1)
+            .select(
+                F.col("dst").alias("doc_id"),
+                F.col("__sbp_lbl").alias("__sbp_new"),
+            )
+        )
+        # keep-previous fallback for frontier nodes with no neighbors
+        if t == 1:
+            prev_own = n_t.withColumn("__sbp_prev", F.col("doc_id"))
+        else:
+            prev_own = (
+                n_t.join(
+                    computed[-1].select(
+                        "doc_id", F.col(f"l{t - 1}").alias("__sbp_cp")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .join(
+                    st_labels.select(
+                        "doc_id", F.col(f"l{t - 1}").alias("__sbp_sp")
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn(
+                    "__sbp_prev",
+                    F.coalesce(
+                        F.col("__sbp_cp"), F.col("__sbp_sp"), F.col("doc_id")
+                    ),
+                )
+            )
+        lt = (
+            prev_own.join(top, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("__sbp_new"), F.col("__sbp_prev")).alias(
+                    f"l{t}"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if computed:
+            lt = computed[-1].join(lt, "doc_id", "right").select(
+                "doc_id",
+                *[f"l{u}" for u in range(1, t)],
+                f"l{t}",
+            )
+            # N_{t-1} ⊆ N_t, so the right join keeps every N_t row and
+            # carries forward the earlier computed rounds where present
+            lt = lt.localCheckpoint(eager=False)
+        computed.append(lt)
+
+    # merge the recomputed history over the standing one: touched rows
+    # take the recomputed values (recomputed columns are authoritative
+    # wherever the frontier reached; earlier rounds of an outer-frontier
+    # node fall back to state/identity exactly as the proof permits)
+    final_comp = computed[-1]
+    all_ids = st_labels.select("doc_id").unionByName(new_ids).distinct()
+    merged = (
+        all_ids.join(
+            final_comp.select(
+                "doc_id",
+                *[F.col(f"l{t}").alias(f"__sbp_c{t}") for t in range(1, iterations + 1)],
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            st_labels.select(
+                "doc_id",
+                *[F.col(f"l{t}").alias(f"__sbp_s{t}") for t in range(1, iterations + 1)],
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(
+                    F.col(f"__sbp_c{t}"),
+                    F.col(f"__sbp_s{t}"),
+                    F.col("doc_id"),
+                ).alias(f"l{t}")
+                for t in range(1, iterations + 1)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    new_state = {
+        "bands": all_bands.localCheckpoint(eager=False),
+        "edges": edges,
+        "labels": merged,
+    }
+    labels = merged.select(
+        "doc_id", F.col(f"l{iterations}").alias("community")
+    )
+    return labels, new_state

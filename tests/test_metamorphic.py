@@ -416,7 +416,7 @@ def test_pagerank_edge_duplication_is_inert(spark):
 #   (2) upsert(prev_full_state, state_delta)  ≡  full new_state
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
@@ -779,3 +779,115 @@ def test_knn_join_ann_measured_recall_at_sweep_dials(spark):
     assert len(recalls) == 100
     assert min(recalls) == 0.4
     assert round(sum(recalls) / len(recalls), 4) == 0.91
+
+
+def _mk_shingles(df):
+    """Mirror of llm.dedup._shingles over an arbitrary (doc_id, text)
+    relation: distinct 8-char shingles, short texts emit none."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 8 THEN"
+                " transform(sequence(1, length(text) - 7),"
+                " i -> substring(text, i, 8))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    ).distinct()
+
+
+def _oneshot_communities(spark, docs):
+    from dicebox_sensorybatchprocessor_spark import api
+    from dicebox_sensorybatchprocessor_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    cand = api.minhash_banded_candidates(
+        _mk_shingles(docs), rows=8, bands=4
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return {
+        r["node"]: r["community"]
+        for r in label_propagation_fixed(
+            cand, nodes, iterations=3, materialize=False
+        ).collect()
+    }
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    database=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    phrases=st.lists(st.integers(0, 5), min_size=2, max_size=14),
+    batch_of=st.lists(st.integers(0, 2), min_size=2, max_size=14),
+)
+def test_communities_incremental_matches_oneshot(spark, phrases, batch_of):
+    """api.lpa_communities_incremental's contract: after any sequence of
+    id-disjoint batches, the labels equal the one-shot
+    bands→pairs→LPA(3) run on the union corpus — bit for bit, on random
+    corpora drawn from a colliding phrase pool and random 3-way batch
+    assignments."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    pool = [
+        "the quick brown fox jumps over",
+        "the quick brown fox leaps over",
+        "pack my box with five dozen jugs",
+        "sphinx of black quartz judge my vow",
+        "sphinx of black quartz judge my bow",
+        "tiny",  # < 8 chars: no shingles, must stay singleton
+    ]
+    rows = [(i, pool[p]) for i, p in enumerate(phrases)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    state, labels = None, None
+    for b in range(3):
+        ids = [i for i, _ in enumerate(phrases) if batch_of[i % len(batch_of)] == b or (b == 2 and batch_of[i % len(batch_of)] > 2)]
+        batch = docs.filter(F.col("doc_id").isin(ids) if ids else F.lit(False))
+        if not ids:
+            continue
+        labels, state = api.lpa_communities_incremental(
+            _mk_shingles(batch), batch.select("doc_id"), state
+        )
+    # every doc assigned to exactly one batch above (batch_of maps 0-2)
+    got = {r["doc_id"]: r["community"] for r in labels.collect()}
+    want = _oneshot_communities(spark, docs)
+    assert got == want
+
+
+def test_communities_incremental_untouched_passthrough(spark):
+    """A batch that shares no shingle with a standing component must
+    leave that component's ENTIRE label history untouched — the
+    O(touched) contract: state rows pass through verbatim, they are
+    not recomputed-and-equal."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    a = [(0, "alpha alpha alpha alpha"), (1, "alpha alpha alpha alpha"),
+         (2, "alpha alpha alpha alarm")]
+    b = [(10, "zebra zebra zebra zebra"), (11, "zebra zebra zebra zebra")]
+    docs_a = spark.createDataFrame(a, "doc_id bigint, text string")
+    docs_b = spark.createDataFrame(b, "doc_id bigint, text string")
+    _, st1 = api.lpa_communities_incremental(
+        _mk_shingles(docs_a), docs_a.select("doc_id"), None
+    )
+    hist1 = {r["doc_id"]: (r["l1"], r["l2"], r["l3"])
+             for r in st1["labels"].collect()}
+    labels2, st2 = api.lpa_communities_incremental(
+        _mk_shingles(docs_b), docs_b.select("doc_id"), st1
+    )
+    hist2 = {r["doc_id"]: (r["l1"], r["l2"], r["l3"])
+             for r in st2["labels"].collect()}
+    for i in (0, 1, 2):
+        assert hist2[i] == hist1[i], i
+    # no cross edges may exist between the components
+    cross = st2["edges"].filter(
+        (F.col("src") < 10) != (F.col("dst") < 10)
+    ).count()
+    assert cross == 0
+    got = {r["doc_id"]: r["community"] for r in labels2.collect()}
+    union = docs_a.unionByName(docs_b)
+    assert got == _oneshot_communities(spark, union)
