@@ -4104,3 +4104,164 @@ def lpa_communities_incremental(
         "doc_id", F.col(f"l{iterations}").alias("community")
     )
     return labels, new_state
+
+
+# semantic_decontaminate broadcasts the BENCHMARK side; bench suites are
+# small by contract, but a mis-passed corpus-scale ref must fail loudly
+# rather than OOM the driver.
+_SEMDECON_REF_BYTE_BUDGET = 256 << 20
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: str = "vec_id",
+    ref_vec_col: str = "embedding",
+    threshold_microcos: int = 500_000,
+) -> DataFrame:
+    """Embedding-space decontamination (r15) — the semantic counterpart
+    to :func:`decontaminate` / the bloom leg's n-gram containment: flag
+    every corpus row whose MAX cosine against a (small) benchmark
+    embedding set reaches ``threshold_microcos`` (integer microcosine,
+    so the gate is engine-exact). Paraphrased eval leakage has no
+    8-gram overlap for the n-gram legs to catch — embedding similarity
+    is the industry-standard second line. Columns: id, nearest_ref_id
+    (ties at equal rounded cosine break by smallest ref id), max_cosine
+    (6-dp stable-rounded), contaminated.
+
+    Plan: the reference matrix broadcasts (bench suites are a few
+    thousand rows; the byte budget fails loudly on misuse) and ONE
+    partition-wise BLAS matmul per corpus partition SELECTS each row's
+    argmax candidates — every ref within 2 microcosine of the row max
+    is kept, a superset of any numpy-vs-JVM-fold .5-boundary rounding
+    disagreement (the knn_join margin discipline) — then only those
+    ~1-2 pairs per row are re-scored with the proven JVM-fold
+    expression, which produces every hashed value, and the per-row max
+    resolves as ONE map-side-combinable hash aggregate — a BIGINT max
+    over a packed (cos_u, inverted ref id) encoding, largest cosine
+    first and smallest ref id on ties; a struct max would fall back to
+    SortAggregate (no window, no sort). At 100 TB this is one corpus scan +
+    one doc-keyed shuffle of ~1 pre-combined row per corpus row; the
+    corpus vector rides through the Arrow batch so the rerank never
+    joins the corpus to itself, and the bench set never leaves the
+    broadcast. Zero-norm rows on either side are excluded (cosine
+    undefined)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    c = df.select(
+        F.col(id_col).alias("__sbp_qid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__sbp_qraw"),
+    ).filter(nrm("__sbp_qraw") > 0.0)
+    r = ref.select(
+        F.col(ref_id_col).alias("__sbp_id"),
+        F.transform(ref_vec_col, lambda x: x.cast("double")).alias("__sbp_v"),
+    ).filter(nrm("__sbp_v") > 0.0)
+
+    n_ref = r.count()
+    dim_row = r.select("__sbp_v").first()
+    if dim_row is None:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} bigint, nearest_ref_id bigint, max_cosine double,"
+            " contaminated boolean",
+        )
+    if n_ref * len(dim_row[0]) * 8 > _SEMDECON_REF_BYTE_BUDGET:
+        raise ValueError(
+            f"reference set too large to broadcast ({n_ref} x "
+            f"{len(dim_row[0])} doubles exceeds "
+            f"{_SEMDECON_REF_BYTE_BUDGET >> 20} MiB); decontamination "
+            "references are benchmark-sized by contract — for a "
+            "corpus-scale reference use knn_join's distributed form"
+        )
+    rows = r.collect()
+    rids = np.array([x["__sbp_id"] for x in rows], dtype="int64")
+    if len(rids) and (rids.min() < 0 or rids.max() >= (1 << 41)):
+        raise ValueError(
+            "reference ids must lie in [0, 2^41) for the packed-max "
+            f"tie-break encoding; got [{rids.min()}, {rids.max()}]"
+        )
+    rmat = np.stack([np.array(x["__sbp_v"]) for x in rows])
+    runit = rmat / np.linalg.norm(rmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((rids, runit))
+
+    def row_argmax(batches):
+        import pandas as pd
+
+        b_rids, b_runit = bc.value
+        for batch in batches:
+            if batch.empty:
+                continue
+            qids = batch["__sbp_qid"].to_numpy()
+            m = np.stack(batch["__sbp_qraw"].to_numpy()).astype("float64")
+            sims = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ b_runit.T
+            sc = np.floor(sims * 1_000_000.0 + 0.5)
+            thr = sc.max(axis=1) - 2.0  # rounding-disagreement margin
+            keep_rows, keep_cols = np.nonzero(sc >= thr[:, None])
+            # the corpus vector rides along so the rerank needs NO join
+            # back to the corpus (a corpus-sized self-join at scale);
+            # ~1-2 candidate rows per corpus row, each a small array
+            yield pd.DataFrame(
+                {
+                    "__sbp_qid": qids[keep_rows],
+                    "__sbp_qraw": batch["__sbp_qraw"].to_numpy()[keep_rows],
+                    "__sbp_id": b_rids[keep_cols],
+                }
+            )
+
+    cand = c.mapInPandas(
+        row_argmax, "__sbp_qid long, __sbp_qraw array<double>, __sbp_id long"
+    )
+    dot = F.aggregate(
+        F.zip_with("__sbp_v", "__sbp_qraw", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_u = (
+        F.floor(dot / (nrm("__sbp_v") * nrm("__sbp_qraw")) * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("__sbp_cu")
+    )
+    scored = cand.join(F.broadcast(r), "__sbp_id").select(
+        "__sbp_qid", "__sbp_id", cos_u
+    )
+    # per-row max under the (cos_u DESC, ref_id ASC) total order, as ONE
+    # hash-aggregable BIGINT max: a struct max would plan as
+    # SortAggregate (struct ordering is not hash-aggregable), so the
+    # pair packs into (cu + 1e6)·2^41 + (2^41 − 1 − ref_id) — larger
+    # cosine wins the high bits, the smaller ref id wins ties in the
+    # inverted low bits, and the whole thing stays under 2^63
+    # (cu ∈ [−1e6, 1e6]; ref ids < 2^41, checked above on the collected
+    # id list). The shuffle carries ~1 map-side pre-combined row per
+    # corpus row — no window, no sort.
+    pack_base = 1 << 41
+    packed = (F.col("__sbp_cu") + F.lit(1_000_000)) * F.lit(pack_base) + (
+        F.lit(pack_base - 1) - F.col("__sbp_id")
+    )
+    best = (
+        scored.groupBy("__sbp_qid")
+        .agg(F.max(packed).alias("__sbp_p"))
+        .select(
+            F.col("__sbp_qid").alias(id_col),
+            (
+                F.lit(pack_base - 1)
+                - F.pmod(F.col("__sbp_p"), F.lit(pack_base))
+            ).alias("nearest_ref_id"),
+            (
+                (
+                    F.expr(f"__sbp_p div {pack_base}L") - F.lit(1_000_000)
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("max_cosine"),
+            (
+                F.expr(f"__sbp_p div {pack_base}L") - F.lit(1_000_000)
+                >= F.lit(int(threshold_microcos))
+            ).alias("contaminated"),
+        )
+    )
+    return best

@@ -504,3 +504,69 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.curation_pipeline(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontaminate_semantic",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    corp AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 50 <> 0
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    scored AS (
+      SELECT c.vec_id, b.vec_id AS bid,
+             CAST(floor(list_cosine_similarity(c.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[])
+                        * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM corp c, bench b
+    ),
+    best AS (
+      SELECT vec_id, max(cos_u) AS mx FROM scored GROUP BY vec_id
+    ),
+    pick AS (
+      SELECT s.vec_id, min(s.bid) AS nearest_ref_id, b.mx
+      FROM scored s JOIN best b
+        ON b.vec_id = s.vec_id AND s.cos_u = b.mx
+      GROUP BY s.vec_id, b.mx
+    )
+    SELECT vec_id, nearest_ref_id,
+           CAST(mx AS DOUBLE) / 1000000.0 AS max_cosine,
+           mx >= 300000 AS contaminated
+    FROM pick
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (r15) — the semantic
+    second line next to decontaminate_ngram / decontaminate_bloom:
+    paraphrased eval leakage shares no 8-gram with the benchmark, so
+    modern pipelines ALSO flag training rows whose embedding sits too
+    close to any benchmark embedding (the Phi/LLaMA eval-dedup
+    practice). The deterministic bench set is vec_id % 50 == 0 (~2% of
+    the embeddings table — benchmark-sized by construction); every
+    other vector reports its nearest bench vector, the exact max
+    cosine, and the contaminated gate at integer microcosine 300000
+    (cosine 0.30 — p90 of the fixture's max-cosine distribution, so
+    both flag outcomes occur at every SF).
+
+    Thin wrapper over api.semantic_decontaminate: the bench matrix
+    broadcasts, ONE BLAS pass per corpus partition selects each row's
+    argmax candidates (ties + a 2-microcosine margin kept — the
+    knn_join rounding discipline), the proven JVM fold re-scores only
+    those, and the per-row max resolves as one map-side-combinable
+    packed-BIGINT hash aggregate. One corpus scan, no corpus self-join, no window — the
+    100 TB decontamination shape. Every output value is hash-checked:
+    nearest id, 6-dp cosine, and the integer-exact gate."""
+    from dicebox_sensorybatchprocessor_spark import api
+
+    e = load(spark, sf_dir, "embeddings")
+    return api.semantic_decontaminate(
+        e.filter(F.col("vec_id") % 50 != 0),
+        e.filter(F.col("vec_id") % 50 == 0),
+        threshold_microcos=300_000,
+    )

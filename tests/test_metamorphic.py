@@ -891,3 +891,54 @@ def test_communities_incremental_untouched_passthrough(spark):
     got = {r["doc_id"]: r["community"] for r in labels2.collect()}
     union = docs_a.unionByName(docs_b)
     assert got == _oneshot_communities(spark, union)
+
+
+def test_semantic_decontaminate_semantics(spark):
+    """Unit semantics of api.semantic_decontaminate: exact nearest ref
+    with smallest-id tie-break, integer-exact threshold gate, zero-norm
+    exclusion on both sides, and a loud failure on an over-budget
+    reference set."""
+    import pytest as _pytest
+
+    from dicebox_sensorybatchprocessor_spark import api
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),       # cos 1.0 vs ref 100 -> contaminated
+            (2, [0.0, 1.0]),       # cos 1.0 vs refs 101 AND 102 (tie -> 101)
+            (3, [-1.0, 0.0]),      # max cos 0.0 -> clean
+            (4, [0.0, 0.0]),       # zero-norm: excluded
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    ref = spark.createDataFrame(
+        [
+            (100, [2.0, 0.0]),
+            (101, [0.0, 3.0]),
+            (102, [0.0, 5.0]),
+            (103, [0.0, 0.0]),     # zero-norm ref: excluded
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["nearest_ref_id"], r["max_cosine"], r["contaminated"])
+        for r in api.semantic_decontaminate(
+            corpus, ref, threshold_microcos=990_000
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (100, 1.0, True)
+    assert out[2] == (101, 1.0, True)   # tie broken by smallest ref id
+    # max cosine 0.0 is reached by refs 101 AND 102 (ref 100 scores -1);
+    # the tie again breaks to the smaller ref id
+    assert out[3] == (101, 0.0, False)
+
+    import dicebox_sensorybatchprocessor_spark.api as api_mod
+
+    orig = api_mod._SEMDECON_REF_BYTE_BUDGET
+    try:
+        api_mod._SEMDECON_REF_BYTE_BUDGET = 8
+        with _pytest.raises(ValueError, match="too large to broadcast"):
+            api.semantic_decontaminate(corpus, ref)
+    finally:
+        api_mod._SEMDECON_REF_BYTE_BUDGET = orig

@@ -806,3 +806,19 @@ def test_knn_join_ann_plan_shape(spark):
     assert "CartesianProduct" not in tree
     assert "MapInPandas" in tree  # exact side's BLAS candidate pass
     assert tree.count("BroadcastNestedLoopJoin") <= 1  # 1-row claims join
+
+
+def test_semantic_decontaminate_plan_shape(spark):
+    """decontaminate_semantic must be one corpus scan + one doc-keyed
+    aggregate: candidates enter via the BLAS MapInPandas (never a
+    cartesian against the bench set), the ref-side rerank join stays
+    broadcast, and the per-row max is an aggregate — no Window, no
+    sort, no corpus self-join."""
+    plan = _plan(spark, "decontaminate_semantic")
+    tree = _final_tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "MapInPandas" in tree
+    assert "SortMergeJoin" not in tree
+    assert "Window" not in tree
+    assert "HashAggregate" in tree
