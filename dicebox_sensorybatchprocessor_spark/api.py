@@ -409,23 +409,37 @@ def _minhash_band_relation(
 
 
 def _pairs_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """ALL-PAIRS emission over a (id, b, band_key) relation: the band
-    equi-self-join emits C(c,2) edges per c-doc bucket — exact recall
-    within a bucket, quadratic in CLUSTER size (the one superlinear term
-    the ×10 scale stress surfaced when duplicate clusters grow with the
-    corpus). Columns: doc_a, doc_b, n_band_matches."""
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    """ALL-PAIRS emission over a (id, b, band_key) relation — as a
+    BUCKET-GROUPED emission, not a self-join (r15, guide §2.4): group by
+    (b, band_key), collect the bucket's sorted ids, and explode every
+    in-bucket pair. Emits exactly C(c,2) edges per c-doc bucket — same
+    output, exact recall within a bucket, quadratic in CLUSTER size as
+    before (the star twin bounds that) — but the minhash/band subtree
+    upstream is computed ONCE. The previous band equi-self-join planned a
+    BroadcastHashJoin whose build side re-ran the whole
+    scan → shingle-explode → md5⁸ → min-aggregate pipeline a second time
+    (broadcast builds have no Exchange for AQE stage reuse to latch
+    onto); measured at sf0.1 this halves the fresh-plan cost of
+    dedup_minhash_banded. One small exchange on the band key replaces
+    the broadcast build. Columns: doc_a, doc_b, n_band_matches."""
+    buckets = (
+        bands_df.select(id_col, "b", "band_key")
+        .groupBy("b", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    # sorted + per-band-unique ids ⇒ pairs (x, y) with x < y, each once
+    # per colliding bucket — identical to the join emission.
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(__ids, (x, i) ->"
+            " transform(slice(__ids, i + 2, size(__ids) - i - 1),"
+            " y -> named_struct('a', x, 'b', y))))"
+        )
+    ).alias("p")
     return (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.select(pair)
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_band_matches"))
     )
 
@@ -560,23 +574,64 @@ def _verify_candidates(
     threshold: float,
 ) -> DataFrame:
     """Candidate-gated exact Jaccard — the shared verify stage of every
-    banded composition (pairs and star emission alike): the all-pairs
-    shingle join is gated by the candidate set, so cost is
-    O(candidates × shingles-per-doc), not O(corpus²). Columns: doc_a,
-    doc_b, n_common, jaccard."""
-    a, b = shingles.alias("a"), shingles.alias("b")
+    banded composition (pairs and star emission alike), r15 form: fold
+    each document's distinct shingles into ONE sorted array
+    (``collect_set`` aggregation), attach the two arrays to each
+    candidate pair, and compute |Sa ∩ Sb| with ``array_intersect`` —
+    n_common, both set sizes, and Jaccard all come from the same two
+    cells, so the per-doc size relation and its joins disappear
+    entirely. Cost is O(candidates × shingles-per-doc) exactly as
+    before, but the shingle relation is built ONCE: both pair joins are
+    hinted sort-merge so the second consumer reuses the first's
+    exchange (ReusedExchange), where the previous occurrence-level
+    self-join planned two BroadcastExchanges each re-running the whole
+    scan → explode → distinct subtree (plus two more for the size legs
+    — six document scans total in dedup_near_verified's before-plan,
+    plans/r15/). At cluster scale the array relation is one corpus-wide
+    shuffle by id — strictly cheaper than broadcasting an
+    occurrence-level shingle relation. Columns: doc_a, doc_b, n_common,
+    jaccard."""
+    arrs = shingles.groupBy(id_col).agg(
+        F.array_sort(F.collect_set(F.col(shingle_col))).alias("__sh")
+    )
+    # Two sort-merge joins against the SAME aggregated relation: the
+    # merge hint stops the planner broadcasting either side (a broadcast
+    # build would re-run the aggregation subtree), so arrs' exchange is
+    # planned twice with an identical canonical form and executes once.
     pairs = (
         cand.select("doc_a", "doc_b")
-        .join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
         .join(
-            b,
-            (F.col("doc_b") == F.col(f"b.{id_col}"))
-            & (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}")),
+            arrs.select(
+                F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a")
+            ).hint("merge"),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .join(
+            arrs.select(
+                F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b")
+            ).hint("merge"),
+            "doc_b",
+        )
     )
-    return _jaccard_filter(pairs, shingles, id_col, threshold)
+    n_common = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    n_union = (
+        F.size("__sh_a").cast("bigint")
+        + F.size("__sh_b").cast("bigint")
+        - n_common
+    )
+    jaccard = n_common * 1.0 / n_union
+    return (
+        # filter on the UNROUNDED value (as the former _jaccard_filter
+        # did); n_common >= 1 mirrors the former inner shingle-join,
+        # which only ever produced pairs sharing at least one shingle
+        # (matters only for threshold == 0.0; redundant above it).
+        pairs.filter((n_common >= 1) & (jaccard >= threshold)).select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+    )
 
 
 def near_dedup_verified(

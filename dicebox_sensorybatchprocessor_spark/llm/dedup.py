@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
+from dicebox_sensorybatchprocessor_spark.utils import fan_out_scan, md5_prefix_int
 
 _MAX_LEN = 600  # documents.text ≤ 553 chars (FIXTURES.md)
 
@@ -64,8 +64,13 @@ _JACCARD_PAIRS_SQL = f"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 8-char shingles per document (shared by the dedup family)."""
-    d = load(spark, sf_dir, "documents")
+    """Distinct 8-char shingles per document (shared by the dedup family).
+
+    The scan is fanned out first (r15): the compressed fixture is one
+    file split, and every consumer of this relation runs an
+    explode → md5 pipeline whose cost is expression work, not bytes —
+    unfanned, that whole stage executes on one core (guide §2.5)."""
+    d = fan_out_scan(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         # Spark's sequence auto-steps DOWNWARD when stop < start (even
@@ -186,11 +191,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by token multiplicity, sign → fingerprint bit; plus 4×15-bit
     LSH bands (near-dups collide on ≥1 band ⟺ small Hamming distance).
     One explode + one aggregation — linear, join-free."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out_scan(load(spark, sf_dir, "documents"))
+    # Project the 60-bit hash ONCE per token before the aggregate: each
+    # of the 60 sum() expressions below references the projected column,
+    # so the plan carries a single md5 per token occurrence instead of
+    # relying on codegen subexpression elimination across 60 aggregate
+    # functions (r15, guide §1.2 per-task work).
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    h = md5_prefix_int(F.col("token"))
+    ).select("doc_id", md5_prefix_int(F.col("token")).alias("__h"))
+    h = F.col("__h")
     bit_cols = [
         F.when(
             F.sum(
@@ -557,7 +567,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins."""
     from dicebox_sensorybatchprocessor_spark import api
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out_scan(load(spark, sf_dir, "documents")).select("doc_id", "text")
     return api.dedup_pipeline(docs, text_col="text", id_col="doc_id").select(
         "doc_id", "cluster_id", "cluster_size", "keep"
     )
@@ -597,7 +607,7 @@ def dedup_survivors_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUALITY invariant this oracle claims."""
     from dicebox_sensorybatchprocessor_spark import api
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out_scan(load(spark, sf_dir, "documents")).select("doc_id", "text")
     return api.dedup_survivors_star(docs, text_col="text", id_col="doc_id").select(
         "doc_id", "cluster_id", "cluster_size", "keep"
     )
@@ -793,7 +803,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.duplicate_spans(
-        load(spark, sf_dir, "documents"), k=8, min_count=2, max_dup_ratio=0.5
+        fan_out_scan(load(spark, sf_dir, "documents")), k=8, min_count=2, max_dup_ratio=0.5
     )
 
 
@@ -867,7 +877,7 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     return api.remove_duplicate_spans(
-        load(spark, sf_dir, "documents"), k=8, min_count=2
+        fan_out_scan(load(spark, sf_dir, "documents")), k=8, min_count=2
     )
 
 
@@ -905,7 +915,7 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dicebox_sensorybatchprocessor_spark import api
 
     d = (
-        load(spark, sf_dir, "documents")
+        fan_out_scan(load(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull())
     )
