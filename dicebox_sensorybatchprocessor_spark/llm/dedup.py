@@ -128,27 +128,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 8-char-shingle Jaccard near-dup pairs (threshold 0.6 — the
-    fixture corpus contains real ~0.99 near-dups). Shingle-join + group
-    count; at scale this is the verifier stage behind an LSH candidate
-    filter, not a full-corpus join."""
+    fixture corpus contains real ~0.99 near-dups). r15 plan: exact
+    prefix-filter candidate generation (api._prefix_jaccard_candidates
+    — df-ordered prefixes + length filter + suffix-count bound, every
+    prune one-sided) feeding the shared exact array-intersect verifier,
+    replacing the occurrence-level shingle self-join whose 280M join
+    pairs all fed one hash aggregate (and whose two broadcast size
+    joins re-ran the shingle subtree on every action). Still the exact
+    all-pairs audit leg — provably equal output for ANY corpus, the
+    survivors are verified with exact arithmetic — just no longer
+    priced like one."""
+    from dicebox_sensorybatchprocessor_spark import api
+
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jaccard = F.col("n_common") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jaccard >= 0.6)
-        .select("doc_a", "doc_b", "n_common", F.round(jaccard, 6).alias("jaccard"))
-    )
+    cand, arrs = api._prefix_jaccard_candidates(sh, "doc_id", "s", 0.6)
+    return api._verify_candidates(cand, sh, "doc_id", "s", 0.6, arrs=arrs)
 
 
 _N_BITS = 60  # md5-prefix hash gives a portable 60-bit token hash

@@ -1776,3 +1776,53 @@ def test_token_budget_allocation_survives_int64_product_overflow(spark):
         assert out[g]["docs_selected"] == len(ds)
         assert out[g]["tokens_selected"] == sum(t for _, t in ds)
 
+
+
+def test_prefix_filter_candidates_exact_vs_brute_force(spark):
+    """r15 optimization guard: dedup_ngram_jaccard's prefix-filter
+    candidate generator must (a) emit a SUPERSET of the true J>=t pair
+    set for any corpus — every prune (prefix theorem, length filter,
+    suffix-count bound, positional bound) is one-sided — and (b) compose
+    with _verify_candidates to EXACTLY the brute-force all-pairs
+    verifier. Checked on a synthetic corpus built to stress the seams:
+    near-identical pairs at/around the threshold, disjoint docs, a
+    shared hot token, and size-skewed pairs the length filter must not
+    over-prune."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    docs = {
+        1: [base[i : i + 4] for i in range(0, 32)],          # dense set
+        2: [base[i : i + 4] for i in range(0, 32)],          # == doc 1
+        3: [base[i : i + 4] for i in range(0, 20)],          # 0.625 of doc1
+        4: [base[i : i + 4] for i in range(12, 32)],         # suffix slice
+        5: ["zzzz", "yyyy", "xxxx"],                         # disjoint
+        6: [base[i : i + 4] for i in range(0, 8)] + ["hot1"],
+        7: [base[i : i + 4] for i in range(24, 32)] + ["hot1"],
+        8: [base[i : i + 4] for i in range(0, 13)],          # ~0.40 of doc1
+    }
+    rows = [(d, s) for d, toks in docs.items() for s in toks]
+    sh = spark.createDataFrame(rows, "doc_id bigint, s string")
+
+    t = 0.6
+    truth = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = set(docs[a]), set(docs[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= t:
+            truth.add((a, b))
+    assert truth  # the fixture really exercises the >= t leg
+
+    cand, arrs = api._prefix_jaccard_candidates(sh, "doc_id", "s", t)
+    got_cand = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert truth <= got_cand, f"pruned a true pair: {truth - got_cand}"
+
+    out = api._verify_candidates(cand, sh, "doc_id", "s", t, arrs=arrs)
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard) for r in out.collect()}
+    assert set(got) == truth
+    for (a, b), (n_common, j) in got.items():
+        sa, sb = set(docs[a]), set(docs[b])
+        assert n_common == len(sa & sb)
+        assert j == round(len(sa & sb) / len(sa | sb), 6)
