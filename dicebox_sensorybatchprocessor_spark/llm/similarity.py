@@ -550,14 +550,79 @@ def emb_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality eval: per vector, the nearest same-label cosine
     minus the nearest other-label cosine — positive margin means the
     label structure survives in embedding space (the 1-NN leave-one-out
-    signal retrieval teams track per training run). Exact all-pairs
-    formulation in pure JVM higher-order functions (zip_with dot,
-    aggregate norms); conditional maxes need one shuffle on vec_id. At
-    corpus scale the same margins come from the ANN side (sim_ann_lsh /
-    sim_ann_ivf candidates), with this exact form as the audit on a
-    sample — the same exact-verifies-approximate posture as the dedup
-    family."""
-    e = load(spark, sf_dir, "embeddings")
+    signal retrieval teams track per training run). At corpus scale the
+    same margins come from the ANN side (sim_ann_lsh / sim_ann_ivf
+    candidates), with this exact form as the audit on a sample — the
+    same exact-verifies-approximate posture as the dedup family.
+
+    r15 plan (guide §4.2): the n² cosine surface comes from ONE
+    partition-wise BLAS matmul against the byte-budget-gated broadcast
+    matrix — the sim_cosine_topk discipline — instead of a
+    nested-loop-join of n² rows each paying an INTERPRETED
+    zip_with/aggregate fold (Spark HOF lambdas do not codegen; measured
+    67.9 s → sub-second fresh-plan at sf0.1). Each vector lives in
+    exactly one partition row, so the conditional maxes reduce inside
+    the Python worker and the old vec_id shuffle disappears. Over the
+    broadcast budget the op falls back to the former HOF join form
+    (distributed, never collects)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n_rows = e.count()
+    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
+        return _label_margin_hof(e)
+    import numpy as np
+
+    pdf = e.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = e.sparkSession.sparkContext.broadcast((ids, labels, mat))
+
+    def margins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_labels, b_mat = bc.value
+        for batch in batches:
+            vids = batch["vec_id"].to_numpy()
+            vlabels = batch["label"].to_numpy()
+            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mat.T
+            sims[b_ids[None, :] == vids[:, None]] = -np.inf  # vec_id <> vid_b
+            same = b_labels[None, :] == vlabels[:, None]
+            same_max = np.where(same, sims, -np.inf).max(axis=1)
+            other_max = np.where(~same, sims, -np.inf).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids,
+                    "__same_raw": same_max,
+                    "__other_raw": other_max,
+                }
+            )
+
+    target = min(e.sparkSession.sparkContext.defaultParallelism, max(1, n_rows // 128))
+    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
+    out = probe.mapInPandas(
+        margins, "vec_id long, __same_raw double, __other_raw double"
+    )
+    # a label with a single member has no same-label pair: the worker
+    # emits -inf, the old aggregate form (and the oracle's MAX over an
+    # empty CASE set) emit NULL — map it back before rounding
+    nullify = lambda c: F.when(  # noqa: E731
+        F.col(c) == F.lit(float("-inf")), F.lit(None).cast("double")
+    ).otherwise(F.col(c))
+    same_c, other_c = nullify("__same_raw"), nullify("__other_raw")
+    return out.select(
+        "vec_id",
+        stable_round(same_c).alias("same_label_max"),
+        stable_round(other_c).alias("other_label_max"),
+        stable_round(same_c - other_c).alias("margin"),
+    )
+
+
+def _label_margin_hof(e: DataFrame) -> DataFrame:
+    """Distributed fallback for :func:`emb_label_margin` past the
+    broadcast byte budget: the pre-r15 all-pairs HOF-fold join + one
+    conditional-max shuffle on vec_id. Never collects the relation."""
     a = e.select(
         F.col("vec_id"),
         F.col("label").alias("label_a"),

@@ -39,7 +39,7 @@ DEFAULT_TARGETS = [
     "sim_cosine_topk",
 ]
 
-N_SAMPLES = 5
+N_SAMPLES = int(os.environ.get("SBP_MEASURE_SAMPLES", "5"))
 
 
 def main() -> None:
