@@ -248,16 +248,62 @@ def emb_dim_reduce_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Achlioptas matrix): the storage/ANN-recall trade every embedding
     store makes before indexing. The matrix is md5-derived — reproducible
     on any engine, no RNG, no shipped literals — and the output doubles
-    are bit-identical to the oracle (no rounding tolerance). Shape: pure
-    per-row JVM higher-order functions, zero shuffle, zero Python; at
-    100 TB this is a map-only pass that column-prunes to (vec_id,
-    embedding)."""
-    e = load(spark, sf_dir, "embeddings")
-    return (
-        e.select("vec_id", F.expr(_rp_project_expr()).alias("proj"))
-        .select("vec_id", F.posexplode("proj").alias("k", "component"))
-        .select("vec_id", F.col("k").cast("bigint").alias("k"), "component")
+    are bit-identical to the oracle (no rounding tolerance).
+
+    r15 plan (guide §4.2): the interpreted per-row HOF fold (16 dims ×
+    64 sequential lambda steps per vector — never codegen'd) moves into
+    an Arrow worker that runs the SAME IEEE operation sequence
+    vectorized ACROSS rows: for each output dim, a Python-level loop
+    over the 64 input dims accumulates acc = acc + v_j·s_kj on whole
+    float64 columns, so every per-row add/multiply happens in the exact
+    fold order and the output stays bit-identical (the no-tolerance
+    oracle pins this at all SFs). Still a map-only pass, zero shuffle;
+    measured 3.9 s → sub-second fresh-plan at sf0.1."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"rp|{k}|{j}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1.0
+                for j in range(64)
+            ]
+            for k in range(_RP_DIMS)
+        ]
     )
+
+    def project(batches):
+        for batch in batches:
+            vids = batch["vec_id"].to_numpy()
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            n = len(vids)
+            comps = np.empty((n, _RP_DIMS), dtype="float64")
+            for k in range(_RP_DIMS):
+                acc = np.zeros(n, dtype="float64")
+                for j in range(64):
+                    # acc + (v_j * s) — the HOF fold's exact IEEE sequence,
+                    # vectorized across rows instead of across dims
+                    acc = acc + mat[:, j] * signs[k, j]
+                comps[:, k] = acc
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, _RP_DIMS),
+                    "k": np.tile(np.arange(_RP_DIMS, dtype="int64"), n),
+                    "component": comps.ravel(),
+                }
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc = spark.sparkContext
+    # widen the single-row-group fixture scan so the projection does not
+    # serialize on one Arrow worker (the fan_out_scan rationale)
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
+    return e.mapInPandas(project, "vec_id long, k long, component double")
 
 
 @register(
@@ -305,7 +351,105 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: one map pass to bucket, then a bucket-keyed self-join — the
     shuffle is on (bucket), and within-bucket all-pairs is the unit the
     production path caps (more projections → smaller buckets)."""
-    e = load(spark, sf_dir, "embeddings")
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as _sim
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = e.count()
+    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    if n_rows * dim * 8 > _sim._INDEX_BYTE_BUDGET:
+        return _semantic_buckets_join(e)
+    # r15 (guide §4.2): under the broadcast byte budget the within-bucket
+    # pair scan runs as ONE partition-wise Arrow-worker pass against the
+    # broadcast matrix — with every IEEE operation in the HOF fold's
+    # exact sequence (a Python-level loop over the 64 dims accumulating
+    # on whole float64 columns / m×n blocks), so the emitted cosines
+    # stay BIT-IDENTICAL to the no-tolerance oracle. The interpreted
+    # fold paid per joined pair (never codegen'd) was the entire cost:
+    # measured 7.3 s → sub-second fresh-plan at sf0.1. Over budget the
+    # bucket-keyed self-join below remains the distributed scale path.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"rp|{k}|{j}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1.0
+                for j in range(dim)
+            ]
+            for k in range(3)
+        ]
+    )
+
+    def fold_proj(mat: "np.ndarray", k: int) -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype="float64")
+        for j in range(mat.shape[1]):
+            acc = acc + mat[:, j] * signs[k, j]
+        return acc
+
+    def fold_sqnorm(mat: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(mat.shape[0], dtype="float64")
+        for j in range(mat.shape[1]):
+            acc = acc + mat[:, j] * mat[:, j]
+        return acc
+
+    pdf = e.toPandas().sort_values("vec_id")
+    b_ids = pdf["vec_id"].to_numpy()
+    b_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    b_bucket = (
+        (fold_proj(b_mat, 0) > 0).astype("int64")
+        + 2 * (fold_proj(b_mat, 1) > 0).astype("int64")
+        + 4 * (fold_proj(b_mat, 2) > 0).astype("int64")
+    )
+    b_norm = np.sqrt(fold_sqnorm(b_mat))
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_bucket, b_norm))
+
+    def bucket_pairs(batches):
+        ids, mat, buckets, norms = bc.value
+        for batch in batches:
+            vids = batch["vec_id"].to_numpy()
+            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            q_bucket = (
+                (fold_proj(q, 0) > 0).astype("int64")
+                + 2 * (fold_proj(q, 1) > 0).astype("int64")
+                + 4 * (fold_proj(q, 2) > 0).astype("int64")
+            )
+            q_norm = np.sqrt(fold_sqnorm(q))
+            # dot in the zip_with fold's exact order: acc + (a_j * c_j)
+            acc = np.zeros((len(vids), len(ids)), dtype="float64")
+            for j in range(q.shape[1]):
+                acc = acc + q[:, j][:, None] * mat[:, j][None, :]
+            cos = acc / (q_norm[:, None] * norms[None, :])
+            mask = (
+                (q_bucket[:, None] == buckets[None, :])
+                & (vids[:, None] < ids[None, :])
+                & (cos >= 0.2)
+            )
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "bucket": q_bucket[r],
+                    "id_a": vids[r],
+                    "id_b": ids[c],
+                    "cosine": cos[r, c],
+                }
+            )
+
+    sc = spark.sparkContext
+    target = min(sc.defaultParallelism, max(1, n_rows // 128))
+    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
+    return probe.mapInPandas(
+        bucket_pairs, "bucket long, id_a long, id_b long, cosine double"
+    )
+
+
+def _semantic_buckets_join(e: DataFrame) -> DataFrame:
+    """Distributed form of :func:`dedup_semantic_buckets` past the
+    broadcast byte budget: bucket-keyed self-join, within-bucket
+    all-pairs — one shuffle on (bucket), the documented scale shape."""
     proj = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),

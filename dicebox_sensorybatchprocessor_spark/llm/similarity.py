@@ -236,6 +236,73 @@ def _ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (id_a < id_b) pairs within euclidean distance _ANN_RADIUS —
+    the exact side of sim_ann_lsh's recall claim. r15 (guide §4.2): the
+    pre-r15 form was an n² nested-loop join where every pair paid an
+    interpreted zip_with (x−y)² fold; now one partition-wise pass
+    against the byte-budget-gated broadcast matrix runs the SAME IEEE
+    operation sequence (a Python loop over the dims accumulating on
+    whole m×n float64 blocks), so the distances — and therefore the
+    boundary count the oracle value-checks — are bit-identical to the
+    fold's. Over budget the HOF join form remains (distributed)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = e.count()
+    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
+        return _exact_radius_pairs_hof(e)
+    import numpy as np
+
+    pdf = e.toPandas().sort_values("vec_id")
+    b_ids = pdf["vec_id"].to_numpy()
+    b_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    def radius_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for batch in batches:
+            vids = batch["vec_id"].to_numpy()
+            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            acc = np.zeros((len(vids), len(ids)), dtype="float64")
+            for j in range(q.shape[1]):
+                d = q[:, j][:, None] - mat[:, j][None, :]
+                acc = acc + d * d
+            dist = np.sqrt(acc)
+            mask = (dist <= _ANN_RADIUS) & (vids[:, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": vids[r], "id_b": ids[c], "d": dist[r, c]}
+            )
+
+    sc = spark.sparkContext
+    target = min(sc.defaultParallelism, max(1, n_rows // 128))
+    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
+    return probe.mapInPandas(radius_pairs, "id_a long, id_b long, d double")
+
+
+def _exact_radius_pairs_hof(e: DataFrame) -> DataFrame:
+    """Distributed fallback for :func:`_exact_radius_pairs` past the
+    broadcast byte budget: the pre-r15 all-pairs HOF-fold join."""
+    e = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), dist.alias("d")
+        )
+        .filter(F.col("d") <= _ANN_RADIUS)
+    )
+
+
 @register(
     "sim_ann_lsh",
     oracle=f"""
@@ -259,24 +326,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 and sf0.1 with 4 hash tables) so the gate is robust to fixture
     evolution (ADVICE r2: don't let probabilistic bounds flip the hash)."""
     pairs = _ann_lsh_pairs(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    exact = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), dist.alias("d")
-        )
-        .filter(F.col("d") <= _ANN_RADIUS)
-    )
+    exact = _exact_radius_pairs(spark, sf_dir)
     n_exact = exact.count()
     n_found = exact.join(pairs, ["id_a", "id_b"], "left_semi").count()
     return spark.createDataFrame(

@@ -324,8 +324,106 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |B|) ≥ 0.8 over 8-char shingles — catches a short document embedded
     inside a longer one, which Jaccard's union denominator dilutes below
     threshold (the snippet-reuse case every corpus dedup misses with
-    Jaccard alone). Same shingle-join shape as dedup_ngram_jaccard, and
-    the same scale posture: behind the banded-MinHash candidate filter."""
+    Jaccard alone).
+
+    r15 plan (guide §4.2 / §1.2): containment admits no Jaccard-style
+    length filter (a tiny snippet inside a huge doc qualifies), so the
+    occurrence self-join's 280M join pairs had no cheap prune — instead
+    the full exact intersection-count matrix comes from ONE
+    partition-wise float32 GEMM over the corpus's doc×shingle 0/1
+    matrix, reconstructed per task from a broadcast CSR (5.4 MB at
+    sf0.1). Products are 0/1 and row sums stay far below 2²⁴, so the
+    float32 counts are EXACT integers; the ≥ 0.8 gate runs in the
+    worker with the same IEEE double division the old plan used, and
+    the displayed ratio is recomputed in Spark from the exact integers
+    with the identical round expression. Measured 46.6 s → ~1 s
+    fresh-plan at sf0.1. Past the byte budgets the former shingle-join
+    form runs (distributed, never collects)."""
+    t_low = 0.8
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).first()
+    n_docs, total_chars = int(stats["n"]), int(stats["chars"] or 0)
+    # text collect gate (chars ≈ bytes for the fixture's ASCII corpus;
+    # UTF-8 multi-byte only shrinks shingle counts, not this bound)
+    if n_docs == 0 or total_chars * 4 > _CONTAIN_TEXT_BUDGET:
+        return _text_containment_join(spark, sf_dir)
+    import numpy as np
+    import pandas as pd
+
+    pdf = docs.toPandas().sort_values("doc_id")
+    vocab: dict[str, int] = {}
+    ids_l, sizes_l, cols_l, indptr = [], [], [], [0]
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if not isinstance(text, str) or len(text) < 8:
+            continue
+        sset = {text[i : i + 8] for i in range(len(text) - 7)}
+        ids_l.append(doc_id)
+        sizes_l.append(len(sset))
+        for s in sset:
+            cols_l.append(vocab.setdefault(s, len(vocab)))
+        indptr.append(len(cols_l))
+    n_keep, n_vocab = len(ids_l), len(vocab)
+    if n_keep == 0:
+        return _text_containment_join(spark, sf_dir)
+    if n_keep * n_vocab * 4 > _CONTAIN_DENSE_BUDGET:
+        return _text_containment_join(spark, sf_dir)
+    ids = np.asarray(ids_l, dtype="int64")
+    sizes = np.asarray(sizes_l, dtype="int64")
+    cols = np.asarray(cols_l, dtype="int32")
+    ptr = np.asarray(indptr, dtype="int64")
+    bc = spark.sparkContext.broadcast((ids, sizes, cols, ptr, n_vocab))
+
+    def contain_pairs(batches):
+        b_ids, b_sizes, b_cols, b_ptr, nv = bc.value
+        n = len(b_ids)
+        dense = np.zeros((n, nv), dtype="float32")
+        row_of_col = np.repeat(np.arange(n), np.diff(b_ptr))
+        dense[row_of_col, b_cols] = 1.0
+        for batch in batches:
+            vids = batch["doc_id"].to_numpy()
+            rows = np.searchsorted(b_ids, vids)
+            counts = dense[rows] @ dense.T  # exact: 0/1 products, sums < 2^24
+            minmat = np.minimum(
+                b_sizes[rows][:, None], b_sizes[None, :]
+            ).astype("float64")
+            ratio = counts.astype("float64") / minmat
+            mask = (ratio >= t_low) & (vids[:, None] < b_ids[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "doc_a": vids[r],
+                    "doc_b": b_ids[c],
+                    "n_common": counts[r, c].astype("int64"),
+                    "__min_n": np.minimum(b_sizes[rows][r], b_sizes[c]),
+                }
+            )
+
+    sc = spark.sparkContext
+    target = min(sc.defaultParallelism, max(1, n_keep // 128))
+    probe = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids}), "doc_id long"
+    ).repartition(target)
+    out = probe.mapInPandas(
+        contain_pairs, "doc_a long, doc_b long, n_common long, __min_n long"
+    )
+    containment = F.col("n_common") * 1.0 / F.col("__min_n")
+    return out.select(
+        "doc_a", "doc_b", "n_common", F.round(containment, 6).alias("containment")
+    )
+
+
+# text-collect and dense doc×vocab byte budgets for text_containment's
+# GEMM route (the _INDEX_BYTE_BUDGET idea, sized for this op's shapes)
+_CONTAIN_TEXT_BUDGET = 256 << 20
+_CONTAIN_DENSE_BUDGET = 1 << 30
+
+
+def _text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fallback for :func:`text_containment` past the byte
+    budgets: the pre-r15 occurrence-level shingle self-join. Same
+    shingle-join shape as the pre-r15 dedup_ngram_jaccard."""
     from dicebox_sensorybatchprocessor_spark.llm.dedup import _shingles
 
     sh = _shingles(spark, sf_dir)

@@ -299,14 +299,20 @@ def test_decontaminate_bench_side_broadcasts(spark):
     assert "SortMergeJoin" not in tree, tree
 
 
-def test_rp_dim_reduce_stays_jvm_side(spark):
-    """emb_dim_reduce_rp is a map-only pass: md5-derived sign folds as
-    higher-order functions, zero Python nodes, zero shuffle."""
+def test_rp_dim_reduce_stays_map_only(spark):
+    """emb_dim_reduce_rp is a map-only pass (r15 form): the md5-derived
+    sign folds run vectorized in ONE Arrow worker pass (MapInPandas —
+    the interpreted per-row HOF fold never entered codegen), with no
+    row-at-a-time Python nodes and no KEYED shuffle — the only Exchange
+    allowed is the round-robin fan-out that widens the single-row-group
+    fixture scan to the session's cores."""
     plan = _plan(spark, "emb_dim_reduce_rp")
     tree = _final_tree(plan)
     assert "BatchEvalPython" not in tree, tree
     assert "ArrowEvalPython" not in tree, tree
-    assert "Exchange" not in tree, tree
+    assert "MapInPandas" in tree, tree
+    assert "hashpartitioning" not in tree, tree
+    assert "rangepartitioning" not in tree, tree
 
 
 def test_unigram_lm_single_corpus_scan(spark):
