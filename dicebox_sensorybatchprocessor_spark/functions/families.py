@@ -308,6 +308,10 @@ def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed corpus, not a per-run random variable — verified to hold at
     sf0.01 and sf0.1 even for the 32-bit families) are oracle-assertable
     as literal TRUE next to exact-side counts DuckDB recomputes."""
+    # fan_out_scan deliberately NOT applied (r15): the op is dominated
+    # by its determinism self-join and distinct-count aggregates, not by
+    # per-row hash expressions — measured 1.05 s -> 1.56 s WITH the
+    # fan-out (the round-robin exchange feeds a join), so it stays off.
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = d.select(
         "doc_id",

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import fan_out_scan
 
 # Deterministic benchmark membership: ~1/29 of documents (md5-keyed like
 # operators/sampling.py — partition-invariant, append-stable).
@@ -141,7 +142,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is one explode + keyed aggregate with map-side combine — at
     100 TB this is the cheapest of the quality passes and composes into
     the pipeline_* quality gates."""
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out_scan(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     bg = _word_ngrams(F.col("t"), 2)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
+from dicebox_sensorybatchprocessor_spark.utils import fan_out_scan
 
 
 def decode_image(data: bytes) -> tuple[int, int, float]:
@@ -496,7 +497,9 @@ def mm_mulaw_energy_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_mulaw_wav,
     )
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    # fan out (r15): 5000 pure-Python codec round-trips on a one-split
+    # scan would all land on a single Arrow worker (guide §2.5)
+    d = fan_out_scan(load(spark, sf_dir, "documents")).select("doc_id")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

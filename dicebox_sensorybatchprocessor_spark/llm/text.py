@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import stable_round
+from dicebox_sensorybatchprocessor_spark.utils import fan_out_scan, stable_round
 
 # Constant upper bound for character-shingle generation: documents.text is
 # 48..553 chars (FIXTURES.md). DuckDB can't lateral-join generate_series on
@@ -189,8 +189,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting via rolling 8-char shingles: the min content
     hash per document (a 1-permutation MinHash — the winnowing/dedup
     primitive). md5 hex min is engine-portable; xxhash64 is the faster
-    in-Spark choice at scale (fn_hash_native)."""
-    d = load(spark, sf_dir, "documents")
+    in-Spark choice at scale (fn_hash_native). Scan fanned out (r15):
+    the per-occurrence md5 pipeline is expression work on a one-split
+    fixture scan (guide §2.5)."""
+    d = fan_out_scan(load(spark, sf_dir, "documents"))
     shingled = d.select(
         "doc_id",
         # Explicit empty-array branch for <8-char texts: Spark's sequence
@@ -623,7 +625,7 @@ def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded values on both engines so the boolean is engine-exact."""
     from dicebox_sensorybatchprocessor_spark import api
 
-    return api.quality_signals(load(spark, sf_dir, "documents"))
+    return api.quality_signals(fan_out_scan(load(spark, sf_dir, "documents")))
 
 
 @register(
@@ -734,7 +736,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(*) per doc equals the old ``size(split(...))`` exactly."""
     from dicebox_sensorybatchprocessor_spark.utils import md5_prefix_int
 
-    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = fan_out_scan(
+        load(spark, sf_dir, "documents")
+    ).filter(F.col("text").isNotNull())
     weighted = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("__sbp_tok")
     ).select(

@@ -404,8 +404,16 @@ def test_real_codec_legs_map_only(spark):
     stub twins: synth → encode → real decode runs inside one
     mapInPandas, no shuffle of media bytes."""
     for q in ("mm_ppm_resize_real", "mm_mulaw_energy_real"):
-        tree = _final_tree(_plan(spark, q))
-        assert "Exchange" not in tree, (q, tree)
+        plan = _plan(spark, q)
+        tree = _final_tree(plan)
+        # media/synth bytes are never shuffled on a KEY; the only
+        # exchange allowed is the round-robin fan-out that widens the
+        # one-split fixture scan (r15, fan_out_scan on the µ-law leg —
+        # column pruning drops everything but doc_id below it)
+        assert tree.count("Exchange") <= 1, (q, tree)
+        if "Exchange" in tree:
+            assert "RoundRobinPartitioning" in plan, (q, plan)
+            assert "hashpartitioning" not in plan, (q, plan)
         assert (
             "MapInPandas" in tree
             or "ArrowEvalPython" in tree
@@ -679,7 +687,11 @@ def test_quality_classifier_codegen_explode_hashagg(spark):
     tree = _final_tree(plan)
     assert "Python" not in plan
     assert "Generate" in tree  # the explode
-    assert tree.count("Exchange") == 1, tree  # one partial/final agg shuffle
+    # two exchanges: the keyed partial/final agg shuffle plus the
+    # round-robin fan-out that widens the one-split fixture scan (r15,
+    # fan_out_scan) — the fan-out carries no keyed repartitioning
+    assert tree.count("Exchange") == 2, tree
+    assert "RoundRobinPartitioning" in plan, plan
     # '*' is the formatted-plan codegen marker: the aggregate and the
     # weight projection both run inside WholeStageCodegen
     assert "* HashAggregate" in tree, tree
