@@ -541,8 +541,10 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bench_eval_ngrams(spark: SparkSession, sf_dir: str):
     """Fixture-side derivation shared by the decontaminate twins: distinct
     word-3-gram relation split into the deterministic bench doc bucket's
-    n-gram set and the eval side (everything else)."""
-    d = load(spark, sf_dir, "documents")
+    n-gram set and the eval side (everything else). Scan fanned out
+    (r15, guide §2.5): the 3-gram explode is per-position transform +
+    concat expression work on a one-split fixture scan."""
+    d = fan_out_scan(load(spark, sf_dir, "documents"))
     ng = (
         d.select(
             "doc_id", F.explode(_word_ngrams(F.split("text", " "), 3)).alias("ngram")
