@@ -621,6 +621,21 @@ def _verify_candidates(
             "doc_b",
         )
     )
+    # Length prefilter BEFORE the array_intersect (r15, guide §1.2):
+    # J(A,B) ≥ t ⟹ |A∩B|/|A∪B| ≤ min/max, so t·max ≤ min — an
+    # integer-arithmetic test on the two array sizes that costs nothing
+    # and prunes the expensive per-pair intersect. Exact-safe for any
+    # threshold (one unit of slack absorbs the float-vs-rational gap of
+    # the t literal), so the output is unchanged; measured at sf0.1 it
+    # drops most of the banded family's ~59k candidate intersects.
+    from fractions import Fraction as _Fr
+
+    _t = _Fr(threshold).limit_denominator(10**6)
+    sz_a, sz_b = F.size("__sh_a"), F.size("__sh_b")
+    pairs = pairs.filter(
+        (sz_a * _t.denominator >= sz_b * _t.numerator - 1)
+        & (sz_b * _t.denominator >= sz_a * _t.numerator - 1)
+    )
     n_common = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
     n_union = (
         F.size("__sh_a").cast("bigint")
