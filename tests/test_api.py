@@ -1826,3 +1826,55 @@ def test_prefix_filter_candidates_exact_vs_brute_force(spark):
         sa, sb = set(docs[a]), set(docs[b])
         assert n_common == len(sa & sb)
         assert j == round(len(sa & sb) / len(sa | sb), 6)
+
+
+def test_prefix_containment_candidates_exact_vs_brute_force(spark):
+    """r16 optimization guard (VERDICT r15 #2): text_containment's
+    one-sided prefix-filter candidate generator must (a) emit a SUPERSET
+    of the true C >= t pair set for any corpus — the smaller set's
+    prefix bound, the probe-prefix test, and the per-occurrence
+    positional bound are all one-sided — and (b) compose with
+    _verify_containment to EXACTLY the brute-force all-pairs overlap
+    coefficient. The corpus stresses containment's specialty: tiny
+    snippets fully inside huge documents (which Jaccard's union dilutes
+    below threshold), boundary ratios, ties in size, and disjoint
+    docs."""
+    import itertools
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    docs = {
+        1: [base[i : i + 4] for i in range(0, 32)],   # big doc
+        2: [base[i : i + 4] for i in range(0, 5)],    # snippet inside 1 (C=1.0)
+        3: [base[i : i + 4] for i in range(4, 9)],    # snippet inside 1
+        4: [base[i : i + 4] for i in range(0, 5)] + ["qqqq"],  # 5/6 ≈ 0.83
+        5: [base[i : i + 4] for i in range(0, 4)] + ["qqqq"],  # 4/5 = 0.8 boundary
+        6: ["zzzz", "yyyy", "xxxx"],                  # disjoint
+        7: [base[i : i + 4] for i in range(0, 32)],   # == doc 1
+        8: [base[i : i + 4] for i in range(16, 21)],  # snippet, ties size w/ 2
+        9: [base[i : i + 4] for i in range(0, 3)] + ["rrrr", "ssss"],  # 3/5 < 0.8
+    }
+    rows = [(d, s) for d, toks in docs.items() for s in toks]
+    sh = spark.createDataFrame(rows, "doc_id bigint, s string")
+
+    t = 0.8
+    truth = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = set(docs[a]), set(docs[b])
+        n_common = len(sa & sb)
+        if n_common >= 1 and n_common * 1.0 / min(len(sa), len(sb)) >= t:
+            truth[(a, b)] = n_common
+    assert truth and any(
+        len(docs[a]) != len(docs[b]) for a, b in truth
+    )  # the snippet-in-big-doc leg is really exercised
+
+    cand, arrs = api._prefix_containment_candidates(sh, "doc_id", "s", t)
+    got_cand = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert set(truth) <= got_cand, f"pruned a true pair: {set(truth) - got_cand}"
+
+    out = api._verify_containment(cand, arrs, "doc_id", t)
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.containment) for r in out.collect()}
+    assert set(got) == set(truth)
+    for (a, b), (n_common, c) in got.items():
+        sa, sb = set(docs[a]), set(docs[b])
+        assert n_common == truth[(a, b)]
+        assert c == round(len(sa & sb) / min(len(sa), len(sb)), 6)

