@@ -580,20 +580,45 @@ def _load_prev_round(repo_dir: str) -> tuple[str | None, dict]:
     return os.path.basename(best[1]), parsed
 
 
+_FLAG_BLOCK_FLOOR_KEY = {
+    "queries": "headline",
+    "llm_queries": "llm",
+    "sql_queries": "sql",
+}
+
+
 def _flag_regressions(
-    prev: dict, cur_blocks: dict[str, dict[str, float]]
+    prev: dict,
+    cur_blocks: dict[str, dict[str, float]],
+    cur_floors: dict[str, float] | None = None,
 ) -> list[dict]:
     """Entries >25% slower than the previous round's best-of (and >20 ms
-    absolute). The caller attaches floor sentinels so a uniform
-    environmental shift is visible next to any flagged entry."""
+    absolute), measured on FLOOR-SUBTRACTED times (r16, VERDICT r15 #7):
+    each side's per-block job-floor sentinel is subtracted first, so an
+    entry sitting at or under the floor (q1_pricing_summary at 45 ms
+    against a 49 ms floor in r15) measures scheduler+fetch overhead, not
+    the plan, and no longer flaps as a pseudo-regression whenever the
+    floor moves. Raw seconds and the raw ratio stay in every record
+    (nothing is dropped from the artifact — only the FLAGGING rule is
+    floor-aware); when either side lacks a floor sample (pre-r15
+    artifacts) its floor defaults to 0, reproducing the raw rule. The
+    caller still attaches floor sentinels so a uniform environmental
+    shift is visible next to any flagged entry."""
+    prev_floors = prev.get("floor_measured_s") or {}
+    cur_floors = cur_floors or {}
     out: list[dict] = []
     for block, cur in cur_blocks.items():
         prev_block = prev.get(block) or {}
+        fk = _FLAG_BLOCK_FLOOR_KEY.get(block)
+        pf = float(prev_floors.get(fk) or 0.0)
+        cf = float(cur_floors.get(fk) or 0.0)
         for name, cur_s in cur.items():
             prev_s = prev_block.get(name)
             if prev_s is None or prev_s <= 0:
                 continue
-            if cur_s > 1.25 * prev_s and cur_s - prev_s > 0.02:
+            adj_prev = max(prev_s - pf, 0.0)
+            adj_cur = max(cur_s - cf, 0.0)
+            if adj_cur > 1.25 * adj_prev and adj_cur - adj_prev > 0.02:
                 out.append(
                     {
                         "query": name,
@@ -601,6 +626,13 @@ def _flag_regressions(
                         "prev_s": prev_s,
                         "cur_s": cur_s,
                         "ratio": round(cur_s / prev_s, 2),
+                        "prev_s_floor_adj": round(adj_prev, 4),
+                        "cur_s_floor_adj": round(adj_cur, 4),
+                        # None = previous round sat at/under its floor
+                        # (ratio undefined; the absolute diff flagged it)
+                        "ratio_floor_adj": (
+                            round(adj_cur / adj_prev, 2) if adj_prev > 0 else None
+                        ),
                     }
                 )
     return sorted(out, key=lambda r: -r["ratio"])
@@ -745,7 +777,7 @@ def main() -> None:
         "sql_queries": (sql_timings, sql_medians),
     }
     _flag_input = lambda: {b: t for b, (t, _) in blocks_by_name.items()}  # noqa: E731
-    regressions = _flag_regressions(prev, _flag_input())
+    regressions = _flag_regressions(prev, _flag_input(), floors)
     rerun_record: dict | None = None
     if regressions:
         # Targeted rerun: re-time ONLY the flagged entries under the same
@@ -773,7 +805,7 @@ def main() -> None:
             # still replace the load-inflated median, or the artifact
             # shows a clean best next to a stale spread
             med_d[r["query"]] = min(med_d[r["query"]], _median(runs))
-        regressions = _flag_regressions(prev, _flag_input())
+        regressions = _flag_regressions(prev, _flag_input(), floors)
         _blk2floor = {"queries": "headline", "llm_queries": "llm", "sql_queries": "sql"}
         for r in regressions:
             fk = _blk2floor[r["block"]]

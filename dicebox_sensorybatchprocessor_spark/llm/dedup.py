@@ -231,8 +231,18 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _shingles(spark, sf_dir).groupBy("doc_id").agg(F.collect_list("s").alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    # project the raw shingle arrays out BEFORE the LSH join (r16, guide
+    # §2.3): approxSimilarityJoin explodes each row numHashTables times
+    # and shuffles it — every document's ~2k-string shingle array rode
+    # that exchange for nothing (doc_id + sparse features are all the
+    # distance filter reads)
+    feats = tf.transform(sh).select("doc_id", "features")
+    # 4 tables (r16, VERDICT r15 #5 sweep): measured recall 1.0 at
+    # sf0.001/0.01/0.1 — identical candidate recovery to the former 8 —
+    # at half the explode/shuffle width (join 11.2 s → 6.5 s at sf0.1);
+    # a j≈0.99 dup pair misses all 4 tables with probability ~1e-8,
+    # still nowhere near the 0.9 claim floor
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
     return (
@@ -263,16 +273,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_ngram_jaccard's verifier) and emits the exact-pair count plus
     a boolean claim that LSH recovered ≥90% of the true pairs; DuckDB
     recomputes the exact side and asserts TRUE, so the driver value-hash
-    gates both. Measured recall is 100% at sf0.01 and sf0.1 (8 hash
-    tables; a j≈0.99 dup family misses all 8 with probability ~1e-16);
+    gates both. Measured recall is 100% at sf0.001, sf0.01 and sf0.1
+    (4 hash tables — the r16 sweep halved the former 8 with identical
+    candidate recovery at every SF, VERDICT r15 #5; a j≈0.99 dup family
+    misses all 4 with probability ~1e-8);
     the 0.9 threshold leaves margin for fixture evolution. Flagged
     ``audit_only`` (r12): the registered form computes the exact
     quadratic pair set to measure recall — production candidates come
     from dedup_minhash_banded / dedup_near_verified."""
-    cand = _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").distinct()
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    n_exact = exact.count()
-    n_found = exact.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+    # ONE action for both counts (r16, guide §1.2): the former
+    # count() + semi-join-count() pair executed the exact-verifier
+    # subtree twice and could not share stages across actions — a
+    # left-outer against the (distinct) candidate pairs counts the
+    # exact set and its recovered subset in a single pass
+    row = (
+        exact.join(cand.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left_outer")
+        .agg(F.count(F.lit(1)).alias("__n"), F.count("__hit").alias("__f"))
+        .first()
+    )
+    n_exact, n_found = int(row["__n"]), int(row["__f"])
     return spark.createDataFrame(
         [(n_exact, n_found >= 0.9 * n_exact)],
         "n_exact_pairs long, recall_ge_90pct boolean",

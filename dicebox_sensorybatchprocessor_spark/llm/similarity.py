@@ -491,10 +491,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Claim threshold 0.8 is deliberately below the measured recall (1.0 at
     sf0.01 and sf0.1 with 4 hash tables) so the gate is robust to fixture
     evolution (ADVICE r2: don't let probabilistic bounds flip the hash)."""
-    pairs = _ann_lsh_pairs(spark, sf_dir)
+    pairs = _ann_lsh_pairs(spark, sf_dir).select("id_a", "id_b").distinct()
     exact = _exact_radius_pairs(spark, sf_dir)
-    n_exact = exact.count()
-    n_found = exact.join(pairs, ["id_a", "id_b"], "left_semi").count()
+    # ONE action for both counts (r16, guide §1.2): the former
+    # count() + semi-join-count() pair re-executed the exact-radius
+    # subtree (stages are not shared across separate actions)
+    row = (
+        exact.join(pairs.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left_outer")
+        .agg(F.count(F.lit(1)).alias("__n"), F.count("__hit").alias("__f"))
+        .first()
+    )
+    n_exact, n_found = int(row["__n"]), int(row["__f"])
     return spark.createDataFrame(
         [(n_exact, n_found >= 0.8 * n_exact)],
         "n_exact_pairs long, recall_ge_80pct boolean",

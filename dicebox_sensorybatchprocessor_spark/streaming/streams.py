@@ -186,6 +186,25 @@ def _stage_files(
     return root
 
 
+def _stage_linked(staged_src: str, name: str) -> str:
+    """Private mutable hardlink copy of a cached staged dir (r16,
+    VERDICT r15 #6): the replay ops that MUTATE their staged directory
+    mid-protocol (stream_watermark renames a late file in,
+    stream_join_outer appends a watermark advancer) could not share the
+    stage cache and re-wrote the whole events fixture to parquet on
+    every invocation — the dominant per-lifecycle cost after the
+    state-store floor. Hardlinking gives each run its own mutable
+    directory for the cost of a few inodes; the parquet bytes are
+    written once per (layout, sf_dir). mtimes ride the shared inode and
+    were set deterministically at first staging, so batch composition
+    is unchanged."""
+    dst = scratch_dir(prefix=f"sbp_stage_{name}_lnk_")
+    for f in sorted(os.listdir(staged_src)):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(staged_src, f), os.path.join(dst, f))
+    return dst
+
+
 def _events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Single-file staged dir holding the events fixture with ts normalized
     to LONG nanos — the directory all whole-table streaming reads consume.
@@ -404,8 +423,12 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_ns = raw.agg(F.expr("min(ts) + 86400000000000")).first()[0]  # min + 1 day, in ns
     early = raw.filter(F.col("ts") < cutoff_ns)
     late_redelivery = early.withColumn("event_id", -F.col("event_id") - 1)
-    staged = _stage_files(spark, [raw], "wm")
-    late_dir = _stage_files(spark, [late_redelivery], "wm_late")
+    # the on-time layout equals the shared single-file events stage —
+    # link a private mutable copy instead of re-writing it (r16); the
+    # late redelivery is content-deterministic per sf_dir, so its stage
+    # caches too and is linked (not moved) into the replay dir below
+    staged = _stage_linked(_events_dir(spark, sf_dir), "wm")
+    late_dir = _stage_files(spark, [late_redelivery], "wm_late", cache_key=sf_dir)
 
     ck = scratch_dir(prefix="sbp_ck_wm_")
     out_dir = scratch_dir(prefix="sbp_wm_out_")
@@ -433,7 +456,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     run_once()  # drain on-time data; checkpoint commits the advanced watermark
-    os.rename(
+    os.link(
         os.path.join(late_dir, "part-000.parquet"),
         os.path.join(staged, "part-100.parquet"),
     )
@@ -914,13 +937,16 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer emission frequently needs one batch beyond the watermark
     commit, which a single availableNow run does not deliver."""
     spark = _streaming_session(spark)
-    staged = _stage_files(spark, [_events_raw(spark, sf_dir)], "ssoj")
+    # base layout == the shared single-file events stage; the advancer is
+    # a constant two-row file — both cache, each run links its own
+    # mutable replay dir (r16, see _stage_linked)
+    staged = _stage_linked(_events_dir(spark, sf_dir), "ssoj")
     future_ns = 1735689600 * 1_000_000_000  # 2025-01-01, ~11 months past fixture end
     advancer = spark.createDataFrame(
         [(-10, future_ns, -1, "click", 0.0, "{}"), (-11, future_ns, -2, "purchase", 0.0, "{}")],
         schema=_EVENTS_RAW_SCHEMA,
     )
-    adv_dir = _stage_files(spark, [advancer], "ssoj_adv")
+    adv_dir = _stage_files(spark, [advancer], "ssoj_adv", cache_key=sf_dir)
     ck = scratch_dir(prefix="sbp_ck_ssoj_")
     out_dir = scratch_dir(prefix="sbp_ssoj_out_")
 
@@ -965,7 +991,7 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     run_once()  # drains the data; outer rows still held back by the watermark
-    os.rename(
+    os.link(
         os.path.join(adv_dir, "part-000.parquet"),
         os.path.join(staged, "part-100.parquet"),
     )
