@@ -1878,3 +1878,66 @@ def test_prefix_containment_candidates_exact_vs_brute_force(spark):
         sa, sb = set(docs[a]), set(docs[b])
         assert n_common == truth[(a, b)]
         assert c == round(len(sa & sb) / min(len(sa), len(sb)), 6)
+
+
+def _random_token_corpus(rng, n_docs: int, vocab: int):
+    """Random corpus with planted near-dup families and heavy-hitter
+    tokens — the seams prefix filtering must survive."""
+    docs = {}
+    did = 1
+    for _ in range(n_docs):
+        size = rng.randint(1, 24)
+        toks = {f"t{rng.randint(0, vocab)}" for _ in range(size)}
+        docs[did] = toks or {"t0"}
+        did += 1
+        if rng.random() < 0.4:  # planted near-dup of the previous doc
+            mutated = set(docs[did - 1])
+            for _ in range(rng.randint(0, 2)):
+                if mutated and rng.random() < 0.5:
+                    mutated.discard(next(iter(mutated)))
+                else:
+                    mutated.add(f"t{rng.randint(0, vocab)}")
+            docs[did] = mutated or {"t0"}
+            did += 1
+    return docs
+
+
+def test_prefix_filter_generators_random_corpora(spark):
+    """Randomized leg of the exactness property (r16): on seeded random
+    corpora with planted near-dups, hot tokens and singleton docs, BOTH
+    prefix-filter generators must compose to exactly the brute-force
+    answer — Jaccard >= 0.6 via _verify_candidates and containment >=
+    0.8 via _verify_containment."""
+    import itertools
+    import random
+
+    for seed in (7, 23, 61):
+        rng = random.Random(seed)
+        docs = _random_token_corpus(rng, n_docs=24, vocab=40)
+        rows = [(d, s) for d, toks in docs.items() for s in toks]
+        sh = spark.createDataFrame(rows, "doc_id bigint, s string")
+
+        jac_truth, con_truth = {}, {}
+        for a, b in itertools.combinations(sorted(docs), 2):
+            sa, sb = docs[a], docs[b]
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.6:
+                jac_truth[(a, b)] = inter
+            if inter and inter / min(len(sa), len(sb)) >= 0.8:
+                con_truth[(a, b)] = inter
+
+        cand, arrs = api._prefix_jaccard_candidates(sh, "doc_id", "s", 0.6)
+        got = {
+            (r.doc_a, r.doc_b): r.n_common
+            for r in api._verify_candidates(
+                cand, sh, "doc_id", "s", 0.6, arrs=arrs
+            ).collect()
+        }
+        assert got == jac_truth, f"seed {seed}: jaccard mismatch"
+
+        ccand, carrs = api._prefix_containment_candidates(sh, "doc_id", "s", 0.8)
+        cgot = {
+            (r.doc_a, r.doc_b): r.n_common
+            for r in api._verify_containment(ccand, carrs, "doc_id", 0.8).collect()
+        }
+        assert cgot == con_truth, f"seed {seed}: containment mismatch"
