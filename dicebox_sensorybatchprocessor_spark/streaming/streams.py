@@ -186,6 +186,17 @@ def _stage_files(
     return root
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink with a cross-filesystem copy fallback (scratch dirs can
+    land on different mounts when the tmpfs free-space probe flips)."""
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def _stage_linked(staged_src: str, name: str) -> str:
     """Private mutable hardlink copy of a cached staged dir (r16,
     VERDICT r15 #6): the replay ops that MUTATE their staged directory
@@ -201,7 +212,7 @@ def _stage_linked(staged_src: str, name: str) -> str:
     dst = scratch_dir(prefix=f"sbp_stage_{name}_lnk_")
     for f in sorted(os.listdir(staged_src)):
         if f.endswith(".parquet"):
-            os.link(os.path.join(staged_src, f), os.path.join(dst, f))
+            _link_or_copy(os.path.join(staged_src, f), os.path.join(dst, f))
     return dst
 
 
@@ -456,7 +467,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     run_once()  # drain on-time data; checkpoint commits the advanced watermark
-    os.link(
+    _link_or_copy(
         os.path.join(late_dir, "part-000.parquet"),
         os.path.join(staged, "part-100.parquet"),
     )
@@ -991,7 +1002,7 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     run_once()  # drains the data; outer rows still held back by the watermark
-    os.link(
+    _link_or_copy(
         os.path.join(adv_dir, "part-000.parquet"),
         os.path.join(staged, "part-100.parquet"),
     )
